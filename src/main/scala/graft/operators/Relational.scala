@@ -1,0 +1,448 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.{Cols, OracleDsl}
+
+/** Relational core: projection/filter (SURVEY §2.2), joins (§2.3),
+  * aggregations (§2.4), sorts/top-k (§2.6), set ops (§2.7).
+  *
+  * Conventions shared by every declared query (SURVEY §2 determinism box):
+  *  - total ORDER BY with a unique tiebreak key;
+  *  - double aggregates rounded via the shared-formula helpers Cols.r2/r6
+  *    (see Cols.scala for why not `round`);
+  *  - counts/ranks emitted as BIGINT on both engines;
+  *  - instants emitted as epoch-microsecond BIGINT (`unix_micros` ↔ DuckDB
+  *    `epoch_us`) so timestamp-timezone representation can never diverge.
+  *
+  * Scale notes are attached per-query: every join states its intended
+  * physical strategy (broadcast vs shuffle) for the 1000-executor case.
+  */
+object Relational {
+
+  private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  // ---- §2.2 projection / filter -------------------------------------------
+
+  /** Row-level derived columns; expression-only, no shuffle at any scale. */
+  def qProject(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      Cols.r2(revenue).as("revenue"),
+      Cols.r2(revenue * (lit(1.0) + col("l_tax"))).as("charge"),
+      Cols.r2(col("l_quantity") * col("l_extendedprice")).as("gross"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Conjunctive/disjunctive predicates, BETWEEN, IN, LIKE — all pushed to
+    * the parquet scan by Catalyst (verify via PushedFilters in explain). */
+  def qFilter(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderstatus").isin("F", "O")
+        && col("o_totalprice").between(50000.0, 200000.0)
+        && (col("o_orderpriority").like("1-%") || col("o_orderpriority").like("2-%")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .orderBy("o_orderkey")
+
+  // ---- §2.3 joins ----------------------------------------------------------
+
+  /** Fact ⋈ small dim: explicit broadcast hint — at 100 TB the `part` dim is
+    * still MBs per brand slice; never shuffle the fact side for a dim join. */
+  def qJoinBroadcast(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val p  = part(s, d)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(Cols.r2(sum(revenue)).as("brand_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** Fact ⋈ fact: shuffle (sort-merge) on the join key; both sides hash-
+    * partition on l_orderkey/o_orderkey, AQE coalesces post-shuffle. */
+  def qJoinShuffle(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val o  = orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        Cols.r2(sum(revenue)).as("priority_revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Star join chain: orders ⋈ customer ⋈ nation ⋈ region. All dims are
+    * broadcast — a snowflaked dim chain collapses into map-side lookups. */
+  def qJoinMulti(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val c = customer(s, d)
+    val n = nation(s, d)
+    val r = region(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        Cols.r2(sum(col("o_totalprice"))).as("nation_revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Left outer join with null-extension, aggregated per left row. */
+  def qJoinLeft(s: SparkSession, d: String): DataFrame = {
+    val o  = orders(s, d)
+    val li = lineitem(s, d)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("l_orderkey")).as("n_items"),
+        Cols.r2(coalesce(sum(col("l_quantity")), lit(0.0))).as("total_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Left semi = EXISTS. Only the key column of the right side moves. */
+  def qSemi(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left anti = NOT EXISTS. Restricted to recent orders so the result is
+    * non-empty on the fixtures (every customer has *some* order). */
+  def qAnti(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Range (theta) join: event pairs within 1h per user. The equi key
+    * (user_id) keeps this a sort-merge join with the range condition as a
+    * post-join predicate — NOT a nested-loop. At 100 TB, additionally block
+    * by coarse time bucket ((user_id, hour)) to bound per-key fan-out. */
+  def qJoinRange(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("user_id"), col("event_id"), Cols.epochUs(col("ts")).as("us"))
+    val a = e.toDF("user_id", "a_id", "a_us")
+    val b = e.toDF("user_id", "b_id", "b_us")
+    a.join(b, Seq("user_id"))
+      .where(col("a_id") < col("b_id")
+        && abs(col("b_us") - col("a_us")) <= lit(3600000000L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        Cols.r6(avg(abs(col("b_us") - col("a_us")).cast("double"))).as("avg_gap_us"))
+      .orderBy("user_id")
+  }
+
+  /** As-of join via the union+running-last trick: one shuffle on the key,
+    * one sort — the classic scalable as-of plan (no per-row subqueries).
+    * Tie-break: at equal timestamps, orders sort before events and higher
+    * o_orderkey wins ("latest order at or before the event").
+    */
+  def qAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(
+      col("user_id").as("k"), Cols.epochUs(col("ts")).as("t_us"),
+      col("event_id"), lit(null).cast("long").as("okey"), lit(1).as("is_ev"))
+    val or = orders(s, d).select(
+      col("o_custkey").as("k"), Cols.epochUs(col("o_orderdate")).as("t_us"),
+      lit(null).cast("long").as("event_id"), col("o_orderkey").as("okey"),
+      lit(0).as("is_ev"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t_us"), col("is_ev"), col("okey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.unionByName(or)
+      .withColumn("o_orderkey", last(col("okey"), ignoreNulls = true).over(w))
+      .where(col("is_ev") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("t_us").as("ts_us"), col("o_orderkey"))
+      .orderBy("event_id")
+  }
+
+  // ---- §2.4 aggregations ---------------------------------------------------
+
+  /** Flagship (TPC-H Q1 shape): partial+final hash aggregate; the shuffle
+    * carries only |groups| rows per partition thanks to map-side combine. */
+  def qAggPricing(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Cols.r2(sum(col("l_quantity"))).as("sum_qty"),
+        Cols.r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        Cols.r2(sum(revenue)).as("sum_disc_price"),
+        Cols.r2(sum(revenue * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        Cols.r6(avg(col("l_quantity"))).as("avg_qty"),
+        Cols.r6(avg(col("l_extendedprice"))).as("avg_price"),
+        Cols.r6(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Exact distinct count — expands to a two-phase aggregate in Spark. */
+  def qAggDistinct(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** Approximate distinct (HyperLogLog++): constant memory per group — the
+    * 100 TB answer to countDistinct. Oracle-omitted (approximate); the spec
+    * asserts the HLL estimate is within 5% of exact. */
+  def qAggApprox(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** ROLLUP subtotals. NULL group markers are coalesced to 'ALL' on both
+    * engines so Spark (nulls-first) vs DuckDB (nulls-last) sort order can
+    * never diverge. */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(Cols.r2(sum(revenue)).as("rev"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("rev"), col("n"))
+      .orderBy("rflag", "lstatus")
+
+  /** CUBE over event_type × json-derived bucket. */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k_bucket", col("k") % 5)
+      .cube(col("event_type"), col("k_bucket"))
+      .agg(count(lit(1)).as("n"), Cols.r2(sum(col("value"))).as("sum_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+        coalesce(col("k_bucket"), lit(-1L)).as("kb"),
+        col("n"), col("sum_value"))
+      .orderBy("etype", "kb")
+
+  /** HAVING: post-aggregation filter on the (rounded) aggregate. */
+  def qHaving(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(Cols.r2(sum(col("value"))).as("total_value"),
+        count(lit(1)).as("n_events"))
+      .filter(col("total_value") > 1000.0)
+      .orderBy("user_id")
+
+  // ---- §2.6 sorts / top-k --------------------------------------------------
+
+  /** Multi-key global sort → range-partitioned SortExec. */
+  def qSort(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority").asc, col("o_totalprice").desc,
+        col("o_orderkey").asc)
+
+  /** Global top-k → TakeOrderedAndProject: each partition keeps a k-heap,
+    * driver merges k·p rows — no global sort even at 100 TB. */
+  def qTopk(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(Cols.r2(sum(revenue)).as("part_revenue"))
+      .orderBy(col("part_revenue").desc, col("l_partkey").asc)
+      .limit(20)
+
+  /** Per-group top-k via ranking window (single shuffle on the group key). */
+  def qTopkGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(revenue.desc, col("l_linenumber").asc)
+    lineitem(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 2)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Cols.r2(revenue).as("revenue"), col("rn"))
+      .orderBy("l_orderkey", "rn")
+  }
+
+  // ---- §2.7 set operations -------------------------------------------------
+
+  private def highBal(s: SparkSession, d: String): DataFrame =
+    customer(s, d).filter(col("c_acctbal") > 5000.0).select(col("c_custkey").as("k"))
+
+  private def recentCust(s: SparkSession, d: String): DataFrame =
+    orders(s, d).filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey").as("k"))
+
+  def qUnion(s: SparkSession, d: String): DataFrame =
+    highBal(s, d).union(recentCust(s, d)).distinct().orderBy("k")
+
+  def qIntersect(s: SparkSession, d: String): DataFrame =
+    highBal(s, d).intersect(recentCust(s, d)).orderBy("k")
+
+  def qExcept(s: SparkSession, d: String): DataFrame =
+    highBal(s, d).except(recentCust(s, d)).orderBy("k")
+
+  // ---- wiring --------------------------------------------------------------
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q_project"        -> (qProject _),
+    "q_filter"         -> (qFilter _),
+    "q_join_broadcast" -> (qJoinBroadcast _),
+    "q_join_shuffle"   -> (qJoinShuffle _),
+    "q_join_multi"     -> (qJoinMulti _),
+    "q_join_left"      -> (qJoinLeft _),
+    "q_semi"           -> (qSemi _),
+    "q_anti"           -> (qAnti _),
+    "q_join_range"     -> (qJoinRange _),
+    "q_asof"           -> (qAsof _),
+    "q_agg_pricing"    -> (qAggPricing _),
+    "q_agg_distinct"   -> (qAggDistinct _),
+    "q_agg_approx"     -> (qAggApprox _),
+    "q_rollup"         -> (qRollup _),
+    "q_cube"           -> (qCube _),
+    "q_having"         -> (qHaving _),
+    "q_sort"           -> (qSort _),
+    "q_topk"           -> (qTopk _),
+    "q_topk_group"     -> (qTopkGroup _),
+    "q_union"          -> (qUnion _),
+    "q_intersect"      -> (qIntersect _),
+    "q_except"         -> (qExcept _))
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | floor((l_extendedprice*(1-l_discount))*100.0 + 0.5)/100.0 AS revenue,
+        | floor((l_extendedprice*(1-l_discount)*(1+l_tax))*100.0 + 0.5)/100.0 AS charge,
+        | floor((l_quantity*l_extendedprice)*100.0 + 0.5)/100.0 AS gross
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus IN ('F','O')
+        |  AND o_totalprice BETWEEN 50000.0 AND 200000.0
+        |  AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT p_brand,
+        | floor((sum(l_extendedprice*(1-l_discount)))*100.0 + 0.5)/100.0 AS brand_revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | floor((sum(l_extendedprice*(1-l_discount)))*100.0 + 0.5)/100.0 AS priority_revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_multi" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        | floor((sum(o_totalprice))*100.0 + 0.5)/100.0 AS nation_revenue
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_join_left" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_items,
+        | floor((coalesce(sum(l_quantity),0))*100.0 + 0.5)/100.0 AS total_qty
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_range" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT a.user_id, count(*) AS n_pairs,
+        | floor((avg(CAST(abs(b.us - a.us) AS DOUBLE)))*1000000.0 + 0.5)/1000000.0 AS avg_gap_us
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(b.us - a.us) <= 3600000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q_asof" ->
+      """WITH u AS (
+        |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+        |         event_id, NULL::BIGINT AS okey, 1 AS is_ev FROM events
+        |  UNION ALL
+        |  SELECT o_custkey, epoch_us(o_orderdate), NULL, o_orderkey, 0 FROM orders),
+        |w AS (
+        |  SELECT *, last_value(okey IGNORE NULLS) OVER (
+        |    PARTITION BY k ORDER BY t_us, is_ev, okey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lo
+        |  FROM u)
+        |SELECT event_id, k AS user_id, t_us AS ts_us, lo AS o_orderkey
+        |FROM w WHERE is_ev = 1 ORDER BY event_id""".stripMargin,
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | floor((sum(l_quantity))*100.0 + 0.5)/100.0 AS sum_qty,
+        | floor((sum(l_extendedprice))*100.0 + 0.5)/100.0 AS sum_base_price,
+        | floor((sum(l_extendedprice*(1-l_discount)))*100.0 + 0.5)/100.0 AS sum_disc_price,
+        | floor((sum(l_extendedprice*(1-l_discount)*(1+l_tax)))*100.0 + 0.5)/100.0 AS sum_charge,
+        | floor((avg(l_quantity))*1000000.0 + 0.5)/1000000.0 AS avg_qty,
+        | floor((avg(l_extendedprice))*1000000.0 + 0.5)/1000000.0 AS avg_price,
+        | floor((avg(l_discount))*1000000.0 + 0.5)/1000000.0 AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rflag,
+        | coalesce(l_linestatus,'ALL') AS lstatus,
+        | floor((sum(l_extendedprice*(1-l_discount)))*100.0 + 0.5)/100.0 AS rev,
+        | count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+    "q_cube" ->
+      """WITH e AS (SELECT event_type, value,
+        |   CAST(json_extract_string(props,'$.k') AS BIGINT) % 5 AS k_bucket FROM events)
+        |SELECT coalesce(event_type,'ALL') AS etype,
+        | coalesce(k_bucket,-1) AS kb,
+        | count(*) AS n, floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
+        |FROM e GROUP BY CUBE(event_type, k_bucket)
+        |ORDER BY etype, kb""".stripMargin,
+    "q_having" ->
+      """SELECT user_id, floor((sum(value))*100.0 + 0.5)/100.0 AS total_value, count(*) AS n_events
+        |FROM events GROUP BY user_id
+        |HAVING floor((sum(value))*100.0 + 0.5)/100.0 > 1000.0
+        |ORDER BY user_id""".stripMargin,
+    "q_sort" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin,
+    "q_topk" ->
+      """SELECT l_partkey, floor((sum(l_extendedprice*(1-l_discount)))*100.0 + 0.5)/100.0 AS part_revenue
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY part_revenue DESC, l_partkey ASC LIMIT 20""".stripMargin,
+    "q_topk_group" ->
+      """SELECT l_orderkey, l_linenumber,
+        | floor((l_extendedprice*(1-l_discount))*100.0 + 0.5)/100.0 AS revenue,
+        | CAST(row_number() OVER (PARTITION BY l_orderkey
+        |   ORDER BY l_extendedprice*(1-l_discount) DESC, l_linenumber ASC) AS BIGINT) AS rn
+        |FROM lineitem
+        |QUALIFY rn <= 2
+        |ORDER BY l_orderkey, rn""".stripMargin,
+    "q_union" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY k""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY k""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY k""".stripMargin)
+}

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: check.py <sfDir> <outDir> [query ...]
+
+Reads <outDir>/<name> parquet (Spark output) and runs <outDir>/oracle_sql.json
+[name] in DuckDB with views over <sfDir>/*.parquet, then compares:
+  - column names (sorted),
+  - row count,
+  - cell-by-cell exact values (dates/timestamps normalized to isoformat).
+Exit code = number of failing queries.
+"""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def normalize(v):
+    import datetime, decimal, math
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    nfail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        path = f"{outdir}/{name}"
+        if not os.path.isdir(path):
+            print(f"FAIL {name}: no spark output at {path}")
+            nfail += 1
+            continue
+        try:
+            st = pq.read_table(path)
+            dt = con.sql(sql).arrow()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            nfail += 1
+            continue
+        scols, dcols = sorted(st.column_names), sorted(dt.column_names)
+        if scols != dcols:
+            print(f"FAIL {name}: cols spark={scols} duck={dcols}")
+            nfail += 1
+            continue
+        if st.num_rows != dt.num_rows:
+            print(f"FAIL {name}: rows spark={st.num_rows} duck={dt.num_rows}")
+            nfail += 1
+            continue
+        bad = None
+        for c in scols:
+            sv = [normalize(x) for x in st.column(c).to_pylist()]
+            dv = [normalize(x) for x in dt.column(c).to_pylist()]
+            if sv != dv:
+                for i, (a, b) in enumerate(zip(sv, dv)):
+                    if a != b:
+                        bad = (c, i, a, b)
+                        break
+                break
+        if bad:
+            c, i, a, b = bad
+            print(f"FAIL {name}: col={c} row={i} spark={a!r} duck={b!r}")
+            nfail += 1
+        else:
+            print(f"OK   {name} ({st.num_rows} rows)")
+    # queries without oracle: rows-only check
+    for path in sorted(glob.glob(f"{outdir}/*")):
+        name = os.path.basename(path)
+        if name in oracle or not os.path.isdir(path):
+            continue
+        if only and name not in only:
+            continue
+        n = pq.read_table(path).num_rows
+        print(f"{'OK  ' if n > 0 else 'FAIL'} {name} (no oracle, {n} rows)")
+        if n == 0:
+            nfail += 1
+    sys.exit(nfail)
+
+main()
