@@ -1,0 +1,124 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.Cols
+
+/** Window functions (SURVEY §2.5): ranking, analytic (lag/lead/first/last),
+  * frame specs, ratio-to-report.
+  *
+  * Scale notes: all windows here partition by a key (customer / user), so the
+  * physical plan is one hash shuffle on the partition key + an in-partition
+  * sort — embarrassingly parallel across executors. The one exception is the
+  * global date-ordered window in [[qWinFrame]], which is bounded by the number
+  * of distinct DAYS (tiny regardless of row count) because it runs AFTER the
+  * daily pre-aggregation.
+  */
+object Windows {
+
+  /** Ranking trio: top-3 orders per customer. row_number/rank/dense_rank over
+    * one shared (partition, sort) spec — single window exec, single shuffle. */
+  def qWinRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"))
+      .where(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Analytic functions: per-user inter-event gap (lag) + partition-wide
+    * first/last event instants. Frame for first/last is the FULL partition. */
+  def qWinLag(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("user_id"), col("event_id"), Cols.epochUs(col("ts")).as("ts_us"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    e.select(col("user_id"), col("event_id"), col("ts_us"),
+        lag(col("ts_us"), 1).over(wOrd).as("prev_us"),
+        lead(col("ts_us"), 1).over(wOrd).as("next_us"),
+        first(col("ts_us")).over(wAll).as("first_us"),
+        last(col("ts_us")).over(wAll).as("last_us"))
+      .withColumn("gap_us", col("ts_us") - col("prev_us"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** Frame specs over the daily-revenue series: 7-row moving average
+    * (rowsBetween -6..0) and running total (unboundedPreceding..0).
+    * Daily totals are rounded BEFORE the window fold, so both engines fold the
+    * identical sequence of 2-decimal values in the identical (date) order —
+    * window sums are deterministic by construction. */
+  def qWinFrame(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(Cols.r2(sum(col("o_totalprice"))).as("day_rev"))
+    val w = Window.orderBy(col("day"))
+    daily.select(
+        Cols.epochUs(col("day")).as("day_us"),
+        col("day_rev"),
+        Cols.r6(avg(col("day_rev")).over(w.rowsBetween(-6, 0))).as("ma7"),
+        Cols.r2(sum(col("day_rev")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0))).as("running"))
+      .orderBy("day_us")
+  }
+
+  /** Ratio-to-report: each order's share of its customer's total spend.
+    * Unordered partition-wide sum; r6 masks double fold-order noise. */
+  def qWinShare(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        Cols.r6(col("o_totalprice") / sum(col("o_totalprice")).over(w)).as("share"))
+      .orderBy("o_orderkey")
+  }
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q_win_rank"  -> (qWinRank _),
+    "q_win_lag"   -> (qWinLag _),
+    "q_win_frame" -> (qWinFrame _),
+    "q_win_share" -> (qWinShare _))
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q_win_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_win_lag" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+        |SELECT user_id, event_id, ts_us,
+        |  lag(ts_us, 1) OVER wo AS prev_us,
+        |  lead(ts_us, 1) OVER wo AS next_us,
+        |  first_value(ts_us) OVER wa AS first_us,
+        |  last_value(ts_us) OVER wa AS last_us,
+        |  ts_us - lag(ts_us, 1) OVER wo AS gap_us
+        |FROM e
+        |WINDOW wo AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+        |       wa AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "q_win_frame" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day,
+        |         floor((sum(o_totalprice))*100.0 + 0.5)/100.0 AS day_rev
+        |  FROM orders GROUP BY 1)
+        |SELECT epoch_us(CAST(day AS TIMESTAMP)) AS day_us, day_rev,
+        |  floor((avg(day_rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))*1000000.0 + 0.5)/1000000.0 AS ma7,
+        |  floor((sum(day_rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*100.0 + 0.5)/100.0 AS running
+        |FROM daily ORDER BY day_us""".stripMargin,
+    "q_win_share" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  floor((o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_custkey))*1000000.0 + 0.5)/1000000.0 AS share
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+}
