@@ -1,0 +1,175 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.Cols
+
+/** Event-stream operators with batch event-time semantics (SURVEY §2.9).
+  *
+  * These mirror Structured Streaming's window/watermark model exactly but run
+  * deterministic batch plans so they stay DuckDB-verifiable; the streaming
+  * `readStream` wrappers over the same logic live in [[graft.streaming]].
+  * Window structs are flattened to epoch-micros start/end BIGINTs per the
+  * SURVEY §2 determinism box.
+  *
+  * Scale notes: every operator here shuffles at most once, on the natural key
+  * (window bucket / user_id / event_id). Per-key state is bounded: tumbling
+  * and sliding windows pre-aggregate map-side; session windows sort within
+  * user partitions only.
+  */
+object EventTime {
+
+  private val HourUs = 3600000000L
+  private val SlideUs = 900000000L // 15 min
+
+  /** Tumbling 1h windows × event_type via Spark's `window()`. */
+  def qWinTumbling(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Cols.r2(sum(col("value"))).as("sum_value"))
+      .select(Cols.epochUs(col("window.start")).as("start_us"),
+        Cols.epochUs(col("window.end")).as("end_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("start_us", "event_type")
+
+  /** Sliding windows: 1h length, 15min slide — each event lands in exactly 4
+    * windows (epoch-aligned starts, matching Spark's `window()` definition,
+    * which the oracle replicates with integer epoch-us arithmetic). */
+  def qWinSliding(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), Cols.r2(sum(col("value"))).as("sum_value"))
+      .select(Cols.epochUs(col("window.start")).as("start_us"),
+        Cols.epochUs(col("window.end")).as("end_us"),
+        col("n"), col("sum_value"))
+      .orderBy("start_us")
+
+  /** Session windows per user, 30-min inactivity gap. Spark semantics: a
+    * session's end is last-event-time + gap; an event joins the current
+    * session iff ts < current end (strict), i.e. a new session starts when
+    * the gap is >= 30 min. The oracle replicates this with the classic
+    * gaps-and-islands (lag + cumulative new-session flag) construction. */
+  def qWinSession(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Cols.r2(sum(col("value"))).as("sum_value"))
+      .select(col("user_id"),
+        Cols.epochUs(col("session_window.start")).as("start_us"),
+        Cols.epochUs(col("session_window.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
+  /** Stream dedup: keep the earliest occurrence per event_id (full column
+    * tiebreak so the survivor is unique even for exact-duplicate rows).
+    * Streaming analogue: `dropDuplicatesWithinWatermark`. */
+  def qDedupEvents(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_id"), col("user_id"),
+      Cols.epochUs(col("ts")).as("ts_us"), col("event_type"), col("value"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("ts_us"), col("user_id"), col("event_type"), col("value"))
+    e.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+      .orderBy("event_id")
+  }
+
+  /** Watermark / late-data policy, batch-emulated: the watermark is the
+    * per-type max event time minus 1h; events older than it are "late".
+    * Streaming analogue: `withWatermark("ts", "1 hour")` drop semantics. */
+  def qLateData(s: SparkSession, d: String): DataFrame = {
+    val wt = Window.partitionBy(col("event_type"))
+    events(s, d)
+      .select(col("event_type"), Cols.epochUs(col("ts")).as("us"))
+      .withColumn("wm", max(col("us")).over(wt) - lit(HourUs))
+      .groupBy(col("event_type"))
+      .agg(max(col("wm")).as("watermark_us"),
+        count(when(col("us") < col("wm"), 1)).as("n_late"),
+        count(when(col("us") >= col("wm"), 1)).as("n_ontime"))
+      .orderBy("event_type")
+  }
+
+  /** Stateful funnel: per user, first signup → first purchase at-or-after it;
+    * converted iff that purchase lands within 24h. Two window passes over the
+    * user partition — the batch twin of `flatMapGroupsWithState` (see
+    * [[graft.streaming.FunnelState]] for the streaming twin). */
+  def qSessionizeFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("user_id"), col("event_type"), Cols.epochUs(col("ts")).as("us"))
+    val wu = Window.partitionBy(col("user_id"))
+    e.withColumn("s_us", min(when(col("event_type") === "signup", col("us"))).over(wu))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("us"))).as("signup_us"),
+        min(when(col("event_type") === "purchase" && col("us") >= col("s_us"),
+          col("us"))).as("purchase_us"))
+      .withColumn("converted",
+        when(col("purchase_us").isNotNull
+          && col("purchase_us") - col("signup_us") <= lit(24L * HourUs), 1L)
+          .otherwise(0L))
+      .orderBy("user_id")
+  }
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q_win_tumbling"      -> (qWinTumbling _),
+    "q_win_sliding"       -> (qWinSliding _),
+    "q_win_session"       -> (qWinSession _),
+    "q_dedup_events"      -> (qDedupEvents _),
+    "q_late_data"         -> (qLateData _),
+    "q_sessionize_funnel" -> (qSessionizeFunnel _))
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q_win_tumbling" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value FROM events)
+        |SELECT us - us % 3600000000 AS start_us,
+        |       us - us % 3600000000 + 3600000000 AS end_us,
+        |       event_type, count(*) AS n,
+        |       floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
+        |FROM e GROUP BY 1, 2, 3 ORDER BY start_us, event_type""".stripMargin,
+    "q_win_sliding" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+        |w AS (SELECT us - us % 900000000 - j * 900000000 AS start_us, value
+        |      FROM e CROSS JOIN generate_series(0, 3) AS t(j))
+        |SELECT start_us, start_us + 3600000000 AS end_us, count(*) AS n,
+        |       floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
+        |FROM w GROUP BY 1 ORDER BY start_us""".stripMargin,
+    "q_win_session" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+        |g AS (SELECT *, CASE WHEN us - lag(us) OVER w >= 1800000000 OR lag(us) OVER w IS NULL
+        |                     THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+        |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+        |       count(*) AS n_events, floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "q_dedup_events" ->
+      """SELECT event_id, user_id, ts_us, event_type, value FROM (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |         event_type, value,
+        |         row_number() OVER (PARTITION BY event_id
+        |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), user_id, event_type, value) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_late_data" ->
+      """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |w AS (SELECT *, max(us) OVER (PARTITION BY event_type) - 3600000000 AS wm FROM e)
+        |SELECT event_type, max(wm) AS watermark_us,
+        |       count(CASE WHEN us < wm THEN 1 END) AS n_late,
+        |       count(CASE WHEN us >= wm THEN 1 END) AS n_ontime
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sessionize_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+        |        OVER (PARTITION BY user_id) AS s_us FROM e),
+        |a AS (SELECT user_id,
+        |        min(CASE WHEN event_type = 'signup' THEN us END) AS signup_us,
+        |        min(CASE WHEN event_type = 'purchase' AND us >= s_us THEN us END) AS purchase_us
+        |      FROM g GROUP BY user_id)
+        |SELECT user_id, signup_us, purchase_us,
+        |  CASE WHEN purchase_us IS NOT NULL AND purchase_us - signup_us <= 86400000000
+        |       THEN 1 ELSE 0 END::BIGINT AS converted
+        |FROM a ORDER BY user_id""".stripMargin)
+}

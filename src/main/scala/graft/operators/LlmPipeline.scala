@@ -1,0 +1,282 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.Cols
+import graft.functions.VectorFunctions._
+
+/** LLM-data-pipeline operators (SURVEY §2.10): dedup, similarity search,
+  * text analysis, multimodal join.
+  *
+  * Scale notes (the 100 TB story for each):
+  *  - exact dedup: one shuffle on the 256-bit content hash — perfectly
+  *    partitionable, no skew (hash keys are uniform).
+  *  - near-dup: exact token-set Jaccard with LANGUAGE blocking; the
+  *    intersection join shuffles on (lang, token). At real corpus scale the
+  *    sketch-based [[TrainingData.qDedupMinhash]] replaces the exact join;
+  *    this operator is the exact/verifiable tier of the same pipeline.
+  *  - similarity: brute-force cosine is the verifiable baseline; the bucketed
+  *    scale path is [[TrainingData]]'s LSH/IVF variants. Probe sides are
+  *    broadcast; fold stays in codegen via higher-order functions.
+  *  - text stats/tf-idf: explode → aggregate, map-side combined; vocabulary
+  *    aggregates shuffle |vocab| rows, not |corpus|.
+  */
+object LlmPipeline {
+
+  /** Exact dedup by normalized content hash; survivor = lowest doc_id. */
+  def qDedupExact(s: SparkSession, d: String): DataFrame = {
+    val h = sha2(lower(trim(col("text"))), 256)
+    val w = Window.partitionBy(col("hash"))
+    documents(s, d)
+      .withColumn("hash", h)
+      .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("hash"), col("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup pairs: distinct-word-set Jaccard >= 0.95 within a language
+    * block. Exact (not sketched): explode distinct tokens, self-join on
+    * (lang, token) to count intersections, join per-doc set sizes back. */
+  def qDedupNear(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(col("doc_id"), col("lang"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = toks.toDF("a_id", "lang", "tok")
+    val b = toks.toDF("b_id", "lang", "tok")
+    val inter = a.join(b, Seq("lang", "tok"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("lang"), col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(broadcast(sizes.toDF("a_id", "na")), "a_id")
+      .join(broadcast(sizes.toDF("b_id", "nb")), "b_id")
+      .withColumn("jac", col("c").cast("double") /
+        (col("na") + col("nb") - col("c")).cast("double"))
+      .where(col("jac") >= 0.95)
+      .select(col("a_id"), col("b_id"), col("lang"), Cols.r6(col("jac")).as("jac"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Top-10 cosine neighbors of probe vec_id=0 (brute force, broadcast probe;
+    * TakeOrderedAndProject keeps only k rows per partition). */
+  def qSimTopk(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val probe = broadcast(e.where(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb")))
+    e.where(col("vec_id") =!= 0)
+      .crossJoin(probe)
+      .select(col("vec_id"), col("label"),
+        Cols.r6(cosine(toDouble(col("embedding")), toDouble(col("probe_emb"))))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** All-pairs cosine >= 0.25, blocked by label (the fixture's natural
+    * cluster key) — bounds the quadratic join to within-block pairs. */
+  def qSimPairs(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("label"),
+      toDouble(col("embedding")).as("v"))
+    val a = e.toDF("a_id", "label", "va")
+    val b = e.toDF("b_id", "label", "vb")
+    a.join(b, Seq("label"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .where(col("cos_sim") >= 0.25)
+      .select(col("a_id"), col("b_id"), col("label"),
+        Cols.r6(col("cos_sim")).as("cos_sim"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** k-NN label propagation: for probes vec_id < 10, majority label of the
+    * 5 nearest (cosine) neighbors among vec_id >= 10; ties to smaller label. */
+  def qKnnClassify(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val probes = broadcast(e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
+        col("embedding").as("probe_emb")))
+    val cands = e.where(col("vec_id") >= 10)
+    val scored = cands.crossJoin(probes)
+      .select(col("probe_id"), col("true_label"), col("vec_id"), col("label"),
+        Cols.r6(cosine(toDouble(col("embedding")), toDouble(col("probe_emb"))))
+          .as("cos_sim"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val votes = scored.withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 5)
+      .groupBy(col("probe_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wMaj = Window.partitionBy(col("probe_id"))
+      .orderBy(col("n_votes").desc, col("label").asc)
+    votes.withColumn("rk", row_number().over(wMaj))
+      .where(col("rk") === 1)
+      .select(col("probe_id"), col("label").as("pred_label"),
+        col("true_label"), col("n_votes"))
+      .orderBy("probe_id")
+  }
+
+  /** Corpus stats per (lang, source): doc count, avg chars, token count,
+    * vocabulary size. Two aggregates joined (token-level vs doc-level). */
+  def qTextStats(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val base = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        Cols.r6(avg(col("n_chars"))).as("avg_chars"),
+        sum(size(split(col("text"), " "))).as("n_tokens"))
+    val vocab = docs
+      .select(col("lang"), col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    base.join(vocab, Seq("lang", "source"))
+      .orderBy("lang", "source")
+  }
+
+  /** Top-5 TF-IDF terms per language: tf = in-language term count,
+    * idf = ln(N_docs / df) with doc-level df. */
+  def qTfidf(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("term"))
+    val n = documents(s, d).agg(countDistinct(col("doc_id")).as("n_total"))
+    val tf = toks.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        Cols.r6(col("tf") * log(col("n_total").cast("double") / col("df"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 5)
+      .select(col("lang"), col("term"), col("tf"), col("df"), col("score"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  /** Multimodal row: text ⋈ vector on doc_id=vec_id with per-modality
+    * predicates (char length, substring, vector norm). Embeddings side is
+    * broadcast — at 100 TB the text side streams map-side through the join. */
+  def qMultimodal(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("label"),
+      l2Norm(toDouble(col("embedding"))).as("nrm"))
+    documents(s, d)
+      .join(broadcast(e), col("doc_id") === col("vec_id"))
+      .where(col("n_chars") >= 200 && col("text").like("%spark%")
+        && col("nrm") > 0.78)
+      .select(col("doc_id"), col("lang"), col("source"), col("label"),
+        col("n_chars"), Cols.r6(col("nrm")).as("nrm"))
+      .orderBy("doc_id")
+  }
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q_dedup_exact"  -> (qDedupExact _),
+    "q_dedup_near"   -> (qDedupNear _),
+    "q_sim_topk"     -> (qSimTopk _),
+    "q_sim_pairs"    -> (qSimPairs _),
+    "q_knn_classify" -> (qKnnClassify _),
+    "q_text_stats"   -> (qTextStats _),
+    "q_tfidf"        -> (qTfidf _),
+    "q_multimodal"   -> (qMultimodal _))
+
+  private val cosSql =
+    """list_sum(list_transform(list_zip(%s, %s),
+      | p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      | / (sqrt(list_sum(list_transform(%s, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      |    * sqrt(list_sum(list_transform(%s, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"""
+      .stripMargin.replaceAll("\n", "")
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q_dedup_exact" ->
+      """SELECT doc_id, hash, n_copies FROM (
+        |  SELECT doc_id, sha256(lower(trim(text))) AS hash,
+        |    row_number() OVER (PARTITION BY sha256(lower(trim(text))) ORDER BY doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY sha256(lower(trim(text)))) AS n_copies
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_near" ->
+      """WITH t AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |           FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |          FROM t a JOIN t b ON a.lang = b.lang AND a.tok = b.tok
+        |            AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2, 3)
+        |SELECT a_id, b_id, lang,
+        |  floor((c*1.0/(sa.n + sb.n - c))*1000000.0 + 0.5)/1000000.0 AS jac
+        |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |WHERE c*1.0/(sa.n + sb.n - c) >= 0.95
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_sim_topk" ->
+      ("""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  floor((""" + cosSql.format("embedding", "pe", "embedding", "pe") +
+        """)*1000000.0 + 0.5)/1000000.0 AS cos_sim
+        |FROM embeddings, p WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""").stripMargin,
+    "q_sim_pairs" ->
+      ("""SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+        |  floor((""" + cosSql.format("a.embedding", "b.embedding", "a.embedding", "b.embedding") +
+        """)*1000000.0 + 0.5)/1000000.0 AS cos_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE """ + cosSql.format("a.embedding", "b.embedding", "a.embedding", "b.embedding") +
+        """ >= 0.25
+        |ORDER BY a_id, b_id""").stripMargin,
+    "q_knn_classify" ->
+      ("""WITH p AS (SELECT vec_id AS probe_id, label AS true_label, embedding AS pe
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT probe_id, true_label, vec_id, label,
+        |  floor((""" + cosSql.format("embedding", "pe", "embedding", "pe") +
+        """)*1000000.0 + 0.5)/1000000.0 AS cos_sim
+        |  FROM embeddings CROSS JOIN p WHERE vec_id >= 10),
+        |top5 AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM scored)
+        |  WHERE rn <= 5),
+        |votes AS (SELECT probe_id, true_label, label, count(*) AS n_votes
+        |          FROM top5 GROUP BY 1, 2, 3)
+        |SELECT probe_id, label AS pred_label, true_label, n_votes FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY n_votes DESC, label ASC) AS rk FROM votes)
+        |WHERE rk = 1 ORDER BY probe_id""").stripMargin,
+    "q_text_stats" ->
+      """WITH base AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    floor((avg(n_chars))*1000000.0 + 0.5)/1000000.0 AS avg_chars,
+        |    sum(len(string_split(text, ' '))) AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        |v AS (SELECT lang, source, count(DISTINCT tok) AS vocab FROM (
+        |    SELECT lang, source, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |    FROM documents) GROUP BY 1, 2)
+        |SELECT base.lang, base.source, n_docs, avg_chars, n_tokens, vocab
+        |FROM base JOIN v ON base.lang = v.lang AND base.source = v.source
+        |ORDER BY base.lang, base.source""".stripMargin,
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        |              FROM documents),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_total FROM documents),
+        |tf AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+        |SELECT lang, term, tf, df, score, rk FROM (
+        |  SELECT lang, tf.term AS term, tf, df,
+        |    floor((tf * ln(CAST(n_total AS DOUBLE) / df))*1000000.0 + 0.5)/1000000.0 AS score,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY
+        |      floor((tf * ln(CAST(n_total AS DOUBLE) / df))*1000000.0 + 0.5)/1000000.0 DESC,
+        |      tf.term ASC) AS BIGINT) AS rk
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+    "q_multimodal" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT doc_id, lang, source, label, n_chars,
+        |  floor((nrm)*1000000.0 + 0.5)/1000000.0 AS nrm
+        |FROM documents JOIN e ON doc_id = vec_id
+        |WHERE n_chars >= 200 AND text LIKE '%spark%' AND nrm > 0.78
+        |ORDER BY doc_id""".stripMargin)
+}
