@@ -1,0 +1,368 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.Cols
+import graft.functions.VectorFunctions._
+
+/** Training-data-pipeline operators beyond the SURVEY §2 contract: the
+  * sketch/approximate tier of dedup (MinHash+LSH, SimHash), corpus analysis
+  * (language-ID, quality scoring, token counting, fingerprinting), and the
+  * bucketed tier of similarity search (IVF), plus binary-column plumbing.
+  *
+  * Everything is DETERMINISTIC — hash families are fixed affine functions
+  * over a corpus-derived token dictionary, so the DuckDB oracle replicates
+  * each pipeline bit-for-bit. No randomness, no approximation that the
+  * oracle can't reproduce.
+  *
+  * Scale notes:
+  *  - MinHash/LSH: the candidate join keys on (lang, band, signature) — at
+  *    100 TB this is THE near-dup path (constant-size signatures, band
+  *    buckets bound the quadratic blowup); the exact verify join only sees
+  *    candidate pairs.
+  *  - SimHash: 16-bit fingerprints; pair generation blocks by language.
+  *  - IVF: centroid assignment is a broadcast cross join (k centroids);
+  *    probe search touches one bucket, 1/k of the data.
+  *  - token dictionary: |vocab| rows, built once, broadcast everywhere.
+  */
+object TrainingData {
+
+  private val P = 2147483647L
+  /** Fixed affine MinHash family h_i(x) = (a_i·x + b_i) mod P. */
+  private val A = Seq(2971L, 3851L, 4583L, 5167L, 6011L, 6673L, 7459L, 8291L)
+  private val B = Seq(1409L, 2003L, 2707L, 3323L, 4001L, 4703L, 5419L, 6089L)
+
+  /** Distinct (doc_id, lang, tok) triples. */
+  private def docToks(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), col("lang"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+
+  /** Corpus token dictionary: tok → dense 1-based id, lexicographic order.
+    * |vocab| rows; the global window is over the dictionary only. */
+  private def vocab(s: SparkSession, d: String): DataFrame =
+    docToks(s, d).select(col("tok")).distinct()
+      .withColumn("tok_id", row_number().over(Window.orderBy(col("tok"))).cast("long"))
+
+  /** MinHash(8) + LSH(4 bands × 2 rows) candidate generation within language
+    * blocks, then EXACT Jaccard >= 0.8 verification on candidates only. */
+  def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val t = docToks(s, d)
+    val tv = t.join(broadcast(vocab(s, d)), "tok")
+    val mins = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("tok_id") + lit(b)) % lit(P)).as(s"h$i")
+    }
+    val mh = tv.groupBy(col("doc_id"), col("lang")).agg(mins.head, mins.tail: _*)
+    val bands = mh.select(col("doc_id"), col("lang"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"), col(s"h${2 * i}").as("x"),
+          col(s"h${2 * i + 1}").as("y"))): _*)).as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.band").as("band"), col("b.x").as("x"), col("b.y").as("y"))
+    val cand = bands.toDF("a_id", "lang", "band", "x", "y")
+      .join(bands.toDF("b_id", "lang", "band", "x", "y"),
+        Seq("lang", "band", "x", "y"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("lang"), col("a_id"), col("b_id")).distinct()
+    val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(t.select(col("doc_id").as("a_id"), col("tok")), "a_id")
+      .join(t.select(col("doc_id").as("b_id"), col("tok")), Seq("b_id", "tok"))
+      .groupBy(col("lang"), col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(broadcast(sizes.toDF("a_id", "na")), "a_id")
+      .join(broadcast(sizes.toDF("b_id", "nb")), "b_id")
+      .withColumn("jac", col("c").cast("double") /
+        (col("na") + col("nb") - col("c")).cast("double"))
+      .where(col("jac") >= 0.8)
+      .select(col("a_id"), col("b_id"), col("lang"), Cols.r6(col("jac")).as("jac"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** 16-bit SimHash over the token dictionary; near-dup = same-language pair
+    * with Hamming distance <= 2. Bit j weight of a token:
+    * ((tok_id·(2j+3)) mod 7) − 3 ∈ [−3, 3]. */
+  def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val tv = docToks(s, d).join(broadcast(vocab(s, d)), "tok")
+    val sh = tv
+      .withColumn("j", explode(sequence(lit(0), lit(15))))
+      .withColumn("w", (col("tok_id") * (lit(2) * col("j") + lit(3))) % 7 - 3)
+      .groupBy(col("doc_id"), col("lang"), col("j"))
+      .agg(sum(col("w")).as("sc"))
+      .withColumn("bit", (col("sc") > 0).cast("long"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("bit") * pow(lit(2.0), col("j")).cast("long")).as("simhash"))
+    val a = sh.toDF("a_id", "lang", "ha")
+    val b = sh.toDF("b_id", "lang", "hb")
+    a.join(b, Seq("lang"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .where(col("hamming") <= 2)
+      .select(col("a_id"), col("b_id"), col("lang"), col("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Language-ID by corpus-derived unigram profiles (Cavnar–Trenkle style):
+    * profile = top-10 tokens per language by frequency; a doc's predicted
+    * language is the profile sharing the most of its distinct tokens.
+    * Output: confusion counts (true lang × predicted lang). */
+  def qLangId(s: SparkSession, d: String): DataFrame = {
+    val allToks = documents(s, d).select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val wProf = Window.partitionBy(col("plang"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+    val profiles = allToks.groupBy(col("lang").as("plang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wProf))
+      .where(col("rk") <= 10)
+      .select(col("plang"), col("tok"))
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_hit").desc, col("plang").asc)
+    docToks(s, d)
+      .join(broadcast(profiles), "tok")
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("rk", row_number().over(wBest))
+      .where(col("rk") === 1)
+      .groupBy(col("lang"), col("plang").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** Per-document quality signals: token counts, type-token ratio, mean token
+    * length (derived from n_chars: single-space-joined corpus), stopword
+    * ratio, and a weighted composite score. */
+  def qQualityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stops = Seq("the", "a", "of", "and", "to", "in")
+    val isStop = (t: Column) => stops.map(t === _).reduce(_ || _)
+    documents(s, d)
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("n_dist", size(array_distinct(toks)).cast("long"))
+      .withColumn("ttr", Cols.r6(col("n_dist").cast("double") / col("n_tok")))
+      .withColumn("avg_tok_len", Cols.r6(
+        (col("n_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok")))
+      .withColumn("stop_ratio", Cols.r6(
+        size(filter(toks, isStop)).cast("double") / col("n_tok")))
+      .withColumn("quality", Cols.r6(
+        lit(0.5) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio"))
+          + lit(0.2) * least(col("n_tok").cast("double") / 100.0, lit(1.0))))
+      .select(col("doc_id"), col("n_tok"), col("n_dist"), col("ttr"),
+        col("avg_tok_len"), col("stop_ratio"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting per language: whitespace tokens vs a BPE-ish regex
+    * tokenizer ([a-z]+ | digit runs | any other non-space char). */
+  def qTokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("ws", size(split(col("text"), " ")).cast("long"))
+      .withColumn("bpe",
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|\\S"), lit(0))).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_ws_tokens"),
+        sum(col("bpe")).as("n_bpe_tokens"),
+        Cols.r6(sum(col("n_chars")).cast("double") / sum(col("ws"))).as("chars_per_tok"))
+      .orderBy("lang")
+
+  /** Positional rolling-hash document fingerprint:
+    * fp = Σ_pos (pos · tok_id) mod P over the 1-based token sequence —
+    * order-sensitive, so permuted documents get different fingerprints
+    * (unlike the set-based dedup keys). n_same counts fingerprint buddies. */
+  def qFingerprint(s: SparkSession, d: String): DataFrame = {
+    val seqToks = documents(s, d).select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+    val fp = seqToks.join(broadcast(vocab(s, d)), "tok")
+      .groupBy(col("doc_id"))
+      .agg((sum((col("pos0") + 1) * col("tok_id")) % lit(P)).as("fp"))
+    fp.withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .orderBy("doc_id")
+  }
+
+  /** IVF-style ANN: k=10 centroids (per-label mean vectors), every vector
+    * assigned to its nearest centroid by (rounded) cosine; the probe
+    * (vec_id=0) searches only its centroid's bucket for its top-5. */
+  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cent = e
+      .select(col("label").as("clabel"),
+        posexplode(toDouble(col("embedding"))).as(Seq("pos", "v")))
+      .groupBy(col("clabel"), col("pos")).agg(avg(col("v")).as("cv"))
+      .groupBy(col("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("cvec"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("clabel").asc)
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", Cols.r6(cosine(toDouble(col("embedding")), col("cvec"))))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("clabel").as("cluster"))
+    val probe = broadcast(assigned.where(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"), col("cluster").as("probe_cluster")))
+    assigned.crossJoin(probe)
+      .where(col("cluster") === col("probe_cluster") && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"), col("cluster"),
+        Cols.r6(cosine(toDouble(col("embedding")), toDouble(col("probe_emb"))))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  /** Multimodal binary-column plumbing: text bytes as an opaque binary
+    * payload with typed metadata — byte length, content digest, base64
+    * prefix — plus a STUBBED decode step (deterministic fake width/height
+    * derived from sizes; a real image/audio decoder slots in here as a
+    * mapInPandas/mapPartitions stage at the same schema). */
+  def qBinaryMeta(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("digest"),
+        base64(substring(col("text"), 1, 8).cast("binary")).as("b64_prefix"),
+        // deterministic fake decode (see Scaladoc): stands in for image WxH
+        (length(col("payload")) % 256).cast("long").as("fake_width"),
+        (col("n_chars") * 7 % 256).cast("long").as("fake_height"))
+      .orderBy("doc_id")
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_lang_id"       -> (qLangId _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_token_count"   -> (qTokenCount _),
+    "q_fingerprint"   -> (qFingerprint _),
+    "q_ann_ivf"       -> (qAnnIvf _),
+    "q_binary_meta"   -> (qBinaryMeta _))
+
+  private val minhashCols = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+    s"min(($a*tok_id + $b) % 2147483647) AS h$i"
+  }.mkString(", ")
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q_dedup_minhash" ->
+      (s"""WITH t AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text,' '))) AS tok
+        |           FROM documents),
+        |v AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tok_id
+        |      FROM (SELECT DISTINCT tok FROM t)),
+        |tv AS (SELECT t.doc_id, t.lang, v.tok_id FROM t JOIN v ON t.tok = v.tok),
+        |mh AS (SELECT doc_id, lang, $minhashCols FROM tv GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, lang, 0 AS band, h0 AS x, h1 AS y FROM mh UNION ALL
+        |  SELECT doc_id, lang, 1, h2, h3 FROM mh UNION ALL
+        |  SELECT doc_id, lang, 2, h4, h5 FROM mh UNION ALL
+        |  SELECT doc_id, lang, 3, h6, h7 FROM mh),
+        |cand AS (SELECT DISTINCT a.lang, a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bands a JOIN bands b ON a.lang = b.lang AND a.band = b.band
+        |           AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+        |inter AS (SELECT c.lang, c.a_id, c.b_id, count(*) AS c
+        |          FROM cand c JOIN t ta ON ta.doc_id = c.a_id
+        |            JOIN t tb ON tb.doc_id = c.b_id AND tb.tok = ta.tok
+        |          GROUP BY 1, 2, 3)
+        |SELECT a_id, b_id, lang,
+        |  floor((c*1.0/(sa.n + sb.n - c))*1000000.0 + 0.5)/1000000.0 AS jac
+        |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |WHERE c*1.0/(sa.n + sb.n - c) >= 0.8
+        |ORDER BY a_id, b_id""").stripMargin,
+    "q_dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text,' '))) AS tok
+        |           FROM documents),
+        |v AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tok_id
+        |      FROM (SELECT DISTINCT tok FROM t)),
+        |tv AS (SELECT t.doc_id, t.lang, v.tok_id FROM t JOIN v ON t.tok = v.tok),
+        |bits AS (SELECT doc_id, lang, j, sum((tok_id*(2*j+3)) % 7 - 3) AS sc
+        |         FROM tv CROSS JOIN generate_series(0, 15) AS g(j) GROUP BY 1, 2, 3),
+        |sh AS (SELECT doc_id, lang,
+        |         sum(CASE WHEN sc > 0 THEN 1 ELSE 0 END * CAST(pow(2.0, j) AS BIGINT)) AS simhash
+        |       FROM bits GROUP BY 1, 2)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH allt AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents),
+        |prof AS (SELECT plang, tok FROM (
+        |  SELECT lang AS plang, tok, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok ASC) AS rk
+        |  FROM allt GROUP BY 1, 2) WHERE rk <= 10),
+        |dt AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text,' '))) AS tok
+        |       FROM documents),
+        |hits AS (SELECT doc_id, lang, plang, count(*) AS n_hit
+        |         FROM dt JOIN prof ON dt.tok = prof.tok GROUP BY 1, 2, 3),
+        |best AS (SELECT doc_id, lang, plang FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY n_hit DESC, plang ASC) AS rk FROM hits) WHERE rk = 1)
+        |SELECT lang, plang AS pred_lang, count(*) AS n
+        |FROM best GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    "q_quality_score" ->
+      """WITH q AS (SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_dist,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |    t -> t='the' OR t='a' OR t='of' OR t='and' OR t='to' OR t='in')) AS BIGINT) AS n_stop,
+        |  n_chars FROM documents)
+        |SELECT doc_id, n_tok, n_dist,
+        |  floor((n_dist*1.0/n_tok)*1000000.0 + 0.5)/1000000.0 AS ttr,
+        |  floor(((n_chars - (n_tok - 1))*1.0/n_tok)*1000000.0 + 0.5)/1000000.0 AS avg_tok_len,
+        |  floor((n_stop*1.0/n_tok)*1000000.0 + 0.5)/1000000.0 AS stop_ratio,
+        |  floor((0.5*(floor((n_dist*1.0/n_tok)*1000000.0 + 0.5)/1000000.0)
+        |       + 0.3*(1.0 - floor((n_stop*1.0/n_tok)*1000000.0 + 0.5)/1000000.0)
+        |       + 0.2*least(n_tok/100.0, 1.0))*1000000.0 + 0.5)/1000000.0 AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(CAST(len(string_split(text,' ')) AS BIGINT)) AS n_ws_tokens,
+        |  sum(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS BIGINT)) AS n_bpe_tokens,
+        |  floor((sum(n_chars)*1.0/sum(len(string_split(text,' '))))*1000000.0 + 0.5)/1000000.0 AS chars_per_tok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_fingerprint" ->
+      """WITH st AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |              unnest(range(1, len(string_split(text,' '))+1)) AS pos
+        |            FROM documents),
+        |v AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tok_id
+        |      FROM (SELECT DISTINCT unnest(list_distinct(string_split(text,' '))) AS tok FROM documents)),
+        |fp AS (SELECT doc_id, sum(pos * tok_id) % 2147483647 AS fp
+        |       FROM st JOIN v ON st.tok = v.tok GROUP BY 1)
+        |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
+        |FROM fp ORDER BY doc_id""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH ex AS (SELECT label, unnest(embedding) AS e,
+        |              unnest(range(1, len(embedding)+1)) AS pos FROM embeddings),
+        |cent AS (SELECT clabel, list(cv ORDER BY pos) AS cvec FROM (
+        |  SELECT label AS clabel, pos, avg(CAST(e AS DOUBLE)) AS cv FROM ex GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |scored AS (SELECT vec_id, label, embedding, clabel,
+        |  floor((list_sum(list_transform(list_zip(embedding, cvec),
+        |     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))))*1000000.0 + 0.5)/1000000.0 AS ccos
+        |  FROM embeddings CROSS JOIN cent),
+        |assigned AS (SELECT vec_id, label, embedding, clabel AS cluster FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, clabel ASC) AS rn FROM scored) WHERE rn = 1),
+        |probe AS (SELECT embedding AS pe, cluster AS pc FROM assigned WHERE vec_id = 0)
+        |SELECT vec_id, label, cluster,
+        |  floor((list_sum(list_transform(list_zip(embedding, pe),
+        |     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))))*1000000.0 + 0.5)/1000000.0 AS cos_sim
+        |FROM assigned CROSS JOIN probe
+        |WHERE cluster = pc AND vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "q_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest,
+        |  to_base64(encode(substring(text, 1, 8))) AS b64_prefix,
+        |  CAST(octet_length(encode(text)) % 256 AS BIGINT) AS fake_width,
+        |  CAST(n_chars * 7 % 256 AS BIGINT) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
