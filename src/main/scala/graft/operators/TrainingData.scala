@@ -44,43 +44,50 @@ object TrainingData {
 
   /** Corpus token dictionary: tok → dense 1-based id, lexicographic order.
     * |vocab| rows; the global window is over the dictionary only. */
-  private def vocab(s: SparkSession, d: String): DataFrame =
+  private[operators] def vocab(s: SparkSession, d: String): DataFrame =
     docToks(s, d).select(col("tok")).distinct()
       .withColumn("tok_id", row_number().over(Window.orderBy(col("tok"))).cast("long"))
 
-  /** MinHash(8) + LSH(4 bands × 2 rows) candidate generation within language
-    * blocks, then EXACT Jaccard >= 0.8 verification on candidates only. */
+  /** MinHash(8) + LSH(2 bands × 4 rows) near-dup detection within language
+    * blocks — SKETCH-ONLY, the true 100 TB shape: after signatures are
+    * built, no token data is touched again. Candidates are pairs agreeing
+    * on all 4 minhashes of some band; the reported similarity is the
+    * minhash ESTIMATE (matching-hash fraction, an exact multiple of 1/8),
+    * thresholded at 0.75. Deterministic end-to-end, so the oracle replays
+    * the identical sketch pipeline. Exact-Jaccard dedup lives in
+    * [[LlmPipeline.qDedupNear]]. */
   def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val t = docToks(s, d)
-    val tv = t.join(broadcast(vocab(s, d)), "tok")
+    val tv = docToks(s, d).join(broadcast(vocab(s, d)), "tok")
     val mins = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("tok_id") + lit(b)) % lit(P)).as(s"h$i")
     }
     val mh = tv.groupBy(col("doc_id"), col("lang")).agg(mins.head, mins.tail: _*)
     val bands = mh.select(col("doc_id"), col("lang"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("band"), col(s"h${2 * i}").as("x"),
-          col(s"h${2 * i + 1}").as("y"))): _*)).as("b"))
-      .select(col("doc_id"), col("lang"),
-        col("b.band").as("band"), col("b.x").as("x"), col("b.y").as("y"))
-    val cand = bands.toDF("a_id", "lang", "band", "x", "y")
-      .join(bands.toDF("b_id", "lang", "band", "x", "y"),
-        Seq("lang", "band", "x", "y"))
+      explode(array(
+        struct(lit(0).as("band"), col("h0").as("x0"), col("h1").as("x1"),
+          col("h2").as("x2"), col("h3").as("x3")),
+        struct(lit(1).as("band"), col("h4").as("x0"), col("h5").as("x1"),
+          col("h6").as("x2"), col("h7").as("x3")))).as("b"))
+      .select((Seq(col("doc_id"), col("lang"), col("b.band").as("band")) ++
+        (0 until 4).map(i => col(s"b.x$i").as(s"x$i"))): _*)
+    val cand = bands.toDF("a_id", "lang", "band", "x0", "x1", "x2", "x3")
+      .join(bands.toDF("b_id", "lang", "band", "x0", "x1", "x2", "x3"),
+        Seq("lang", "band", "x0", "x1", "x2", "x3"))
       .where(col("a_id") < col("b_id"))
       .select(col("lang"), col("a_id"), col("b_id")).distinct()
-    val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(t.select(col("doc_id").as("a_id"), col("tok")), "a_id")
-      .join(t.select(col("doc_id").as("b_id"), col("tok")), Seq("b_id", "tok"))
-      .groupBy(col("lang"), col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(broadcast(sizes.toDF("a_id", "na")), "a_id")
-      .join(broadcast(sizes.toDF("b_id", "nb")), "b_id")
-      .withColumn("jac", col("c").cast("double") /
-        (col("na") + col("nb") - col("c")).cast("double"))
-      .where(col("jac") >= 0.8)
-      .select(col("a_id"), col("b_id"), col("lang"), Cols.r6(col("jac")).as("jac"))
+    val sigA = mh.select(col("doc_id").as("a_id") +:
+      (0 until 8).map(i => col(s"h$i").as(s"a$i")): _*)
+    val sigB = mh.select(col("doc_id").as("b_id") +:
+      (0 until 8).map(i => col(s"h$i").as(s"b$i")): _*)
+    val nMatch = (0 until 8)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(broadcast(sigA), "a_id")
+      .join(broadcast(sigB), "b_id")
+      .withColumn("est_jac", nMatch.cast("double") / 8.0)
+      .where(col("est_jac") >= 0.75)
+      .select(col("a_id"), col("b_id"), col("lang"), col("est_jac"))
       .orderBy("a_id", "b_id")
   }
 
@@ -254,22 +261,25 @@ object TrainingData {
         |tv AS (SELECT t.doc_id, t.lang, v.tok_id FROM t JOIN v ON t.tok = v.tok),
         |mh AS (SELECT doc_id, lang, $minhashCols FROM tv GROUP BY 1, 2),
         |bands AS (
-        |  SELECT doc_id, lang, 0 AS band, h0 AS x, h1 AS y FROM mh UNION ALL
-        |  SELECT doc_id, lang, 1, h2, h3 FROM mh UNION ALL
-        |  SELECT doc_id, lang, 2, h4, h5 FROM mh UNION ALL
-        |  SELECT doc_id, lang, 3, h6, h7 FROM mh),
+        |  SELECT doc_id, lang, 0 AS band, h0 AS x0, h1 AS x1, h2 AS x2, h3 AS x3 FROM mh
+        |  UNION ALL
+        |  SELECT doc_id, lang, 1, h4, h5, h6, h7 FROM mh),
         |cand AS (SELECT DISTINCT a.lang, a.doc_id AS a_id, b.doc_id AS b_id
         |         FROM bands a JOIN bands b ON a.lang = b.lang AND a.band = b.band
-        |           AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id),
-        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
-        |inter AS (SELECT c.lang, c.a_id, c.b_id, count(*) AS c
-        |          FROM cand c JOIN t ta ON ta.doc_id = c.a_id
-        |            JOIN t tb ON tb.doc_id = c.b_id AND tb.tok = ta.tok
-        |          GROUP BY 1, 2, 3)
-        |SELECT a_id, b_id, lang,
-        |  floor((c*1.0/(sa.n + sb.n - c))*1000000.0 + 0.5)/1000000.0 AS jac
-        |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
-        |WHERE c*1.0/(sa.n + sb.n - c) >= 0.8
+        |           AND a.x0 = b.x0 AND a.x1 = b.x1 AND a.x2 = b.x2 AND a.x3 = b.x3
+        |           AND a.doc_id < b.doc_id)
+        |SELECT c.a_id, c.b_id, c.lang,
+        |  ((CASE WHEN ma.h0 = mb.h0 THEN 1 ELSE 0 END) + (CASE WHEN ma.h1 = mb.h1 THEN 1 ELSE 0 END)
+        | + (CASE WHEN ma.h2 = mb.h2 THEN 1 ELSE 0 END) + (CASE WHEN ma.h3 = mb.h3 THEN 1 ELSE 0 END)
+        | + (CASE WHEN ma.h4 = mb.h4 THEN 1 ELSE 0 END) + (CASE WHEN ma.h5 = mb.h5 THEN 1 ELSE 0 END)
+        | + (CASE WHEN ma.h6 = mb.h6 THEN 1 ELSE 0 END) + (CASE WHEN ma.h7 = mb.h7 THEN 1 ELSE 0 END)
+        |  ) / 8.0 AS est_jac
+        |FROM cand c JOIN mh ma ON ma.doc_id = c.a_id JOIN mh mb ON mb.doc_id = c.b_id
+        |WHERE ((CASE WHEN ma.h0 = mb.h0 THEN 1 ELSE 0 END) + (CASE WHEN ma.h1 = mb.h1 THEN 1 ELSE 0 END)
+        | + (CASE WHEN ma.h2 = mb.h2 THEN 1 ELSE 0 END) + (CASE WHEN ma.h3 = mb.h3 THEN 1 ELSE 0 END)
+        | + (CASE WHEN ma.h4 = mb.h4 THEN 1 ELSE 0 END) + (CASE WHEN ma.h5 = mb.h5 THEN 1 ELSE 0 END)
+        | + (CASE WHEN ma.h6 = mb.h6 THEN 1 ELSE 0 END) + (CASE WHEN ma.h7 = mb.h7 THEN 1 ELSE 0 END)
+        |  ) / 8.0 >= 0.75
         |ORDER BY a_id, b_id""").stripMargin,
     "q_dedup_simhash" ->
       """WITH t AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text,' '))) AS tok
