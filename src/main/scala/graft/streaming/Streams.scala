@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event-time operators
+  * ([[graft.operators.EventTime]], SURVEY §2.9).
+  *
+  * The scored contract is the deterministic batch tier; these wrappers show
+  * the same logic running incrementally: event-time windows + watermarks,
+  * within-watermark dedup, and an explicit state machine
+  * (`flatMapGroupsWithState`) for the signup→purchase funnel. All transforms
+  * work on both batch and streaming DataFrames (tested with MemoryStream).
+  *
+  * Scale notes: state per key is O(1) (a window aggregate row, a seen-id
+  * set bounded by the watermark horizon, a 2-field funnel state), so a
+  * 1000-executor cluster shards state by key hash with bounded memory.
+  */
+object Streams {
+
+  /** Tumbling 1h counts per event_type; 1h watermark bounds state. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("start"), col("window.end").as("end"),
+        col("event_type"), col("n"))
+
+  /** Per-user session windows (30-min gap), the streaming twin of
+    * [[graft.operators.EventTime.qWinSession]]. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("user_id"), col("n_events"))
+
+  /** Drop duplicate event_ids arriving within the watermark horizon. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class Ev(user_id: Long, event_type: String, ts: Timestamp)
+  case class FunnelState(signupUs: Option[Long], purchaseUs: Option[Long])
+  case class Conversion(user_id: Long, signup_us: Long, purchase_us: Long,
+    within_24h: Boolean)
+
+  /** Stateful signup→purchase funnel: emits one Conversion per user on the
+    * first purchase at-or-after their first signup. Streaming twin of
+    * [[graft.operators.EventTime.qSessionizeFunnel]]. */
+  def funnel(events: Dataset[Ev]): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, Conversion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None))
+          val out = scala.collection.mutable.ListBuffer[Conversion]()
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val us = e.ts.getTime * 1000L
+            e.event_type match {
+              case "signup" if st.signupUs.isEmpty =>
+                st = st.copy(signupUs = Some(us))
+              case "purchase" if st.signupUs.nonEmpty && st.purchaseUs.isEmpty =>
+                st = st.copy(purchaseUs = Some(us))
+                out += Conversion(user, st.signupUs.get, us,
+                  us - st.signupUs.get <= 86400000000L)
+              case _ =>
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Hand-computed edge cases on a tiny synthetic universe written with the
+  * fixture schemas, driven through the SAME declared query functions. */
+class OperatorEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  /** A miniature sfDir with hand-authored events + orders. */
+  private lazy val mini: String = {
+    val dir = Files.createTempDirectory("graft-mini").toString
+    // user 1: events at t=0, 29, 60, 95 min → sessions {0,29}, {60}, {95}
+    //   (gap 31 min and 35 min both >= 30 → split; 29 min < 30 → merge)
+    // user 2: single event
+    Seq(
+      (1L, ts(0), 1L, "signup", 1.0, """{"k": 1}"""),
+      (2L, ts(29), 1L, "purchase", 2.0, """{"k": 2}"""),
+      (3L, ts(60), 1L, "view", 3.0, """{"k": 3}"""),
+      (4L, ts(95), 1L, "view", 4.0, """{"k": 4}"""),
+      (5L, ts(10), 2L, "purchase", 5.0, """{"k": 5}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // user 1 orders at t=5 and t=29; user 2 none
+    Seq(
+      (101L, 1L, "O", 10.0, ts(5), "1-URGENT"),
+      (102L, 1L, "F", 20.0, ts(29), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("session_window splits exactly at the 30-min gap boundary") {
+    val rows = operators.EventTime.qWinSession(spark, mini).collect()
+    val u1 = rows.filter(_.getLong(0) == 1L)
+    assert(u1.length == 3)
+    assert(u1.map(_.getLong(3)).toSeq == Seq(2L, 1L, 1L)) // n_events per session
+    // session end = last event + 30 min
+    assert(u1.head.getLong(2) == ts(59).getTime * 1000L)
+  }
+
+  test("as-of join picks the latest order at-or-before each event") {
+    val rows = operators.Relational.qAsof(spark, mini).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(rows(1L) == -1L)  // event at t=0: no order yet
+    assert(rows(2L) == 102L) // event at t=29: order 102 exactly at t=29 (at-or-before)
+    assert(rows(3L) == 102L) // later event: still latest
+    assert(rows(5L) == -1L)  // user 2: no orders
+  }
+
+  test("funnel: converted iff first purchase at-or-after first signup within 24h") {
+    val rows = operators.EventTime.qSessionizeFunnel(spark, mini).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rows(1L) == 1L) // signup t=0, purchase t=29min
+    assert(rows(2L) == 0L) // purchase without signup
+  }
+
+  test("late-data: events older than (max ts - 1h) per type are late") {
+    val rows = operators.EventTime.qLateData(spark, mini).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+    // 'view': max=95min, watermark=35min → event at 60 and 95 both on-time
+    assert(rows.contains(("view", 0L, 2L)))
+  }
+
+  test("aggregation on empty input yields zero groups, not a crash") {
+    val empty = spark.range(0).select(
+      col("id").as("l_orderkey"), col("id").cast("int").as("l_linenumber"),
+      lit(0.0).as("l_quantity"), lit(0.0).as("l_extendedprice"),
+      lit(0.0).as("l_discount"), lit(0.0).as("l_tax"),
+      lit("N").as("l_returnflag"), lit("O").as("l_linestatus"),
+      lit(null).cast("timestamp").as("l_shipdate"))
+    val out = empty
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity"))
+    assert(out.count() == 0)
+  }
+
+  test("cosine: self-similarity 1, orthogonality 0, symmetry") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(0.0f, 0.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(
+        cosine(toDouble(col("a")), toDouble(col("a"))).as("self"),
+        cosine(toDouble(col("a")), toDouble(col("b"))).as("ab"),
+        cosine(toDouble(col("b")), toDouble(col("a"))).as("ba"))
+      .head()
+    assert(math.abs(df.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(df.getDouble(1) - 2.0 / 3.0) < 1e-12)
+    assert(df.getDouble(1) == df.getDouble(2))
+  }
+
+  test("r2/r6 rounding matches the shared floor formula at half boundaries") {
+    val row = Seq((2.675, 0.0000005)).toDF("a", "b")
+      .select(Cols.r2(col("a")), Cols.r6(col("b"))).head()
+    // IEEE: 2.675 stores as 2.67500000000000017764, so *100 = 267.50000000000003
+    // → floor(+0.5) = 268 → 2.68 on BOTH engines (the shared formula is the
+    // point: each engine computes the identical IEEE value, whatever it is).
+    assert(row.getDouble(0) == 2.68)
+    assert(row.getDouble(1) == 1e-6 || row.getDouble(1) == 0.0) // formula-defined
+  }
+}

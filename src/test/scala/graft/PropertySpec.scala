@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.VectorFunctions._
+
+/** Algebraic laws over generated data (SURVEY §5.3). Uses raw ScalaCheck
+  * generators sampled with fixed seeds (the scalatest-plus bridge is not on
+  * the offline classpath), so runs are deterministic and reproducible. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val keys: Gen[List[Long]] = Gen.listOfN(30, Gen.choose(0L, 9L))
+  private val seeds = 1L to 5L
+
+  test("unionAll cardinality = |A| + |B|; semi + anti partition the left") {
+    for (s <- seeds) {
+      val a = sample(keys, s)
+      val b = sample(keys, s + 100)
+      val da = a.toDF("k")
+      val db = b.toDF("k")
+      assert(da.union(db).count() == a.size + b.size)
+      val semi = da.join(db, Seq("k"), "left_semi").count()
+      val anti = da.join(db, Seq("k"), "left_anti").count()
+      assert(semi + anti == a.size, s"seed $s")
+    }
+  }
+
+  test("intersect ∪ except partitions distinct(A)") {
+    for (s <- seeds) {
+      val a = sample(keys, s)
+      val b = sample(keys, s + 200)
+      val da = a.toDF("k")
+      val db = b.toDF("k")
+      val n = da.intersect(db).count() + da.except(db).count()
+      assert(n == a.distinct.size, s"seed $s")
+    }
+  }
+
+  test("dedup is idempotent and keeps one row per key") {
+    for (s <- seeds) {
+      val a = sample(keys, s)
+      val d1 = a.toDF("k").dropDuplicates("k")
+      assert(d1.count() == a.distinct.size)
+      assert(d1.dropDuplicates("k").count() == d1.count(), s"seed $s")
+    }
+  }
+
+  private val vecs: Gen[List[Float]] = Gen.listOfN(8, Gen.choose(-1.0f, 1.0f))
+    .suchThat(v => v.exists(x => math.abs(x) > 1e-3))
+
+  test("cosine: symmetric, self = 1, bounded by [-1, 1]") {
+    for (s <- seeds) {
+      val a = sample(vecs, s)
+      val b = sample(vecs, s + 300)
+      val row = Seq((a.toArray, b.toArray)).toDF("a", "b")
+        .select(
+          cosine(toDouble(col("a")), toDouble(col("b"))).as("ab"),
+          cosine(toDouble(col("b")), toDouble(col("a"))).as("ba"),
+          cosine(toDouble(col("a")), toDouble(col("a"))).as("self"))
+        .head()
+      assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 1e-12)
+      assert(math.abs(row.getDouble(2) - 1.0) < 1e-9)
+      assert(row.getDouble(0) >= -1.0 - 1e-9 && row.getDouble(0) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("session windows tile: per-user session row counts sum to event count") {
+    for (s <- seeds) {
+      val times = sample(Gen.listOfN(20, Gen.choose(0L, 5000L)), s)
+      val df = times.zipWithIndex
+        .map { case (t, i) => (i.toLong, new java.sql.Timestamp(t * 1000), 1L) }
+        .toDF("event_id", "ts", "user_id")
+      val sessions = df.groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      assert(sessions.agg(sum("n")).head.getLong(0) == times.size, s"seed $s")
+    }
+  }
+}

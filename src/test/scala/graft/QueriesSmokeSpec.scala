@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every declared query runs on sf0.001 and returns rows; every query with
+  * an oracle has matching column names (the driver compare sorts by name).
+  * Deep value checks are the DuckDB-oracle loop's job (tools/check.py). */
+class QueriesSmokeSpec extends SparkSpec {
+
+  test("oracle map only names declared queries") {
+    val undeclared = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(undeclared.isEmpty, s"oracles without queries: $undeclared")
+  }
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001 and returns rows") {
+      val df = fn(spark, sfDir("sf0.001"))
+      assert(df.count() > 0)
+    }
+  }
+
+  test("approx_count_distinct within 5% of exact (oracle-omitted query)") {
+    val approx = SparkEntry.queries("q_agg_approx")(spark, sfDir("sf0.001"))
+      .select(col("event_type"), col("approx_users"))
+    val exact = Tables.events(spark, sfDir("sf0.001"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val joined = approx.join(exact, "event_type").collect()
+    joined.foreach { r =>
+      val (a, e) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(a - e) <= math.max(1L, (e * 0.05).toLong),
+        s"${r.getString(0)}: approx $a vs exact $e")
+    }
+  }
+}

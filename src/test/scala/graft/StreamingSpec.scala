@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+/** Structured Streaming wrappers driven through MemoryStream → memory sink:
+  * the same event-time logic as the batch tier, executed incrementally. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("tumbling window counts accumulate per event-time hour") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Streams.tumblingCounts(in.toDF.toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      in.addData((ts(1), "view"), (ts(20), "view"), (ts(70), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select(col("event_type"), col("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("view" -> 2L, "click" -> 1L))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes repeated event_ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = Streams.dedupEvents(in.toDF.toDF("event_id", "ts"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(0)), (1L, ts(1)), (2L, ts(2)), (2L, ts(2)), (3L, ts(3)))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 3)
+    } finally q.stop()
+  }
+
+  test("stateful funnel emits conversions incrementally across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.Ev]
+    val q = Streams.funnel(in.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    try {
+      in.addData(Streams.Ev(1L, "signup", ts(0)), Streams.Ev(2L, "purchase", ts(1)))
+      q.processAllAvailable()
+      assert(spark.table("funnel").count() == 0) // no conversion yet
+      in.addData(Streams.Ev(1L, "purchase", ts(30))) // state carried over
+      q.processAllAvailable()
+      val conv = spark.table("funnel").as[Streams.Conversion].collect()
+      assert(conv.toSeq == Seq(Streams.Conversion(1L, 0L, 30L * 60000000L, true)))
+    } finally q.stop()
+  }
+
+  test("streaming session windows match the batch gaps-and-islands semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = Streams.sessionCounts(in.toDF.toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      in.addData((ts(0), 1L), (ts(29), 1L), (ts(60), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").select("n_events").as[Long].collect().sorted
+      assert(rows.toSeq == Seq(1L, 2L)) // {0,29} merge; {60} splits
+    } finally q.stop()
+  }
+}
