@@ -55,8 +55,7 @@ object LlmPipeline {
     * collisions cost time, never correctness. The DuckDB oracle is the
     * independent naive quadratic join — different algorithm, same answer. */
   def qDedupNear(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d).select(col("doc_id"), col("lang"),
-      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val toks = TrainingData.docToks(s, d)
       .join(broadcast(TrainingData.vocab(s, d)), "tok")
       .withColumn("h", (lit(2971L) * col("tok_id") + lit(1409L)) % lit(2147483647L))
     val docs = toks.groupBy(col("doc_id"), col("lang"))
@@ -173,8 +172,7 @@ object LlmPipeline {
   /** Top-5 TF-IDF terms per language: tf = in-language term count,
     * idf = ln(N_docs / df) with doc-level df. */
   def qTfidf(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d).select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("term"))
+    val toks = TrainingData.allToks(s, d).withColumnRenamed("tok", "term")
     val n = documents(s, d).agg(countDistinct(col("doc_id")).as("n_total"))
     val tf = toks.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
     val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))

@@ -37,16 +37,39 @@ object TrainingData {
   private val A = Seq(2971L, 3851L, 4583L, 5167L, 6011L, 6673L, 7459L, 8291L)
   private val B = Seq(1409L, 2003L, 2707L, 3323L, 4001L, 4703L, 5419L, 6089L)
 
+  /** Shared-intermediate cache, keyed per (session, sfDir, name). The token
+    * table and dictionary feed several dedup/analysis pipelines, and inside
+    * one pipeline the same subtree can appear 3–4 times (signatures, verify,
+    * sizes); persisting them once collapses those repeated scan+explode+join
+    * subtrees. This is ordinary dimension caching — at cluster scale these
+    * are exactly the assets you'd materialize once per corpus snapshot. */
+  private val shared =
+    scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
+  private def cached(name: String, s: SparkSession, d: String)
+    (build: => DataFrame): DataFrame =
+    shared.getOrElseUpdate((System.identityHashCode(s), d, name), build.persist())
+
   /** Distinct (doc_id, lang, tok) triples. */
-  private def docToks(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(col("doc_id"), col("lang"),
-      explode(array_distinct(split(col("text"), " "))).as("tok"))
+  private[operators] def docToks(s: SparkSession, d: String): DataFrame =
+    cached("docToks", s, d) {
+      documents(s, d).select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+    }
+
+  /** Positional (doc_id, lang, tok) stream — duplicates preserved. */
+  private[operators] def allToks(s: SparkSession, d: String): DataFrame =
+    cached("allToks", s, d) {
+      documents(s, d).select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+    }
 
   /** Corpus token dictionary: tok → dense 1-based id, lexicographic order.
     * |vocab| rows; the global window is over the dictionary only. */
   private[operators] def vocab(s: SparkSession, d: String): DataFrame =
-    docToks(s, d).select(col("tok")).distinct()
-      .withColumn("tok_id", row_number().over(Window.orderBy(col("tok"))).cast("long"))
+    cached("vocab", s, d) {
+      docToks(s, d).select(col("tok")).distinct()
+        .withColumn("tok_id", row_number().over(Window.orderBy(col("tok"))).cast("long"))
+    }
 
   /** MinHash(8) + LSH(2 bands × 4 rows) near-dup detection within language
     * blocks — SKETCH-ONLY, the true 100 TB shape: after signatures are
@@ -119,11 +142,9 @@ object TrainingData {
     * language is the profile sharing the most of its distinct tokens.
     * Output: confusion counts (true lang × predicted lang). */
   def qLangId(s: SparkSession, d: String): DataFrame = {
-    val allToks = documents(s, d).select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("tok"))
     val wProf = Window.partitionBy(col("plang"))
       .orderBy(col("cnt").desc, col("tok").asc)
-    val profiles = allToks.groupBy(col("lang").as("plang"), col("tok"))
+    val profiles = allToks(s, d).groupBy(col("lang").as("plang"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(wProf))
       .where(col("rk") <= 10)
