@@ -22,7 +22,9 @@ import graft.functions.VectorFunctions._
   *    this operator is the exact/verifiable tier of the same pipeline.
   *  - similarity: brute-force cosine is the verifiable baseline; the bucketed
   *    scale path is [[TrainingData]]'s LSH/IVF variants. Probe sides are
-  *    broadcast; fold stays in codegen via higher-order functions.
+  *    broadcast; the dot-product fold runs in whole-stage codegen via the
+  *    native [[graft.functions.FloatVectorDot]] expression (bit-identical
+  *    to the HOF fold it replaces — see FloatVectorDotSpec).
   *  - text stats/tf-idf: explode → aggregate, map-side combined; vocabulary
   *    aggregates shuffle |vocab| rows, not |corpus|.
   */
@@ -91,14 +93,16 @@ object LlmPipeline {
   /** Top-10 cosine neighbors of probe vec_id=0 (brute force, broadcast probe;
     * TakeOrderedAndProject keeps only k rows per partition). */
   def qSimTopk(s: SparkSession, d: String): DataFrame = {
+    val fdot = graft.functions.FloatVectorDot.dotF(s) _
     val e = embeddings(s, d)
     val probe = broadcast(e.where(col("vec_id") === 0)
       .select(col("embedding").as("probe_emb")))
     e.where(col("vec_id") =!= 0)
       .crossJoin(probe)
       .select(col("vec_id"), col("label"),
-        Cols.r6(cosine(toDouble(col("embedding")), toDouble(col("probe_emb"))))
-          .as("cos_sim"))
+        Cols.r6(fdot(col("embedding"), col("probe_emb")) /
+          (sqrt(fdot(col("embedding"), col("embedding")))
+            * sqrt(fdot(col("probe_emb"), col("probe_emb"))))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -111,14 +115,15 @@ object LlmPipeline {
     * runs — 3× fewer array folds than naive cosine-per-pair, numerically
     * identical (dot/(na*nb) == dot/(||a||*||b||)). */
   def qSimPairs(s: SparkSession, d: String): DataFrame = {
-    val dv = toDouble(col("embedding"))
+    val fdot = graft.functions.FloatVectorDot.dotF(s) _
     val e = embeddings(s, d).select(col("vec_id"), col("label"),
-      dv.as("v"), l2Norm(dv).as("nrm"))
+      col("embedding").as("v"),
+      sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
     val a = e.toDF("a_id", "label", "va", "na")
     val b = e.toDF("b_id", "label", "vb", "nb")
     a.join(b, Seq("label"))
       .where(col("a_id") < col("b_id"))
-      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cos_sim", fdot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos_sim") >= 0.25)
       .select(col("a_id"), col("b_id"), col("label"),
         Cols.r6(col("cos_sim")).as("cos_sim"))
@@ -133,10 +138,12 @@ object LlmPipeline {
       .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
         col("embedding").as("probe_emb")))
     val cands = e.where(col("vec_id") >= 10)
+    val fdot = graft.functions.FloatVectorDot.dotF(s) _
     val scored = cands.crossJoin(probes)
       .select(col("probe_id"), col("true_label"), col("vec_id"), col("label"),
-        Cols.r6(cosine(toDouble(col("embedding")), toDouble(col("probe_emb"))))
-          .as("cos_sim"))
+        Cols.r6(fdot(col("embedding"), col("probe_emb")) /
+          (sqrt(fdot(col("embedding"), col("embedding")))
+            * sqrt(fdot(col("probe_emb"), col("probe_emb"))))).as("cos_sim"))
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     val votes = scored.withColumn("rn", row_number().over(wTop))
