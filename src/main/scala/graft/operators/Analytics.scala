@@ -76,12 +76,54 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** SCD2-style state history from the event stream: per user, one validity
+    * interval per run of a repeated event_type; valid_to of the last state is
+    * NULL ("current"). Change detection (lag) then interval closing (lead
+    * over changes only) — two windows, one shuffle on user_id. */
+  def qScd2(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), Cols.epochUs(col("ts")).as("ts_us"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts_us"), 1).over(wOrd))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts_us").as("valid_from"), col("valid_to"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  /** ETL data-quality gate: one summary row of constraint violations over
+    * `orders` (nulls, key duplicates, domain and range violations). */
+  def qDqChecks(s: SparkSession, d: String): DataFrame =
+    orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("o_custkey").isNull, 1)).as("n_null_custkey"),
+        count(when(col("o_totalprice") <= 0.0, 1)).as("n_nonpos_price"),
+        (count(col("o_orderkey")) - countDistinct(col("o_orderkey"))).as("n_dup_keys"),
+        count(when(!col("o_orderstatus").isin("F", "O", "P"), 1)).as("n_bad_status"),
+        count(when(col("o_orderdate") > lit("2026-01-01").cast("timestamp"), 1))
+          .as("n_future_dates"))
+
+  /** Deterministic ~10% sample via fixed multiplicative hashing of the key —
+    * reproducible across engines and runs (never `rand()` in a pipeline that
+    * must be auditable). */
+  def qSample(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .where((col("l_orderkey") * lit(2654435761L) + col("l_linenumber")) % 100 < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_percentile"    -> (qPercentile _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_histogram"     -> (qHistogram _),
     "q_pivot"         -> (qPivot _),
-    "q_latest_state"  -> (qLatestState _))
+    "q_latest_state"  -> (qLatestState _),
+    "q_scd2"          -> (qScd2 _),
+    "q_dq_checks"     -> (qDqChecks _),
+    "q_sample"        -> (qSample _))
 
   val oracles: ListMap[String, String] = ListMap(
     "q_percentile" ->
@@ -116,5 +158,26 @@ object Analytics {
         |         row_number() OVER (PARTITION BY user_id
         |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn
         |  FROM events)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                  event_type FROM events),
+        |c AS (SELECT *, lag(event_type, 1) OVER w AS prev_type FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |ch AS (SELECT * FROM c WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS state, ts_us AS valid_from,
+        |       lead(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to
+        |FROM ch ORDER BY user_id, valid_from""".stripMargin,
+    "q_dq_checks" ->
+      """SELECT count(*) AS n_rows,
+        | count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null_custkey,
+        | count(CASE WHEN o_totalprice <= 0.0 THEN 1 END) AS n_nonpos_price,
+        | count(o_orderkey) - count(DISTINCT o_orderkey) AS n_dup_keys,
+        | count(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END) AS n_bad_status,
+        | count(CASE WHEN o_orderdate > TIMESTAMP '2026-01-01 00:00:00' THEN 1 END) AS n_future_dates
+        |FROM orders""".stripMargin,
+    "q_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE (l_orderkey * 2654435761 + l_linenumber) % 100 < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }
