@@ -8,8 +8,9 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression: dot product of two `array<float>` columns,
-  * accumulated in float64, sequential element order.
+/** Native Catalyst expression: dot product of two `array<float>` or
+  * `array<double>` columns (sides independent), accumulated in float64,
+  * sequential element order.
   *
   * This is the one hot spot where built-ins genuinely underperform: the
   * higher-order-function formulation (`transform` → `zip_with` →
@@ -24,38 +25,54 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class FloatVectorDot(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
   override def dataType: DataType = DoubleType
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
     s
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def get(arr: String, fl: Boolean, i: String): String =
+      if (fl) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
          |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double graft_s = 0.0;
          |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-         |  graft_s += ((double) $a.getFloat(graft_i)) * ((double) $b.getFloat(graft_i));
+         |  graft_s += ${get(a, isFloat(left), "graft_i")} * ${get(b, isFloat(right), "graft_i")};
          |}
          |${ev.value} = graft_s;
          |""".stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -48,43 +48,47 @@ object LlmPipeline {
     * token join.
     *
     * At theta=0.95 and token-set unions < 40 (this corpus: vocab 31), J >=
-    * theta forces |symmetric difference| <= 1, i.e. candidate pairs are
+    * theta forces |symmetric difference| <= 1, i.e. qualifying pairs are
     * exactly: (a) equal sets, (b) one set = the other plus one token. Both
-    * are found by joining per-doc signatures: (lang, set size, exact sum of
-    * per-token hashes) for the full set and for each one-token deletion —
-    * O(docs x set-size) signatures, one equi-join shuffle, LINEAR in the
-    * corpus. Exact Jaccard is then verified on candidates only, so hash-sum
-    * collisions cost time, never correctness. The DuckDB oracle is the
-    * independent naive quadratic join — different algorithm, same answer. */
+    * are found by joining per-doc signatures — (lang, set size, exact sums
+    * of per-token hashes under TWO independent 40-bit xxhash64 families)
+    * for the full set and for each one-token deletion. The families must
+    * be genuinely independent: affine maps of a dense token id do NOT work
+    * (both sums collapse to functions of (n, sum of ids) and same-size
+    * same-id-sum sets collide on every family at once). Hashing the token
+    * string itself makes a joint collision ~2^-80 per pair. A matching
+    * signature means equal/subset sets, so Jaccard falls out of the sizes
+    * alone: J = min(n)/max(n). NO token-level join ever runs — the whole
+    * pipeline is O(docs x set-size) signatures + one equi-join, linear in
+    * the corpus, and needs no corpus-wide token dictionary (which would
+    * cost a global window at 100 TB). The DuckDB oracle is the independent
+    * naive quadratic join — different algorithm, same answer. */
   def qDedupNear(s: SparkSession, d: String): DataFrame = {
+    // 40-bit masks keep per-doc sums < 2^46: no long overflow under ANSI.
+    val M = 1L << 40
     val toks = TrainingData.docToks(s, d)
-      .join(broadcast(TrainingData.vocab(s, d)), "tok")
-      .withColumn("h", (lit(2971L) * col("tok_id") + lit(1409L)) % lit(2147483647L))
+      .withColumn("h1", pmod(xxhash64(col("tok")), lit(M)))
+      .withColumn("h2", pmod(xxhash64(lit("graft-family-2"), col("tok")), lit(M)))
     val docs = toks.groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
-    val fullSig = docs.select(col("doc_id"), col("lang"),
-      col("n").as("k_n"), col("hsum").as("k_s"))
-    val delSig = toks.join(docs.select(col("doc_id"), col("n"), col("hsum")), "doc_id")
-      .select(col("doc_id"), col("lang"),
-        (col("n") - 1).as("k_n"), (col("hsum") - col("h")).as("k_s"))
-    val cand = fullSig.unionByName(delSig).toDF("a_id", "lang", "k_n", "k_s")
-      .join(fullSig.toDF("b_id", "lang", "k_n", "k_s"), Seq("lang", "k_n", "k_s"))
+      .agg(count(lit(1)).as("n"), sum(col("h1")).as("s1"), sum(col("h2")).as("s2"))
+    val fullSig = docs.select(col("doc_id"), col("n"), col("lang"),
+      col("n").as("k_n"), col("s1").as("k_s1"), col("s2").as("k_s2"))
+    val delSig = toks
+      .join(docs.select(col("doc_id"), col("n"), col("s1"), col("s2")), "doc_id")
+      .select(col("doc_id"), col("n"), col("lang"), (col("n") - 1).as("k_n"),
+        (col("s1") - col("h1")).as("k_s1"), (col("s2") - col("h2")).as("k_s2"))
+    val allSig = fullSig.unionByName(delSig)
+      .toDF("a_id", "a_n", "lang", "k_n", "k_s1", "k_s2")
+    allSig
+      .join(fullSig.toDF("b_id", "b_n", "lang", "k_n", "k_s1", "k_s2"),
+        Seq("lang", "k_n", "k_s1", "k_s2"))
       .where(col("a_id") =!= col("b_id"))
-      .select(col("lang"), least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .select(col("lang"),
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        (least(col("a_n"), col("b_n")).cast("double") /
+          greatest(col("a_n"), col("b_n")).cast("double")).as("jac"))
       .distinct()
-    val t = toks.select(col("doc_id"), col("tok"))
-    val sizes = docs.select(col("doc_id"), col("n"))
-    val inter = cand
-      .join(t.toDF("a_id", "tok"), "a_id")
-      .join(t.toDF("b_id", "tok"), Seq("b_id", "tok"))
-      .groupBy(col("lang"), col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(broadcast(sizes.toDF("a_id", "na")), "a_id")
-      .join(broadcast(sizes.toDF("b_id", "nb")), "b_id")
-      .withColumn("jac", col("c").cast("double") /
-        (col("na") + col("nb") - col("c")).cast("double"))
       .where(col("jac") >= 0.95)
       .select(col("a_id"), col("b_id"), col("lang"), Cols.r6(col("jac")).as("jac"))
       .orderBy("a_id", "b_id")

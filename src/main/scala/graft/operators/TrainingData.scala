@@ -216,6 +216,9 @@ object TrainingData {
     * assigned to its nearest centroid by (rounded) cosine; the probe
     * (vec_id=0) searches only its centroid's bucket for its top-5. */
   def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val fdot = graft.functions.FloatVectorDot.dotF(s) _
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      fdot(a, b) / (sqrt(fdot(a, a)) * sqrt(fdot(b, b)))
     val e = embeddings(s, d)
     val cent = e
       .select(col("label").as("clabel"),
@@ -227,7 +230,7 @@ object TrainingData {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("clabel").asc)
     val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("ccos", Cols.r6(cosine(toDouble(col("embedding")), col("cvec"))))
+      .withColumn("ccos", Cols.r6(cos(col("embedding"), col("cvec"))))
       .withColumn("rn", row_number().over(wAssign))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("embedding"), col("clabel").as("cluster"))
@@ -236,8 +239,7 @@ object TrainingData {
     assigned.crossJoin(probe)
       .where(col("cluster") === col("probe_cluster") && col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"), col("cluster"),
-        Cols.r6(cosine(toDouble(col("embedding")), toDouble(col("probe_emb"))))
-          .as("cos_sim"))
+        Cols.r6(cos(col("embedding"), col("probe_emb"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(5)
   }
