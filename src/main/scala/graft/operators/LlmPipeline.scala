@@ -94,6 +94,107 @@ object LlmPipeline {
       .orderBy("a_id", "b_id")
   }
 
+  /** Character-5-gram Jaccard near-dup pairs (theta = 0.8), language-blocked,
+    * via PPJoin-STYLE PREFIX FILTERING: shingles are globally ordered by
+    * ascending document frequency (rarest first); each doc exposes only its
+    * first n − ceil(theta·n) + 1 shingles as join keys. Any pair with J >=
+    * theta must (a) satisfy theta·|a| <= |b| <= |a|/theta and (b) share a
+    * prefix shingle on both sides (c >= theta·max(n) > n − prefix), so the
+    * candidate join touches ~(1−theta) of the shingle mass instead of all of
+    * it, and common shingles ("the s") never become join keys. Candidates
+    * are then verified with an exact per-pair `array_intersect` over the
+    * docs' shingle ARRAYS (each side map-joined in), not a token-level
+    * shuffle — the verify cost is |candidates|·|set|, embarrassingly
+    * parallel, zero extra shuffles. Filtering trims cost, never rows.
+    * Complements [[qDedupNear]] (word-set, deletion signatures): char
+    * n-grams catch edits WITHIN words that word-level Jaccard misses. The
+    * DuckDB oracle is the naive quadratic shingle join. */
+  def qDedupNgram(s: SparkSession, d: String): DataFrame = {
+    val theta = 0.8
+    // The shingle-array table feeds four subtrees (dfreq, ranking, both
+    // verify sides); persist it once like the token tables. Shingles are
+    // kept as xxhash64 LONGS, never strings: long join keys shuffle
+    // cheaper, and array_intersect on primitive longs takes Spark's
+    // specialized codegen hash-set path (the string path is interpreted
+    // and boxes per element — measured 10x slower here). A within-pair
+    // hash collision (~600^2/2^64) is far below the rounding noise floor.
+    val docsSh = TrainingData.cached("docShingles", s, d) {
+      documents(s, d)
+        .where(length(col("text")) >= 5)
+        .select(col("doc_id"), col("lang"),
+          array_sort(array_distinct(transform(
+            sequence(lit(1), length(col("text")) - 4),
+            i => xxhash64(col("text").substr(i, lit(5)))))).as("shs"))
+    }
+    val sh = docsSh.select(col("doc_id"), col("lang"), size(col("shs")).as("n"),
+      explode(col("shs")).as("sh"))
+    // |distinct shingles| ≪ |corpus|: broadcast the frequency table rather
+    // than shuffling every shingle row. Set size n comes free from the
+    // array — no count-over-window pass.
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
+    val wOrd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("dfreq").asc, col("sh").asc)
+    val prefix = sh.join(broadcast(dfreq), "sh")
+      .withColumn("r", row_number().over(wOrd))
+      .where(col("r") <= col("n") - ceil(lit(theta) * col("n")) + 1)
+      .select(col("doc_id"), col("lang"), col("sh"), col("n"))
+    val cand = prefix.toDF("a_id", "lang", "sh", "na")
+      .join(prefix.toDF("b_id", "lang", "sh", "nb"), Seq("lang", "sh"))
+      .where(col("a_id") < col("b_id")
+        && col("nb") * lit(theta) <= col("na") && col("na") * lit(theta) <= col("nb"))
+      .select(col("lang"), col("a_id"), col("b_id")).distinct()
+      // The pair set is tiny in BYTES but heavy in per-row verify CPU; AQE
+      // would coalesce it to ~1 partition and serialize the array_intersect
+      // work. Pin the parallelism explicitly.
+      .repartition(32)
+    val interCount = graft.functions.SortedIntersectCount.interCount(s) _
+    val arr = docsSh.select(col("doc_id"), col("shs"))
+    cand
+      .join(broadcast(arr.toDF("a_id", "sha")), "a_id")
+      .join(broadcast(arr.toDF("b_id", "shb")), "b_id")
+      .withColumn("c", interCount(col("sha"), col("shb")))
+      .withColumn("jac", col("c").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("c")).cast("double"))
+      .where(col("jac") >= theta)
+      .select(col("a_id"), col("b_id"), col("lang"), Cols.r6(col("jac")).as("jac"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Embedding-cosine near-dup: candidate pairs from 8 AXIS-ALIGNED SIGN-LSH
+    * bands (band t = the sign bits of dims 8t..8t+7; a pair is a candidate
+    * iff some band matches exactly), then exact cosine >= 0.4 on candidates
+    * only. Sketch-tier semantics like [[TrainingData.qDedupMinhash]]: the
+    * declared result is what the (deterministic) sketch finds — recall is
+    * tuned by band count/width, and the DuckDB oracle replays the identical
+    * pipeline. Bands bound the join to same-bucket pairs (~3% of all pairs
+    * here) with NO blocking key needed — at 100 TB this is the shape that
+    * replaces the label-blocked quadratic of [[qSimPairs]]. */
+  def qDedupEmbed(s: SparkSession, d: String): DataFrame = {
+    val fdot = graft.functions.FloatVectorDot.dotF(s) _
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
+    val bandStructs = (0 until 8).map { t =>
+      val bv = (0 until 8).map(i =>
+        when(element_at(col("embedding"), 8 * t + i + 1) > 0f, lit(1L << i))
+          .otherwise(lit(0L))).reduce(_ + _)
+      struct(lit(t).as("bi"), bv.as("bv"))
+    }
+    val banded = e
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("b.bi").as("bi"), col("b.bv").as("bv"))
+    banded.toDF("a_id", "ea", "na", "bi", "bv")
+      .join(banded.toDF("b_id", "eb", "nb", "bi", "bv"), Seq("bi", "bv"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (fdot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
+      .distinct()
+      .where(col("cos_sim") >= 0.4)
+      .select(col("a_id"), col("b_id"), Cols.r6(col("cos_sim")).as("cos_sim"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Top-10 cosine neighbors of probe vec_id=0 (brute force, broadcast probe;
     * TakeOrderedAndProject keeps only k rows per partition). */
   def qSimTopk(s: SparkSession, d: String): DataFrame = {
@@ -217,6 +318,8 @@ object LlmPipeline {
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_dedup_exact"  -> (qDedupExact _),
     "q_dedup_near"   -> (qDedupNear _),
+    "q_dedup_ngram"  -> (qDedupNgram _),
+    "q_dedup_embed"  -> (qDedupEmbed _),
     "q_sim_topk"     -> (qSimTopk _),
     "q_sim_pairs"    -> (qSimPairs _),
     "q_knn_classify" -> (qKnnClassify _),
@@ -252,6 +355,43 @@ object LlmPipeline {
         |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
         |WHERE c*1.0/(sa.n + sb.n - c) >= 0.95
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_distinct(list_transform(range(1, greatest(len(text)-3, 1)),
+        |      i -> substr(text, CAST(i AS INT), 5)))) AS sh
+        |  FROM documents WHERE len(text) >= 5),
+        |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        |inter AS (SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |          FROM s a JOIN s b ON a.lang = b.lang AND a.sh = b.sh
+        |            AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2, 3)
+        |SELECT a_id, b_id, lang,
+        |  floor((c*1.0/(sa.n + sb.n - c))*1000000.0 + 0.5)/1000000.0 AS jac
+        |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |WHERE c*1.0/(sa.n + sb.n - c) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_embed" -> {
+      val bandSelects = (0 until 8).map { t =>
+        val bv = (0 until 8)
+          .map(i => s"(CASE WHEN embedding[${8 * t + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString(" + ")
+        s"SELECT vec_id, embedding, $t AS bi, $bv AS bv FROM embeddings"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH banded AS ($bandSelects),
+        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+        |           a.embedding AS ea, b.embedding AS eb
+        |         FROM banded a JOIN banded b ON a.bi = b.bi AND a.bv = b.bv
+        |           AND a.vec_id < b.vec_id),
+        |scored AS (SELECT a_id, b_id,
+        |  list_sum(list_transform(list_zip(ea, eb),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(ea, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(eb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS c
+        |  FROM cand)
+        |SELECT a_id, b_id, floor(c*1000000.0 + 0.5)/1000000.0 AS cos_sim
+        |FROM scored WHERE c >= 0.4 ORDER BY a_id, b_id""".stripMargin
+    },
     "q_sim_topk" ->
       ("""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,

@@ -45,7 +45,7 @@ object TrainingData {
     * are exactly the assets you'd materialize once per corpus snapshot. */
   private val shared =
     scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
-  private def cached(name: String, s: SparkSession, d: String)
+  private[operators] def cached(name: String, s: SparkSession, d: String)
     (build: => DataFrame): DataFrame =
     shared.getOrElseUpdate((System.identityHashCode(s), d, name), build.persist())
 
@@ -85,38 +85,43 @@ object TrainingData {
       min((lit(a) * col("tok_id") + lit(b)) % lit(P)).as(s"h$i")
     }
     val mh = tv.groupBy(col("doc_id"), col("lang")).agg(mins.head, mins.tail: _*)
+    // Band rows CARRY the full signature: the band self-join then yields both
+    // docs' 8 minhashes directly, so the signature table is computed once and
+    // no candidate→signature re-join (2 extra shuffles) is needed.
     val bands = mh.select(col("doc_id"), col("lang"),
       explode(array(
         struct(lit(0).as("band"), col("h0").as("x0"), col("h1").as("x1"),
           col("h2").as("x2"), col("h3").as("x3")),
         struct(lit(1).as("band"), col("h4").as("x0"), col("h5").as("x1"),
-          col("h6").as("x2"), col("h7").as("x3")))).as("b"))
+          col("h6").as("x2"), col("h7").as("x3")))).as("b"),
+      array((0 until 8).map(i => col(s"h$i")): _*).as("sig"))
       .select((Seq(col("doc_id"), col("lang"), col("b.band").as("band")) ++
-        (0 until 4).map(i => col(s"b.x$i").as(s"x$i"))): _*)
-    val cand = bands.toDF("a_id", "lang", "band", "x0", "x1", "x2", "x3")
-      .join(bands.toDF("b_id", "lang", "band", "x0", "x1", "x2", "x3"),
+        (0 until 4).map(i => col(s"b.x$i").as(s"x$i")) :+ col("sig")): _*)
+    val nMatch = (0 until 8)
+      .map(i => when(col("siga")(i) === col("sigb")(i), 1).otherwise(0))
+      .reduce(_ + _)
+    bands.toDF("a_id", "lang", "band", "x0", "x1", "x2", "x3", "siga")
+      .join(bands.toDF("b_id", "lang", "band", "x0", "x1", "x2", "x3", "sigb"),
         Seq("lang", "band", "x0", "x1", "x2", "x3"))
       .where(col("a_id") < col("b_id"))
-      .select(col("lang"), col("a_id"), col("b_id")).distinct()
-    val sigA = mh.select(col("doc_id").as("a_id") +:
-      (0 until 8).map(i => col(s"h$i").as(s"a$i")): _*)
-    val sigB = mh.select(col("doc_id").as("b_id") +:
-      (0 until 8).map(i => col(s"h$i").as(s"b$i")): _*)
-    val nMatch = (0 until 8)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(broadcast(sigA), "a_id")
-      .join(broadcast(sigB), "b_id")
       .withColumn("est_jac", nMatch.cast("double") / 8.0)
       .where(col("est_jac") >= 0.75)
       .select(col("a_id"), col("b_id"), col("lang"), col("est_jac"))
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 
   /** 16-bit SimHash over the token dictionary; near-dup = same-language pair
     * with Hamming distance <= 2. Bit j weight of a token:
-    * ((tok_id·(2j+3)) mod 7) − 3 ∈ [−3, 3]. */
+    * ((tok_id·(2j+3)) mod 7) − 3 ∈ [−3, 3].
+    *
+    * Candidate generation is PIGEONHOLE BANDING, not an all-pairs join: the
+    * 16 bits split into 3 bands (6+5+5); Hamming <= 2 can corrupt at most 2
+    * bands, so every qualifying pair agrees exactly on >= 1 band — an
+    * equi-join on (lang, band index, band value), same linear shape as the
+    * MinHash LSH path. The full fingerprints ride along for the exact
+    * Hamming check, so banding changes cost, never the answer (the DuckDB
+    * oracle is the naive quadratic join). */
   def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
     val tv = docToks(s, d).join(broadcast(vocab(s, d)), "tok")
     val sh = tv
@@ -127,13 +132,22 @@ object TrainingData {
       .withColumn("bit", (col("sc") > 0).cast("long"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("bit") * pow(lit(2.0), col("j")).cast("long")).as("simhash"))
-    val a = sh.toDF("a_id", "lang", "ha")
-    val b = sh.toDF("b_id", "lang", "hb")
-    a.join(b, Seq("lang"))
+    val banded = sh.select(col("doc_id"), col("lang"), col("simhash"),
+      explode(array(
+        struct(lit(0).as("bi"), col("simhash").bitwiseAND(63).as("bv")),
+        struct(lit(1).as("bi"),
+          shiftright(col("simhash"), 6).bitwiseAND(31).cast("long").as("bv")),
+        struct(lit(2).as("bi"),
+          shiftright(col("simhash"), 11).cast("long").as("bv")))).as("b"))
+      .select(col("doc_id"), col("lang"), col("simhash"),
+        col("b.bi").as("bi"), col("b.bv").as("bv"))
+    banded.toDF("a_id", "lang", "ha", "bi", "bv")
+      .join(banded.toDF("b_id", "lang", "hb", "bi", "bv"), Seq("lang", "bi", "bv"))
       .where(col("a_id") < col("b_id"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .where(col("hamming") <= 2)
       .select(col("a_id"), col("b_id"), col("lang"), col("hamming"))
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 
