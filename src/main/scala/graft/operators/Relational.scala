@@ -164,6 +164,30 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Skew-safe equi-join: enrich every event with its user's totals. Hot
+    * keys are THE failure mode of fact-side joins at 100 TB — one user with
+    * 10^8 events pins an entire shuffle partition on one task. SALTING
+    * splits each key into SALT sub-keys (deterministic hash of the row id)
+    * and replicates the small aggregate side across all SALT sub-keys, so
+    * per-task work is bounded at 1/SALT of the hottest key. Semantics are
+    * EXACTLY the plain join's — the DuckDB oracle is the unsalted join.
+    * (AQE skew-join splits oversized partitions adaptively; salting is the
+    * declarative guarantee when a single KEY exceeds a task.) */
+  def qJoinSalted(s: SparkSession, d: String): DataFrame = {
+    val SALT = 8L
+    val ev = events(s, d)
+    val agg = ev.groupBy(col("user_id"))
+      .agg(Cols.r2(sum(col("value"))).as("user_total"),
+        count(lit(1)).as("user_events"))
+    val aggSalted = agg.withColumn("salt",
+      explode(sequence(lit(0L), lit(SALT - 1))))
+    ev.withColumn("salt", pmod(xxhash64(col("event_id")), lit(SALT)))
+      .join(aggSalted, Seq("user_id", "salt"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("user_total"), col("user_events"))
+      .orderBy("event_id")
+  }
+
   // ---- §2.4 aggregations ---------------------------------------------------
 
   /** Flagship (TPC-H Q1 shape): partial+final hash aggregate; the shuffle
@@ -295,6 +319,7 @@ object Relational {
     "q_anti"           -> (qAnti _),
     "q_join_range"     -> (qJoinRange _),
     "q_asof"           -> (qAsof _),
+    "q_join_salted"    -> (qJoinSalted _),
     "q_agg_pricing"    -> (qAggPricing _),
     "q_agg_distinct"   -> (qAggDistinct _),
     "q_agg_approx"     -> (qAggApprox _),
@@ -333,6 +358,14 @@ object Relational {
         | floor((sum(l_extendedprice*(1-l_discount)))*100.0 + 0.5)/100.0 AS priority_revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_salted" ->
+      """WITH agg AS (
+        |  SELECT user_id, floor(sum(value)*100.0 + 0.5)/100.0 AS user_total,
+        |    count(*) AS user_events
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.user_id, event_type, value, user_total, user_events
+        |FROM events e JOIN agg USING (user_id)
+        |ORDER BY event_id""".stripMargin,
     "q_join_multi" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
         | floor((sum(o_totalprice))*100.0 + 0.5)/100.0 AS nation_revenue

@@ -275,6 +275,49 @@ object TrainingData {
         (col("n_chars") * 7 % 256).cast("long").as("fake_height"))
       .orderBy("doc_id")
 
+  /** Output row of the stubbed media decoder — a columnar-friendly flat
+    * struct, exactly what a real image/audio decode stage would emit. */
+  case class DecodedMedia(doc_id: Long, n_bytes: Long, byte_sum: Long,
+    width: Long, height: Long, n_frames: Long)
+
+  /** The decode handle a real pipeline would open per PARTITION (codec
+    * context, model weights, GPU session...). The container has no codec
+    * libs, so decode is a deterministic stub over the payload bytes — but
+    * the expensive-init-amortized-per-partition shape is the real one. */
+  final class StubDecoder {
+    def decode(id: Long, bytes: Array[Byte]): DecodedMedia = {
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+      DecodedMedia(id, bytes.length.toLong, sum,
+        64L + sum % 192L, 64L + (sum * 31L + bytes.length) % 192L,
+        1L + bytes.length % 30L)
+    }
+  }
+
+  /** Multimodal decode via TYPED `mapPartitions` — the slot where real
+    * image/audio/video decoding plugs in: opaque binary payload in, typed
+    * feature struct out, one decoder handle per partition amortized over an
+    * iterator of rows (never per-row init), case-class `Encoder` giving
+    * Tungsten a flat columnar-friendly schema. The decode itself is a
+    * deterministic STUB (see [[StubDecoder]]); the corpus is ASCII, so
+    * byte values equal code points and the DuckDB oracle replays the
+    * arithmetic with `ord()`. */
+  def qMediaDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val dec = new StubDecoder // per-partition init, amortized
+        rows.map { case (id, text) =>
+          dec.decode(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -283,7 +326,8 @@ object TrainingData {
     "q_token_count"   -> (qTokenCount _),
     "q_fingerprint"   -> (qFingerprint _),
     "q_ann_ivf"       -> (qAnnIvf _),
-    "q_binary_meta"   -> (qBinaryMeta _))
+    "q_binary_meta"   -> (qBinaryMeta _),
+    "q_media_decode"  -> (qMediaDecode _))
 
   private val minhashCols = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
     s"min(($a*tok_id + $b) % 2147483647) AS h$i"
@@ -404,6 +448,17 @@ object TrainingData {
         |FROM assigned CROSS JOIN probe
         |WHERE cluster = pc AND vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "q_media_decode" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CAST(list_sum(list_transform(range(1, len(text)+1),
+        |      i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum
+        |  FROM documents)
+        |SELECT doc_id, n_bytes, byte_sum,
+        |  64 + byte_sum % 192 AS width,
+        |  64 + (byte_sum*31 + n_bytes) % 192 AS height,
+        |  1 + n_bytes % 30 AS n_frames
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
