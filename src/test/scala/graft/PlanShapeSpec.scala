@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.operators._
+
+/** Physical-plan shape assertions: the plans that pass correctness must ALSO
+  * be the plans that survive a 100 TB scale-up. Each test pins a property
+  * (scan pruning, pushdown, join strategy, top-k operator, partial agg,
+  * codegen) that a refactor could silently regress without failing any
+  * value-level test. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val d = sfDir("sf0.001")
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q_filter pushes its predicates into the parquet scan") {
+    val p = planOf(Relational.qFilter(spark, d))
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("In(o_orderstatus"), "status IN should be pushed")
+    assert(p.contains("GreaterThanOrEqual(o_totalprice"), "BETWEEN should push bounds")
+  }
+
+  test("q_project prunes the lineitem scan to the referenced columns") {
+    val p = planOf(Relational.qProject(spark, d))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey"))
+    assert(!readSchema.contains("l_returnflag"),
+      s"unreferenced column not pruned: $readSchema")
+  }
+
+  test("q_join_broadcast plans a broadcast hash join (dim never shuffles the fact)") {
+    val p = planOf(Relational.qJoinBroadcast(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_semi and q_anti stay semi/anti at the physical level") {
+    assert(planOf(Relational.qSemi(spark, d)).contains("LeftSemi"))
+    assert(planOf(Relational.qAnti(spark, d)).contains("LeftAnti"))
+  }
+
+  test("q_join_range is an equi-join on user_id, not a nested loop") {
+    val p = planOf(Relational.qJoinRange(spark, d))
+    assert(!p.contains("CartesianProduct"), "range join must not go cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join must keep the user_id equi-key")
+  }
+
+  test("q_topk plans TakeOrderedAndProject (no global sort of the input)") {
+    val p = planOf(Relational.qTopk(spark, d))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_agg_pricing does partial (map-side) then final aggregation") {
+    val p = planOf(Relational.qAggPricing(spark, d))
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got:\n$p")
+  }
+
+  test("q_agg_pricing scan stays inside whole-stage codegen") {
+    // AQE finalizes codegen spans only at execution: run, then inspect.
+    val df = Relational.qAggPricing(spark, d)
+    df.collect()
+    // codegen'd operators render with the "*(n) " stage prefix
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p.take(600))
+  }
+
+  test("similarity kernels use the native codegen expressions") {
+    val pTopk = planOf(LlmPipeline.qSimTopk(spark, d))
+    assert(pTopk.contains("vec_dot_f"), "native dot expression missing from plan")
+    val pNgram = planOf(LlmPipeline.qDedupNgram(spark, d))
+    assert(pNgram.contains("sorted_intersect_count"),
+      "native intersect kernel missing from plan")
+  }
+
+  test("q_join_salted keeps the salted key in the join and never goes cartesian") {
+    val p = planOf(Relational.qJoinSalted(spark, d))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("salt"), "salt must be part of the join key")
+  }
+}
