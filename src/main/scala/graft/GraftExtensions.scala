@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{FloatVectorDot, SortedIntersectCount}
+
+/** Canonical integration point: sessions built with
+  * `spark.sql.extensions=graft.GraftExtensions` get the native expressions
+  * as SQL-callable functions (`SELECT vec_dot_f(a, b)`), no imperative
+  * registration needed. The Scala helpers (`FloatVectorDot.dotF`,
+  * `SortedIntersectCount.interCount`) remain self-registering for sessions
+  * created without the config. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot_f"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot_f"),
+      (exprs: Seq[Expression]) => FloatVectorDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+  }
+}

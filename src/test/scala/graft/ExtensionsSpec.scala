@@ -1,0 +1,32 @@
+package graft
+
+/** The shared test session is built with
+  * `spark.sql.extensions=graft.GraftExtensions` (see [[SparkSpec]]), so the
+  * native expressions must resolve from plain SQL with no imperative
+  * registration call anywhere in the test path. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("vec_dot_f resolves from SQL via the session extension") {
+    val r = spark.sql(
+      """SELECT vec_dot_f(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                 array(CAST(4.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d"""
+        .stripMargin).head().getDouble(0)
+    assert(r === 1.5 * 4.0 + 2.0 * 0.5)
+  }
+
+  test("sorted_intersect_count resolves from SQL via the session extension") {
+    val r = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 5L, 9L), array(3L, 4L, 5L)) AS c")
+      .head().getLong(0)
+    assert(r === 2L)
+  }
+
+  test("extension functions are codegen-compatible in a real pipeline") {
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L, 7L), Seq(2L, 7L, 9L))).toDF("a", "b")
+    df.createOrReplaceTempView("ext_probe")
+    val r = spark.sql(
+      "SELECT sorted_intersect_count(a, b) AS c FROM ext_probe").head().getLong(0)
+    assert(r === 2L)
+  }
+}
