@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVectorDot, SortedIntersectCount}
+import graft.functions.{FloatVectorDot, MinHashAgg, SortedIntersectCount}
 
 /** Canonical integration point: sessions built with
   * `spark.sql.extensions=graft.GraftExtensions` get the native expressions
@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashAgg(exprs.head)))
   }
 }

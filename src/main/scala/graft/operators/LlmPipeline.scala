@@ -119,7 +119,11 @@ object LlmPipeline {
     // and boxes per element — measured 10x slower here). A within-pair
     // hash collision (~600^2/2^64) is far below the rounding noise floor.
     val docsSh = TrainingData.cached("docShingles", s, d) {
+      // The corpus parquet is a single small file (few input splits), but
+      // shingling is ~300 substr+hash ops per row: spread it over the
+      // cluster before the map, not after.
       documents(s, d)
+        .repartition(32)
         .where(length(col("text")) >= 5)
         .select(col("doc_id"), col("lang"),
           array_sort(array_distinct(transform(
@@ -137,11 +141,17 @@ object LlmPipeline {
     val prefix = sh.join(broadcast(dfreq), "sh")
       .withColumn("r", row_number().over(wOrd))
       .where(col("r") <= col("n") - ceil(lit(theta) * col("n")) + 1)
-      .select(col("doc_id"), col("lang"), col("sh"), col("n"))
-    val cand = prefix.toDF("a_id", "lang", "sh", "na")
-      .join(prefix.toDF("b_id", "lang", "sh", "nb"), Seq("lang", "sh"))
+      .select(col("doc_id"), col("lang"), col("sh"), col("n"), col("r"))
+    // PPJoin position filter: a true pair's FIRST shared prefix shingle has
+    // no prior overlap, so 1 + min(remaining positions) >= the required
+    // overlap alpha = ceil(theta/(1+theta)·(na+nb)) holds there — rows
+    // failing it can be dropped without ever dropping a qualifying pair.
+    val alpha = ceil(lit(theta / (1 + theta)) * (col("na") + col("nb")))
+    val cand = prefix.toDF("a_id", "lang", "sh", "na", "ra")
+      .join(prefix.toDF("b_id", "lang", "sh", "nb", "rb"), Seq("lang", "sh"))
       .where(col("a_id") < col("b_id")
-        && col("nb") * lit(theta) <= col("na") && col("na") * lit(theta) <= col("nb"))
+        && col("nb") * lit(theta) <= col("na") && col("na") * lit(theta) <= col("nb")
+        && lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >= alpha)
       .select(col("lang"), col("a_id"), col("b_id")).distinct()
       // The pair set is tiny in BYTES but heavy in per-row verify CPU; AQE
       // would coalesce it to ~1 partition and serialize the array_intersect

@@ -32,10 +32,12 @@ import graft.functions.VectorFunctions._
   */
 object TrainingData {
 
-  private val P = 2147483647L
-  /** Fixed affine MinHash family h_i(x) = (a_i·x + b_i) mod P. */
-  private val A = Seq(2971L, 3851L, 4583L, 5167L, 6011L, 6673L, 7459L, 8291L)
-  private val B = Seq(1409L, 2003L, 2707L, 3323L, 4001L, 4703L, 5419L, 6089L)
+  private val P = graft.functions.MinHashAgg.P
+  /** Fixed affine MinHash family h_i(x) = (a_i·x + b_i) mod P — owned by
+    * [[graft.functions.MinHashAgg]] so the one-pass aggregate, the column
+    * formulation in tests, and the oracle can never drift apart. */
+  private val A = graft.functions.MinHashAgg.A.toSeq
+  private val B = graft.functions.MinHashAgg.B.toSeq
 
   /** Shared-intermediate cache, keyed per (session, sfDir, name). The token
     * table and dictionary feed several dedup/analysis pipelines, and inside
@@ -81,33 +83,41 @@ object TrainingData {
     * [[LlmPipeline.qDedupNear]]. */
   def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
     val tv = docToks(s, d).join(broadcast(vocab(s, d)), "tok")
-    val mins = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("tok_id") + lit(b)) % lit(P)).as(s"h$i")
-    }
-    val mh = tv.groupBy(col("doc_id"), col("lang")).agg(mins.head, mins.tail: _*)
+    // Signatures come from the ONE-PASS native aggregate (MinHashAgg): all
+    // 8 lanes fold into a single primitive buffer with map-side partials —
+    // the shape that still works at 64–128 lanes. Bit-identical to the
+    // 8-min-columns formulation (MinHashAggSpec).
+    val sig = graft.functions.MinHashAgg.minhashSig(s) _
+    val mh = tv.groupBy(col("doc_id"), col("lang"))
+      .agg(sig(col("tok_id")).as("sig"))
     // Band rows CARRY the full signature: the band self-join then yields both
     // docs' 8 minhashes directly, so the signature table is computed once and
     // no candidate→signature re-join (2 extra shuffles) is needed.
     val bands = mh.select(col("doc_id"), col("lang"),
       explode(array(
-        struct(lit(0).as("band"), col("h0").as("x0"), col("h1").as("x1"),
-          col("h2").as("x2"), col("h3").as("x3")),
-        struct(lit(1).as("band"), col("h4").as("x0"), col("h5").as("x1"),
-          col("h6").as("x2"), col("h7").as("x3")))).as("b"),
-      array((0 until 8).map(i => col(s"h$i")): _*).as("sig"))
+        struct(lit(0).as("band"), col("sig")(0).as("x0"), col("sig")(1).as("x1"),
+          col("sig")(2).as("x2"), col("sig")(3).as("x3")),
+        struct(lit(1).as("band"), col("sig")(4).as("x0"), col("sig")(5).as("x1"),
+          col("sig")(6).as("x2"), col("sig")(7).as("x3")))).as("b"),
+      col("sig"))
       .select((Seq(col("doc_id"), col("lang"), col("b.band").as("band")) ++
         (0 until 4).map(i => col(s"b.x$i").as(s"x$i")) :+ col("sig")): _*)
     val nMatch = (0 until 8)
       .map(i => when(col("siga")(i) === col("sigb")(i), 1).otherwise(0))
       .reduce(_ + _)
+    // A pair matching BOTH bands would come out twice; instead of a
+    // |pairs|-sized distinct shuffle, keep each pair only at its LOWEST
+    // matching band — decidable per row from the carried signatures.
+    val band0Match = (0 until 4)
+      .map(i => col("siga")(i) === col("sigb")(i)).reduce(_ && _)
     bands.toDF("a_id", "lang", "band", "x0", "x1", "x2", "x3", "siga")
       .join(bands.toDF("b_id", "lang", "band", "x0", "x1", "x2", "x3", "sigb"),
         Seq("lang", "band", "x0", "x1", "x2", "x3"))
       .where(col("a_id") < col("b_id"))
+      .where(col("band") === 0 || !band0Match)
       .withColumn("est_jac", nMatch.cast("double") / 8.0)
       .where(col("est_jac") >= 0.75)
       .select(col("a_id"), col("b_id"), col("lang"), col("est_jac"))
-      .distinct()
       .orderBy("a_id", "b_id")
   }
 
@@ -141,13 +151,20 @@ object TrainingData {
           shiftright(col("simhash"), 11).cast("long").as("bv")))).as("b"))
       .select(col("doc_id"), col("lang"), col("simhash"),
         col("b.bi").as("bi"), col("b.bv").as("bv"))
+    // Keep a multi-band match only at its LOWEST matching band (derivable
+    // from the carried fingerprints) — no |pairs|-sized distinct shuffle.
+    val x = col("ha").bitwiseXOR(col("hb"))
+    val lower0 = x.bitwiseAND(63) === 0
+    val lower1 = shiftright(x, 6).bitwiseAND(31) === 0
     banded.toDF("a_id", "lang", "ha", "bi", "bv")
       .join(banded.toDF("b_id", "lang", "hb", "bi", "bv"), Seq("lang", "bi", "bv"))
       .where(col("a_id") < col("b_id"))
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .where(col("bi") === 0
+        || (col("bi") === 1 && !lower0)
+        || (col("bi") === 2 && !lower0 && !lower1))
+      .withColumn("hamming", bit_count(x).cast("long"))
       .where(col("hamming") <= 2)
       .select(col("a_id"), col("b_id"), col("lang"), col("hamming"))
-      .distinct()
       .orderBy("a_id", "b_id")
   }
 

@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch profiler (not part of the contract). */
 object NgramProbe {
@@ -17,9 +16,8 @@ object NgramProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"STAGE $name%-26s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    t("minhash_1")(println(graft.operators.TrainingData.qDedupMinhash(s, d).count()))
-    t("minhash_2")(println(graft.operators.TrainingData.qDedupMinhash(s, d).count()))
-    t("minhash_3")(println(graft.operators.TrainingData.qDedupMinhash(s, d).count()))
+    t("ngram_cold")(println(graft.operators.LlmPipeline.qDedupNgram(s, d).count()))
+    t("ngram_warm")(println(graft.operators.LlmPipeline.qDedupNgram(s, d).count()))
     s.stop()
   }
 }

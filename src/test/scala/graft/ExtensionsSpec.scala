@@ -21,6 +21,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(r === 2L)
   }
 
+  test("minhash_sig aggregate resolves from SQL via the session extension") {
+    val r = spark.sql(
+      """SELECT minhash_sig(x) AS sig FROM VALUES (1L), (2L), (3L) AS t(x)""")
+      .head().getSeq[Long](0)
+    assert(r.length === 8)
+    // lane 0: min over x of (2971x + 1409) mod p
+    assert(r.head === (1 to 3).map(x => (2971L * x + 1409L) % 2147483647L).min)
+  }
+
   test("extension functions are codegen-compatible in a real pipeline") {
     import spark.implicits._
     val df = Seq((Seq(1L, 2L, 7L), Seq(2L, 7L, 9L))).toDF("a", "b")
