@@ -120,15 +120,14 @@ object LlmPipeline {
     // hash collision (~600^2/2^64) is far below the rounding noise floor.
     val docsSh = TrainingData.cached("docShingles", s, d) {
       // The corpus parquet is a single small file (few input splits), but
-      // shingling is ~300 substr+hash ops per row: spread it over the
-      // cluster before the map, not after.
+      // shingling is ~300 ops per row: spread it over the cluster before
+      // the map, not after. The sorted-distinct hash array comes from the
+      // native one-pass ShingleHashes kernel.
+      val shingles = graft.functions.ShingleHashes.shingles(s) _
       documents(s, d)
         .repartition(32)
         .where(length(col("text")) >= 5)
-        .select(col("doc_id"), col("lang"),
-          array_sort(array_distinct(transform(
-            sequence(lit(1), length(col("text")) - 4),
-            i => xxhash64(col("text").substr(i, lit(5)))))).as("shs"))
+        .select(col("doc_id"), col("lang"), shingles(col("text"), 5).as("shs"))
     }
     val sh = docsSh.select(col("doc_id"), col("lang"), size(col("shs")).as("n"),
       explode(col("shs")).as("sh"))
@@ -138,10 +137,14 @@ object LlmPipeline {
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
     val wOrd = Window.partitionBy(col("doc_id"))
       .orderBy(col("dfreq").asc, col("sh").asc)
-    val prefix = sh.join(broadcast(dfreq), "sh")
-      .withColumn("r", row_number().over(wOrd))
-      .where(col("r") <= col("n") - ceil(lit(theta) * col("n")) + 1)
-      .select(col("doc_id"), col("lang"), col("sh"), col("n"), col("r"))
+    // Both sides of the candidate self-join scan the prefix set — persist
+    // it once rather than running the explode+window subtree twice.
+    val prefix = TrainingData.cached("ngramPrefix", s, d) {
+      sh.join(broadcast(dfreq), "sh")
+        .withColumn("r", row_number().over(wOrd))
+        .where(col("r") <= col("n") - ceil(lit(theta) * col("n")) + 1)
+        .select(col("doc_id"), col("lang"), col("sh"), col("n"), col("r"))
+    }
     // PPJoin position filter: a true pair's FIRST shared prefix shingle has
     // no prior overlap, so 1 + min(remaining positions) >= the required
     // overlap alpha = ceil(theta/(1+theta)·(na+nb)) holds there — rows
