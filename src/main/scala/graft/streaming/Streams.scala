@@ -43,6 +43,51 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Idempotent keyed upsert of one micro-batch into a parquet target:
+    * current table ∪ batch → latest row per key → atomic directory swap.
+    * Because the merge is keyed and deterministic, REPLAYING a batch (the
+    * failure/retry case `foreachBatch` must tolerate) converges to the same
+    * table — the exactly-once-sink recipe for stores without transactional
+    * writes. At cluster scale the swap becomes a transactional-table-format
+    * commit (the merge logic is unchanged); the shuffle is one window over
+    * the key, and `cur` is only as big as |keys|, not the stream history. */
+  def upsertLatest(batch: DataFrame, targetDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.expressions.Window
+    val s = batch.sparkSession
+    val cur =
+      if (Files.exists(Paths.get(targetDir))) s.read.parquet(targetDir)
+      else batch.limit(0)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val merged = cur.unionByName(batch.select(cur.columns.map(col): _*))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+    val tmp = targetDir + ".staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    val target = Paths.get(targetDir)
+    if (Files.exists(target)) {
+      val old = Paths.get(targetDir + ".old")
+      Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+      org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    } else {
+      Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Streaming latest-state materialization: `foreachBatch` + the idempotent
+    * upsert above. Streaming twin of
+    * [[graft.operators.Analytics]]'s latest-state compaction. */
+  def latestStateQuery(events: DataFrame, targetDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => upsertLatest(batch, targetDir))
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
   case class Ev(user_id: Long, event_type: String, ts: Timestamp)
   case class FunnelState(signupUs: Option[Long], purchaseUs: Option[Long])
   case class Conversion(user_id: Long, signup_us: Long, purchase_us: Long,
