@@ -64,4 +64,35 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back.count() == li.count())
     assert(scan.contains("PartitionFilters") || one.count() > 0)
   }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    // Bucketing pre-shuffles BOTH fact tables by the join key at write
+    // time — the 100 TB recipe for repeated fact-fact joins: pay the
+    // shuffle once per snapshot, never per query.
+    val wh = tmp()
+    val db = "graft_bucketed"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh/$db'")
+    try {
+      Tables.lineitem(spark, sfDir("sf0.001"))
+        .select("l_orderkey", "l_quantity")
+        .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(s"$db.li_b")
+      Tables.orders(spark, sfDir("sf0.001"))
+        .select("o_orderkey", "o_totalprice")
+        .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(s"$db.ord_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table(s"$db.li_b")
+          .join(spark.table(s"$db.ord_b"),
+            col("l_orderkey") === col("o_orderkey"))
+        joined.collect()
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed join must not shuffle:\n$plan")
+        assert(joined.count() ===
+          Tables.lineitem(spark, sfDir("sf0.001")).count())
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
 }
