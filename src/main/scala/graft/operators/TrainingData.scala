@@ -335,6 +335,20 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling over the decoded media: every 5th frame index of each
+    * payload's (stub-decoded) frame count, with a 25fps-derived timestamp —
+    * the row-explosion shape a video pipeline uses to fan one asset out to
+    * per-frame work items. Downstream of [[qMediaDecode]], so the real
+    * decoder slots in without touching this operator. */
+  def qMediaFrames(s: SparkSession, d: String): DataFrame =
+    qMediaDecode(s, d)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .where(col("frame_idx") % 5 === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * 40000L).as("frame_us"), col("n_frames"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -344,7 +358,8 @@ object TrainingData {
     "q_fingerprint"   -> (qFingerprint _),
     "q_ann_ivf"       -> (qAnnIvf _),
     "q_binary_meta"   -> (qBinaryMeta _),
-    "q_media_decode"  -> (qMediaDecode _))
+    "q_media_decode"  -> (qMediaDecode _),
+    "q_media_frames"  -> (qMediaFrames _))
 
   private val minhashCols = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
     s"min(($a*tok_id + $b) % 2147483647) AS h$i"
@@ -465,6 +480,13 @@ object TrainingData {
         |FROM assigned CROSS JOIN probe
         |WHERE cluster = pc AND vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "q_media_frames" ->
+      """WITH b AS (SELECT doc_id,
+        |    1 + CAST(octet_length(encode(text)) AS BIGINT) % 30 AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, f AS frame_idx, f*40000 AS frame_us, n_frames
+        |FROM (SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS f FROM b)
+        |WHERE f % 5 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
     "q_media_decode" ->
       """WITH b AS (SELECT doc_id,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LlmPipeline, TrainingData}
+
+/** Hand-computed edge cases for the dedup/media operators on a miniature
+  * corpus: short documents, exact duplicates, disjoint languages, identical
+  * and orthogonal vectors, empty text. */
+class DedupEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val mini: String = {
+    val dir = Files.createTempDirectory("graft-mini-docs").toString
+    Seq(
+      (1L, "abcd", "en", "web", 4L), // < 5 chars: no shingles, must not crash
+      (2L, "hello world hello again", "en", "web", 23L),
+      (3L, "hello world hello again", "en", "book", 23L), // exact dup of 2
+      (4L, "completely different text here", "en", "web", 30L),
+      (5L, "hello world hello again", "de", "web", 23L), // dup but other lang
+      (6L, "", "en", "web", 0L)) // empty text
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val v1 = Array.fill(64)(0.1f)
+    val v3 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    Seq((1L, v1.toSeq, 0), (2L, v1.toSeq, 0), (3L, v3.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"), col("label"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q_dedup_ngram: exact duplicates pair at jac=1.0, language-blocked") {
+    val rows = LlmPipeline.qDedupNgram(spark, mini)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.toSeq === Seq((2L, 3L, 1.0)),
+      "only the same-language exact-dup pair qualifies; short/empty docs drop out")
+  }
+
+  test("q_dedup_embed: identical vectors pair at cos=1.0; orthogonal never candidates") {
+    val rows = LlmPipeline.qDedupEmbed(spark, mini)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("q_media_decode handles empty payloads") {
+    val row = TrainingData.qMediaDecode(spark, mini)
+      .where(col("doc_id") === 6L).collect().head
+    assert(row.getLong(1) === 0L) // n_bytes
+    assert(row.getLong(2) === 0L) // byte_sum
+    assert(row.getLong(3) === 64L) // width floor
+    assert(row.getLong(5) === 1L) // n_frames floor
+  }
+
+  test("q_dedup_exact survives the empty-text document") {
+    val out = LlmPipeline.qDedupExact(spark, mini)
+    // 6 docs; 2, 3, 5 share identical text (content hash ignores language)
+    assert(out.count() === 4)
+    val survivor = out.where(col("n_copies") === 3).collect()
+    assert(survivor.length === 1 && survivor.head.getLong(0) === 2L,
+      "lowest doc_id survives the triple")
+  }
+}
