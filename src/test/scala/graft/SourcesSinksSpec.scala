@@ -95,4 +95,24 @@ class SourcesSinksSpec extends SparkSpec {
       } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
+
+  test("src_orc + sink_orc round-trip preserves data and schema") {
+    val dir = tmp() + "/li_orc"
+    li.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema === li.schema)
+    assert(back.count() === li.count())
+    assert(back.agg(sum(col("l_quantity"))).head.getDouble(0) ===
+      li.agg(sum(col("l_quantity"))).head.getDouble(0))
+  }
+
+  test("src_orc pushes filters into the ORC scan") {
+    val dir = tmp() + "/li_orc_f"
+    li.write.mode("overwrite").orc(dir)
+    val df = spark.read.orc(dir).where(col("l_orderkey") === 7L)
+    val plan = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters:") && plan.contains("EqualTo(l_orderkey"),
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
 }
