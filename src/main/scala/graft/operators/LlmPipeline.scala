@@ -83,12 +83,15 @@ object LlmPipeline {
       .join(fullSig.toDF("b_id", "b_n", "lang", "k_n", "k_s1", "k_s2"),
         Seq("lang", "k_n", "k_s1", "k_s2"))
       .where(col("a_id") =!= col("b_id"))
+      // Only equal-set pairs (a_n == b_n: full sig matched full sig) appear
+      // twice — once per direction. Orienting those by id replaces a
+      // |pairs|-sized distinct shuffle; deletion matches are unique already.
+      .where(col("a_n") =!= col("b_n") || col("a_id") < col("b_id"))
       .select(col("lang"),
         least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"),
         (least(col("a_n"), col("b_n")).cast("double") /
           greatest(col("a_n"), col("b_n")).cast("double")).as("jac"))
-      .distinct()
       .where(col("jac") >= 0.95)
       .select(col("a_id"), col("b_id"), col("lang"), Cols.r6(col("jac")).as("jac"))
       .orderBy("a_id", "b_id")
