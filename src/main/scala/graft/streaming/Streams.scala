@@ -60,7 +60,7 @@ object Streams {
       else batch.limit(0)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
-    val merged = cur.unionByName(batch.select(cur.columns.map(col): _*))
+    val merged = cur.unionByName(batch.select(cur.columns.toIndexedSeq.map(col): _*))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .drop("rn")
