@@ -1,0 +1,98 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{FloatVectorDot, MinHashAgg, ShingleHashes, SortedIntersectCount}
+
+/** ScalaCheck laws for the hand-written native kernels, checked against
+  * straightforward Scala models over random inputs (interpreted eval path —
+  * the codegen path is covered by the pipeline specs and FloatVectorDotSpec's
+  * HOF-equality run). */
+class KernelLawsSpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+
+  private def arr(xs: Seq[Long]) = ArrayData.toArrayData(xs.toArray)
+
+  test("SortedIntersectCount == |set intersection| on sorted distinct arrays") {
+    val gen = Gen.listOf(Gen.chooseNum(-1000L, 1000L))
+    check(forAll(gen, gen) { (a: List[Long], b: List[Long]) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val got = SortedIntersectCount(
+        Literal(arr(sa), ArrayType(LongType)),
+        Literal(arr(sb), ArrayType(LongType))).eval(null).asInstanceOf[Long]
+      got == sa.toSet.intersect(sb.toSet).size.toLong
+    })
+  }
+
+  test("ShingleHashes: sorted, distinct, and = hashes of the model shingle set") {
+    val asciiText = Gen.listOf(Gen.frequency(
+      9 -> Gen.alphaLowerChar, 1 -> Gen.const(' '))).map(_.mkString)
+    check(forAll(asciiText) { (text: String) =>
+      val out = ShingleHashes(Literal(UTF8String.fromString(text), StringType), 5)
+        .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      val model = text.sliding(5).filter(_.length == 5).toSeq
+        .map { w =>
+          w.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 0x100000001b3L + (b & 0xffL))
+        }.distinct.sorted
+      out == model
+    })
+  }
+
+  test("MinHashAgg lanes == elementwise min of the affine model; merge is min") {
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(1L, 100000L))
+    check(forAll(gen, gen) { (xs: List[Long], ys: List[Long]) =>
+      import MinHashAgg.{A, B, K, P}
+      def model(zs: List[Long]): Seq[Long] =
+        (0 until K).map(i => zs.map(x => (A(i) * x + B(i)) % P).min)
+      val agg = MinHashAgg(BoundReference(0, LongType, nullable = false))
+      def fold(zs: List[Long]): Array[Long] =
+        zs.foldLeft(agg.createAggregationBuffer()) { (buf, x) =>
+          agg.update(buf, org.apache.spark.sql.catalyst.InternalRow(x))
+        }
+      val bx = fold(xs)
+      val by = fold(ys)
+      val mergedModel = model(xs).zip(model(ys)).map { case (p, q) => math.min(p, q) }
+      fold(xs).toSeq == model(xs) &&
+        agg.merge(bx, by).toSeq == mergedModel &&
+        agg.deserialize(agg.serialize(by)).toSeq == model(ys)
+    })
+  }
+
+  test("FloatVectorDot == sequential double fold, symmetric") {
+    val vec = Gen.listOfN(16, Gen.chooseNum(-100f, 100f))
+    check(forAll(vec, vec) { (a: List[Float], b: List[Float]) =>
+      def lit(xs: List[Float]) =
+        Literal(ArrayData.toArrayData(xs.toArray), ArrayType(FloatType))
+      val got = FloatVectorDot(lit(a), lit(b)).eval(null).asInstanceOf[Double]
+      val sym = FloatVectorDot(lit(b), lit(a)).eval(null).asInstanceOf[Double]
+      val model = a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+        s + x.toDouble * y.toDouble
+      }
+      got == model && sym == model
+    })
+  }
+
+  test("FloatVectorDot double arrays match float arrays widened") {
+    val vec = Gen.listOfN(8, Gen.chooseNum(-10f, 10f))
+    check(forAll(vec) { (a: List[Float]) =>
+      val f = Literal(ArrayData.toArrayData(a.toArray), ArrayType(FloatType))
+      val d = Literal(ArrayData.toArrayData(a.map(_.toDouble).toArray),
+        ArrayType(DoubleType))
+      // float→double widening is exact, so the two paths must agree bitwise
+      FloatVectorDot(f, f).eval(null) == FloatVectorDot(d, d).eval(null)
+    })
+  }
+}
