@@ -188,6 +188,25 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Explicit GROUPING SETS through the `spark.sql` entry path (every other
+    * declared query uses the DataFrame API; this one exercises the SQL
+    * front door end-to-end). `grouping()` flags disambiguate real NULL keys
+    * from subtotal rows; physically identical to rollup here — one Expand +
+    * partial/final aggregate. */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        |  floor(sum(l_extendedprice*(1-l_discount))*100.0 + 0.5)/100.0 AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        |""".stripMargin)
+  }
+
   // ---- §2.4 aggregations ---------------------------------------------------
 
   /** Flagship (TPC-H Q1 shape): partial+final hash aggregate; the shuffle
@@ -324,6 +343,7 @@ object Relational {
     "q_agg_distinct"   -> (qAggDistinct _),
     "q_agg_approx"     -> (qAggApprox _),
     "q_rollup"         -> (qRollup _),
+    "q_grouping_sets"  -> (qGroupingSets _),
     "q_cube"           -> (qCube _),
     "q_having"         -> (qHaving _),
     "q_sort"           -> (qSort _),
@@ -358,6 +378,15 @@ object Relational {
         | floor((sum(l_extendedprice*(1-l_discount)))*100.0 + 0.5)/100.0 AS priority_revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        |  floor(sum(l_extendedprice*(1-l_discount))*100.0 + 0.5)/100.0 AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_join_salted" ->
       """WITH agg AS (
         |  SELECT user_id, floor(sum(value)*100.0 + 0.5)/100.0 AS user_total,
