@@ -81,13 +81,36 @@ object Windows {
       .orderBy("o_orderkey")
   }
 
+  /** Distribution trio: quartile bucket (ntile), percent_rank, cume_dist
+    * per priority class — one shared window spec, one shuffle. Unique sort
+    * key (price, orderkey) makes the ratio outputs deterministic. */
+  def qWinNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        Cols.r6(percent_rank().over(w)).as("pct_rank"),
+        Cols.r6(cume_dist().over(w)).as("cume"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_win_rank"  -> (qWinRank _),
     "q_win_lag"   -> (qWinLag _),
     "q_win_frame" -> (qWinFrame _),
-    "q_win_share" -> (qWinShare _))
+    "q_win_share" -> (qWinShare _),
+    "q_win_ntile" -> (qWinNtile _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_win_ntile" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  floor((percent_rank() OVER w)*1000000.0 + 0.5)/1000000.0 AS pct_rank,
+        |  floor((cume_dist() OVER w)*1000000.0 + 0.5)/1000000.0 AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q_win_rank" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
