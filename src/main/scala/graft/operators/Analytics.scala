@@ -115,6 +115,41 @@ object Analytics {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Keyed list/string aggregation (denormalization): each customer's
+    * sorted order-key list as one CSV string. `collect_list` is
+    * order-nondeterministic across partitions, so `array_sort` pins the
+    * output before joining — the standard trick that keeps list-agg
+    * hash-comparable across engines. One partial+final aggregate. */
+  def qCollect(s: SparkSession, d: String): DataFrame =
+    orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        array_join(transform(array_sort(collect_list(col("o_orderkey"))),
+          x => x.cast("string")), ",").as("order_keys"))
+      .orderBy("o_custkey")
+
+  /** Date-spine gap fill: one row per calendar day between min and max
+    * ship date, with missing days' revenue as 0.0 — the canonical
+    * time-series densification step. The spine is generated, not stored;
+    * the join runs on |days| rows because revenue is pre-aggregated per
+    * day below the join (at 100 TB the fact side collapses before any
+    * wide operation sees it). */
+  def qDateSpine(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val rev = li
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg(Cols.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue"))
+    val days = li
+      .agg(date_trunc("day", min(col("l_shipdate"))).as("lo"),
+        date_trunc("day", max(col("l_shipdate"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    days.join(rev, Seq("day"), "left")
+      .select(Cols.epochUs(col("day")).as("day_us"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy("day_us")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_percentile"    -> (qPercentile _),
     "q_stats_moments" -> (qStatsMoments _),
@@ -123,9 +158,28 @@ object Analytics {
     "q_latest_state"  -> (qLatestState _),
     "q_scd2"          -> (qScd2 _),
     "q_dq_checks"     -> (qDqChecks _),
-    "q_sample"        -> (qSample _))
+    "q_sample"        -> (qSample _),
+    "q_collect"       -> (qCollect _),
+    "q_date_spine"    -> (qDateSpine _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_collect" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
+        |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+    "q_date_spine" ->
+      """WITH days AS (
+        |  SELECT unnest(generate_series(
+        |    date_trunc('day', (SELECT min(l_shipdate) FROM lineitem)),
+        |    date_trunc('day', (SELECT max(l_shipdate) FROM lineitem)),
+        |    INTERVAL 1 DAY)) AS day),
+        |rev AS (SELECT date_trunc('day', l_shipdate) AS day,
+        |    floor(sum(l_extendedprice*(1-l_discount))*100.0 + 0.5)/100.0 AS revenue
+        |  FROM lineitem GROUP BY 1)
+        |SELECT epoch_us(CAST(days.day AS TIMESTAMP)) AS day_us,
+        |  coalesce(revenue, 0.0) AS revenue
+        |FROM days LEFT JOIN rev ON days.day = rev.day
+        |ORDER BY day_us""".stripMargin,
     "q_percentile" ->
       """SELECT event_type,
         | floor((quantile_cont(value, 0.5))*1000000.0 + 0.5)/1000000.0 AS p50,
