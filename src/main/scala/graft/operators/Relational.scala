@@ -244,6 +244,23 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** Approximate quantiles (GK sketch, `approx_percentile`): the
+    * constant-memory companion to [[graft.operators.Analytics.qPercentile]]'s
+    * exact interpolated percentiles — at 100 TB the exact version's
+    * per-group sort is the cost you pay only when the answer must be exact.
+    * Oracle-omitted like [[qAggApprox]] (sketch internals differ across
+    * engines); ScalaTest bounds it against the exact percentile instead. */
+  def qAggApproxQuantile(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        Cols.r2(approx_percentile(col("value"), lit(0.5), lit(1000)))
+          .as("p50_approx"),
+        Cols.r2(approx_percentile(col("value"), lit(0.9), lit(1000)))
+          .as("p90_approx"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   /** ROLLUP subtotals. NULL group markers are coalesced to 'ALL' on both
     * engines so Spark (nulls-first) vs DuckDB (nulls-last) sort order can
     * never diverge. */
@@ -342,6 +359,7 @@ object Relational {
     "q_agg_pricing"    -> (qAggPricing _),
     "q_agg_distinct"   -> (qAggDistinct _),
     "q_agg_approx"     -> (qAggApprox _),
+    "q_agg_approx_quantile" -> (qAggApproxQuantile _),
     "q_rollup"         -> (qRollup _),
     "q_grouping_sets"  -> (qGroupingSets _),
     "q_cube"           -> (qCube _),

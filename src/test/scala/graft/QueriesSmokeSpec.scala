@@ -36,4 +36,21 @@ class QueriesSmokeSpec extends SparkSpec {
         s"${r.getString(0)}: approx $a vs exact $e")
     }
   }
+
+  test("approx_percentile within 10% of exact (oracle-omitted query)") {
+    val approx = SparkEntry.queries("q_agg_approx_quantile")(spark, sfDir("sf0.001"))
+      .select(col("event_type"), col("p50_approx"), col("p90_approx"))
+    val exact = Tables.events(spark, sfDir("sf0.001"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+    approx.join(exact, "event_type").collect().foreach { r =>
+      val (a50, a90) = (r.getDouble(1), r.getDouble(2))
+      val (e50, e90) = (r.getDouble(3), r.getDouble(4))
+      assert(math.abs(a50 - e50) <= math.max(1.0, math.abs(e50) * 0.1),
+        s"${r.getString(0)}: p50 approx $a50 vs exact $e50")
+      assert(math.abs(a90 - e90) <= math.max(1.0, math.abs(e90) * 0.1),
+        s"${r.getString(0)}: p90 approx $a90 vs exact $e90")
+    }
+  }
 }
