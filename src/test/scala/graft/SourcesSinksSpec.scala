@@ -115,4 +115,18 @@ class SourcesSinksSpec extends SparkSpec {
     assert(plan.contains("PushedFilters:") && plan.contains("EqualTo(l_orderkey"),
       plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
+
+  test("src_text: line mode and wholetext mode") {
+    val dir = tmp() + "/txt"
+    Tables.documents(spark, sfDir("sf0.001"))
+      .select(col("text")).limit(10)
+      .write.mode("overwrite").text(dir)
+    val lines = spark.read.text(dir)
+    assert(lines.schema.fieldNames.toSeq === Seq("value"))
+    assert(lines.count() === 10)
+    val whole = spark.read.option("wholetext", "true").text(dir)
+    // one row per file, each holding that file's full content
+    assert(whole.count() === new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".txt")))
+  }
 }
