@@ -444,7 +444,7 @@ object LlmPipeline {
       """WITH base AS (
         |  SELECT lang, source, count(*) AS n_docs,
         |    floor((avg(n_chars))*1000000.0 + 0.5)/1000000.0 AS avg_chars,
-        |    sum(len(string_split(text, ' '))) AS n_tokens
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY 1, 2),
         |v AS (SELECT lang, source, count(DISTINCT tok) AS vocab FROM (
         |    SELECT lang, source, unnest(list_distinct(string_split(text, ' '))) AS tok

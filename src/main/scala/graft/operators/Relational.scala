@@ -199,7 +199,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
-        |  floor(sum(l_extendedprice*(1-l_discount))*100.0 + 0.5)/100.0 AS revenue,
+        |  floor(sum(l_extendedprice*(1-l_discount))*100.0D + 0.5D)/100.0D AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())

@@ -164,7 +164,7 @@ object Scalars {
     "q_json" ->
       """WITH e AS (SELECT event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
-        |SELECT event_type, count(*) AS n, sum(k) AS sum_k, max(k) AS max_k,
+        |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
         | count(DISTINCT k) AS n_k,
         | count(CASE WHEN k > 5 THEN 1 END) AS n_k_gt5
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -442,8 +442,8 @@ object TrainingData {
         |FROM q ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(CAST(len(string_split(text,' ')) AS BIGINT)) AS n_ws_tokens,
-        |  sum(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS BIGINT)) AS n_bpe_tokens,
+        |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S'))) AS BIGINT) AS n_bpe_tokens,
         |  floor((sum(n_chars)*1.0/sum(len(string_split(text,' '))))*1000000.0 + 0.5)/1000000.0 AS chars_per_tok
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_fingerprint" ->
@@ -452,7 +452,7 @@ object TrainingData {
         |            FROM documents),
         |v AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tok_id
         |      FROM (SELECT DISTINCT unnest(list_distinct(string_split(text,' '))) AS tok FROM documents)),
-        |fp AS (SELECT doc_id, sum(pos * tok_id) % 2147483647 AS fp
+        |fp AS (SELECT doc_id, CAST(sum(pos * tok_id) % 2147483647 AS BIGINT) AS fp
         |       FROM st JOIN v ON st.tok = v.tok GROUP BY 1)
         |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
         |FROM fp ORDER BY doc_id""".stripMargin,

@@ -6,15 +6,28 @@ Usage: check.py <sfDir> <outDir> [query ...]
 Reads <outDir>/<name> parquet (Spark output) and runs <outDir>/oracle_sql.json
 [name] in DuckDB with views over <sfDir>/*.parquet, then compares:
   - column names (sorted),
+  - arrow column TYPES, canonicalized but otherwise strict (decimal != int64 !=
+    double — the driver hashes raw values, so a type drift is a hash mismatch
+    even when every value coerces equal; round 1 shipped 5 of these),
   - row count,
   - cell-by-cell exact values (dates/timestamps normalized to isoformat).
 Exit code = number of failing queries.
 """
-import sys, json, glob, os
+import sys, json, glob, os, re
 import duckdb
 import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon_type(t):
+    """Canonicalize representation-only arrow differences (large_* offsets,
+    timestamp unit/zone, date width) while keeping the logical type strict."""
+    s = str(t)
+    s = s.replace("large_", "")
+    s = re.sub(r"timestamp\[[^\]]*\]", "timestamp", s)
+    s = re.sub(r"date(32|64)(\[[^\]]*\])?", "date", s)
+    s = re.sub(r"decimal\d*\(\s*(\d+)\s*,\s*(\d+)\s*\)", r"decimal(\1,\2)", s)
+    return s
 
 def normalize(v):
     import datetime, decimal, math
@@ -55,6 +68,18 @@ def main():
         scols, dcols = sorted(st.column_names), sorted(dt.column_names)
         if scols != dcols:
             print(f"FAIL {name}: cols spark={scols} duck={dcols}")
+            nfail += 1
+            continue
+        tbad = None
+        for c in scols:
+            sty = canon_type(st.schema.field(c).type)
+            dty = canon_type(dt.schema.field(c).type)
+            if sty != dty:
+                tbad = (c, sty, dty)
+                break
+        if tbad:
+            c, sty, dty = tbad
+            print(f"FAIL {name}: type col={c} spark={sty} duck={dty}")
             nfail += 1
             continue
         if st.num_rows != dt.num_rows:
