@@ -105,10 +105,10 @@ object LlmPipeline {
     * prefix shingle on both sides (c >= theta·max(n) > n − prefix), so the
     * candidate join touches ~(1−theta) of the shingle mass instead of all of
     * it, and common shingles ("the s") never become join keys. Candidates
-    * are then verified with an exact per-pair `array_intersect` over the
-    * docs' shingle ARRAYS (each side map-joined in), not a token-level
-    * shuffle — the verify cost is |candidates|·|set|, embarrassingly
-    * parallel, zero extra shuffles. Filtering trims cost, never rows.
+    * are then verified with an exact per-pair intersect count over the
+    * docs' shingle ARRAYS (each side shuffle-joined in by doc_id), not a
+    * token-level shuffle — the verify cost is |candidates|·|set|,
+    * embarrassingly parallel. Filtering trims cost, never rows.
     * Complements [[qDedupNear]] (word-set, deletion signatures): char
     * n-grams catch edits WITHIN words that word-level Jaccard misses. The
     * DuckDB oracle is the naive quadratic shingle join. */
@@ -128,22 +128,25 @@ object LlmPipeline {
       // native one-pass ShingleHashes kernel.
       val shingles = graft.functions.ShingleHashes.shingles(s) _
       documents(s, d)
-        .repartition(32)
+        .repartition(s.sparkContext.defaultParallelism)
         .where(length(col("text")) >= 5)
         .select(col("doc_id"), col("lang"), shingles(col("text"), 5).as("shs"))
     }
     val sh = docsSh.select(col("doc_id"), col("lang"), size(col("shs")).as("n"),
       explode(col("shs")).as("sh"))
-    // |distinct shingles| ≪ |corpus|: broadcast the frequency table rather
-    // than shuffling every shingle row. Set size n comes free from the
-    // array — no count-over-window pass.
+    // The frequency dictionary has |distinct shingles| rows — small here, but
+    // unbounded at corpus scale. No broadcast hint: at this SF the optimizer
+    // broadcasts it from size stats; past the threshold it degrades to a
+    // shuffle join on the shingle key, which is the only plan that still
+    // works when the dictionary itself is billions of rows. Set size n comes
+    // free from the array — no count-over-window pass.
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
     val wOrd = Window.partitionBy(col("doc_id"))
       .orderBy(col("dfreq").asc, col("sh").asc)
     // Both sides of the candidate self-join scan the prefix set — persist
     // it once rather than running the explode+window subtree twice.
     val prefix = TrainingData.cached("ngramPrefix", s, d) {
-      sh.join(broadcast(dfreq), "sh")
+      sh.join(dfreq, "sh")
         .withColumn("r", row_number().over(wOrd))
         .where(col("r") <= col("n") - ceil(lit(theta) * col("n")) + 1)
         .select(col("doc_id"), col("lang"), col("sh"), col("n"), col("r"))
@@ -159,15 +162,18 @@ object LlmPipeline {
         && col("nb") * lit(theta) <= col("na") && col("na") * lit(theta) <= col("nb")
         && lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >= alpha)
       .select(col("lang"), col("a_id"), col("b_id")).distinct()
-      // The pair set is tiny in BYTES but heavy in per-row verify CPU; AQE
-      // would coalesce it to ~1 partition and serialize the array_intersect
-      // work. Pin the parallelism explicitly.
-      .repartition(32)
     val interCount = graft.functions.SortedIntersectCount.interCount(s) _
+    // The verify stage fetches each side's shingle ARRAY by doc_id. The array
+    // table is corpus-sized, so broadcasting it is the textbook 100×-scale
+    // killer; instead both fetches are merge-hinted SHUFFLE joins — each side
+    // shuffles once on its doc key and sort-merge joins spillably, with the
+    // (far smaller) candidate-pair set as the probe stream. The join shuffle
+    // also re-spreads the pairs across the cluster, so the per-pair
+    // array_intersect CPU stays parallel without a pinned repartition.
     val arr = docsSh.select(col("doc_id"), col("shs"))
     cand
-      .join(broadcast(arr.toDF("a_id", "sha")), "a_id")
-      .join(broadcast(arr.toDF("b_id", "shb")), "b_id")
+      .join(arr.toDF("a_id", "sha").hint("merge"), "a_id")
+      .join(arr.toDF("b_id", "shb").hint("merge"), "b_id")
       .withColumn("c", interCount(col("sha"), col("shb")))
       .withColumn("jac", col("c").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("c")).cast("double"))
@@ -200,12 +206,23 @@ object LlmPipeline {
         explode(array(bandStructs: _*)).as("b"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("b.bi").as("bi"), col("b.bv").as("bv"))
+    // A pair agreeing on k bands would surface k times; keep it only at its
+    // LOWEST matching band, decidable per row from the carried embeddings
+    // (band t matches iff all 8 sign bits of dims 8t..8t+7 agree) — same
+    // trick as qDedupMinhash/qDedupSimhash. The dot product then runs once
+    // per pair and no |pairs|-sized distinct shuffle is needed.
+    def bandMatch(t: Int) = (0 until 8).map { i =>
+      (element_at(col("ea"), 8 * t + i + 1) > 0f) ===
+        (element_at(col("eb"), 8 * t + i + 1) > 0f)
+    }.reduce(_ && _)
+    val lowerBandMatches = (0 until 7)
+      .map(t => col("bi") > t && bandMatch(t)).reduce(_ || _)
     banded.toDF("a_id", "ea", "na", "bi", "bv")
       .join(banded.toDF("b_id", "eb", "nb", "bi", "bv"), Seq("bi", "bv"))
       .where(col("a_id") < col("b_id"))
+      .where(!lowerBandMatches)
       .select(col("a_id"), col("b_id"),
         (fdot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
-      .distinct()
       .where(col("cos_sim") >= 0.4)
       .select(col("a_id"), col("b_id"), Cols.r6(col("cos_sim")).as("cos_sim"))
       .orderBy("a_id", "b_id")
@@ -302,11 +319,20 @@ object LlmPipeline {
   def qTfidf(s: SparkSession, d: String): DataFrame = {
     val toks = TrainingData.allToks(s, d).withColumnRenamed("tok", "term")
     val n = documents(s, d).agg(countDistinct(col("doc_id")).as("n_total"))
-    val tf = toks.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    // ONE corpus pass: pre-aggregate per-(term, doc) occurrence counts (a
+    // doc has a single lang, so (term, doc_id) is already distinct in it),
+    // then derive BOTH tf (sum of occurrences) and df (row count — a plain
+    // count, no countDistinct expansion) from that far smaller table.
+    val perDoc = toks.groupBy(col("term"), col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_occ"))
+    val tf = perDoc.groupBy(col("lang"), col("term")).agg(sum(col("n_occ")).as("tf"))
+    val df = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(broadcast(df), "term")
+    // tf ⋈ df is vocabulary-sized on both sides: no broadcast hint — the
+    // optimizer broadcasts it at this SF and falls back to a shuffle join
+    // on `term` when the dictionary outgrows the threshold.
+    tf.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("score",
         Cols.r6(col("tf") * log(col("n_total").cast("double") / col("df"))))
