@@ -193,32 +193,33 @@ object LlmPipeline {
     * replaces the label-blocked quadratic of [[qSimPairs]]. */
   def qDedupEmbed(s: SparkSession, d: String): DataFrame = {
     val fdot = graft.functions.FloatVectorDot.dotF(s) _
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-      sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
-    val bandStructs = (0 until 8).map { t =>
-      val bv = (0 until 8).map(i =>
+    // All 8 packed band values are computed ONCE per vector here (a missing
+    // dim packs to 0 via the when/otherwise, so the dedup comparison below
+    // can never hit a null-vs-0 divergence) and CARRIED through the band
+    // join as an array<long> — the dedup predicate is then 7 long equality
+    // checks, not a re-extraction of 112 sign bits per joined row.
+    val bandVals = (0 until 8).map { t =>
+      (0 until 8).map(i =>
         when(element_at(col("embedding"), 8 * t + i + 1) > 0f, lit(1L << i))
           .otherwise(lit(0L))).reduce(_ + _)
-      struct(lit(t).as("bi"), bv.as("bv"))
     }
-    val banded = e
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(array(bandStructs: _*)).as("b"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val banded = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"),
+        array(bandVals: _*).as("bvs"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bvs"),
+        posexplode(col("bvs")).as(Seq("bi", "bv")))
     // A pair agreeing on k bands would surface k times; keep it only at its
-    // LOWEST matching band, decidable per row from the carried embeddings
-    // (band t matches iff all 8 sign bits of dims 8t..8t+7 agree) — same
-    // trick as qDedupMinhash/qDedupSimhash. The dot product then runs once
-    // per pair and no |pairs|-sized distinct shuffle is needed.
-    def bandMatch(t: Int) = (0 until 8).map { i =>
-      (element_at(col("ea"), 8 * t + i + 1) > 0f) ===
-        (element_at(col("eb"), 8 * t + i + 1) > 0f)
-    }.reduce(_ && _)
+    // LOWEST matching band, decidable per row from the carried packed band
+    // arrays — same trick as qDedupMinhash/qDedupSimhash. The dot product
+    // then runs once per pair and no |pairs|-sized distinct shuffle is
+    // needed.
     val lowerBandMatches = (0 until 7)
-      .map(t => col("bi") > t && bandMatch(t)).reduce(_ || _)
-    banded.toDF("a_id", "ea", "na", "bi", "bv")
-      .join(banded.toDF("b_id", "eb", "nb", "bi", "bv"), Seq("bi", "bv"))
+      .map(t => col("bi") > t &&
+        element_at(col("bva"), t + 1) === element_at(col("bvb"), t + 1))
+      .reduce(_ || _)
+    banded.toDF("a_id", "ea", "na", "bva", "bi", "bv")
+      .join(banded.toDF("b_id", "eb", "nb", "bvb", "bi", "bv"), Seq("bi", "bv"))
       .where(col("a_id") < col("b_id"))
       .where(!lowerBandMatches)
       .select(col("a_id"), col("b_id"),

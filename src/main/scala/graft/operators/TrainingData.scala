@@ -51,6 +51,14 @@ object TrainingData {
     (build: => DataFrame): DataFrame =
     shared.getOrElseUpdate((System.identityHashCode(s), d, name), build.persist())
 
+  /** Drop every persisted intermediate — long-lived services call this per
+    * corpus snapshot so the cache can't grow without bound. (Driver runs
+    * exit the JVM anyway; Verify/Bench call it in teardown for hygiene.) */
+  def unpersistAll(): Unit = {
+    shared.values.foreach(df => df.unpersist(blocking = false))
+    shared.clear()
+  }
+
   /** Distinct (doc_id, lang, tok) triples. */
   private[operators] def docToks(s: SparkSession, d: String): DataFrame =
     cached("docToks", s, d) {
@@ -66,11 +74,20 @@ object TrainingData {
     }
 
   /** Corpus token dictionary: tok → dense 1-based id, lexicographic order.
-    * |vocab| rows; the global window is over the dictionary only. */
+    * Ids come from `zipWithIndex` over the RANGE-SORTED distinct tokens, not
+    * a partition-less `row_number` window: the sort is a parallel range
+    * shuffle and the index job is two passes over partition counts, so a
+    * billions-token dictionary never collapses into one task. Partition
+    * order of a range-sorted RDD is the global order, so the ids are
+    * bit-identical to `row_number() OVER (ORDER BY tok)` (the oracle's
+    * formulation). */
   private[operators] def vocab(s: SparkSession, d: String): DataFrame =
     cached("vocab", s, d) {
-      docToks(s, d).select(col("tok")).distinct()
-        .withColumn("tok_id", row_number().over(Window.orderBy(col("tok"))).cast("long"))
+      import s.implicits._
+      val sorted = docToks(s, d).select(col("tok")).distinct()
+        .orderBy(col("tok")).as[String].rdd
+      s.createDataFrame(sorted.zipWithIndex().map { case (t, i) => (t, i + 1L) })
+        .toDF("tok", "tok_id")
     }
 
   /** MinHash(8) + LSH(2 bands × 4 rows) near-dup detection within language
@@ -260,11 +277,16 @@ object TrainingData {
         x => x.getField("cv")).as("cvec"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("clabel").asc)
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("ccos", Cols.r6(cos(col("embedding"), col("cvec"))))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("clabel").as("cluster"))
+    // Probe lookup AND candidate scan both read the assignment table; persist
+    // it so the centroid-build + broadcast-cross-join + per-vector window
+    // subtree materializes ONCE instead of running on each side of the join.
+    val assigned = cached("ivfAssigned", s, d) {
+      e.crossJoin(broadcast(cent))
+        .withColumn("ccos", Cols.r6(cos(col("embedding"), col("cvec"))))
+        .withColumn("rn", row_number().over(wAssign))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("embedding"), col("clabel").as("cluster"))
+    }
     val probe = broadcast(assigned.where(col("vec_id") === 0)
       .select(col("embedding").as("probe_emb"), col("cluster").as("probe_cluster")))
     assigned.crossJoin(probe)
