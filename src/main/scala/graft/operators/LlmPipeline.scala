@@ -163,17 +163,18 @@ object LlmPipeline {
         && lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >= alpha)
       .select(col("lang"), col("a_id"), col("b_id")).distinct()
     val interCount = graft.functions.SortedIntersectCount.interCount(s) _
-    // The verify stage fetches each side's shingle ARRAY by doc_id. The array
-    // table is corpus-sized, so broadcasting it is the textbook 100×-scale
-    // killer; instead both fetches are merge-hinted SHUFFLE joins — each side
-    // shuffles once on its doc key and sort-merge joins spillably, with the
-    // (far smaller) candidate-pair set as the probe stream. The join shuffle
-    // also re-spreads the pairs across the cluster, so the per-pair
-    // array_intersect CPU stays parallel without a pinned repartition.
+    // The verify stage fetches each side's shingle ARRAY by doc_id — with NO
+    // join hint, like dfreq above. At this SF the optimizer broadcasts the
+    // array table from size stats, so the candidate stream never shuffles
+    // (the r2 merge-hinted plan shuffled the pairs TWICE, the second time
+    // with a ~1.6 KB array already attached — measured 3× slower than the
+    // stats-picked plan). Past the broadcast threshold the same query
+    // degrades to shuffle sort-merge joins on the doc keys — the only plan
+    // that still works when the array table is corpus-sized.
     val arr = docsSh.select(col("doc_id"), col("shs"))
     cand
-      .join(arr.toDF("a_id", "sha").hint("merge"), "a_id")
-      .join(arr.toDF("b_id", "shb").hint("merge"), "b_id")
+      .join(arr.toDF("a_id", "sha"), "a_id")
+      .join(arr.toDF("b_id", "shb"), "b_id")
       .withColumn("c", interCount(col("sha"), col("shb")))
       .withColumn("jac", col("c").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("c")).cast("double"))

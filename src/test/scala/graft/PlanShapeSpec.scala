@@ -77,6 +77,13 @@ class PlanShapeSpec extends SparkSpec {
       "native intersect kernel missing from plan")
   }
 
+  test("q_ann_ivf reads one persisted assignment table on both join sides") {
+    val p = planOf(TrainingData.qAnnIvf(spark, d))
+    assert(p.contains("InMemoryTableScan"),
+      "probe and candidate sides must read the cached assignment, not " +
+        "recompute the centroid-build + cross-join + window subtree twice")
+  }
+
   test("q_join_salted keeps the salted key in the join and never goes cartesian") {
     val p = planOf(Relational.qJoinSalted(spark, d))
     assert(!p.contains("CartesianProduct"))
