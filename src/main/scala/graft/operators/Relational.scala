@@ -207,6 +207,38 @@ object Relational {
         |""".stripMargin)
   }
 
+  /** TPC-H Q2-shaped sourcing query: for each small part, the cheapest
+    * EUROPE-region supplier (min observed unit price over lineitem, since
+    * this schema has no partsupp), ties to the smaller s_suppkey.
+    *
+    * Scale shape: lineitem aggregates once on (l_partkey, l_suppkey) with
+    * map-side partials — the only corpus-sized shuffle; supplier ⋈ nation ⋈
+    * region is a broadcast chain (region-filtered suppliers are a small dim
+    * at any SF); part joins without a hint (stats-broadcast here, shuffle
+    * join at scale); the per-part argmin reuses the aggregate's partkey
+    * clustering for its window. */
+  def qSupplier(s: SparkSession, d: String): DataFrame = {
+    val cost = lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(Cols.r6(min(col("l_extendedprice") / col("l_quantity"))).as("unit_cost"))
+    val sup = supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val w = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("unit_cost").asc, col("s_suppkey").asc)
+    cost
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(part(s, d).where(col("p_size") <= 10),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("p_partkey"), col("p_name"), col("p_size"), col("s_name"),
+        col("n_name"), col("s_acctbal"), col("unit_cost"))
+      .orderBy("p_partkey")
+  }
+
   // ---- §2.4 aggregations ---------------------------------------------------
 
   /** Flagship (TPC-H Q1 shape): partial+final hash aggregate; the shuffle
@@ -356,6 +388,7 @@ object Relational {
     "q_join_range"     -> (qJoinRange _),
     "q_asof"           -> (qAsof _),
     "q_join_salted"    -> (qJoinSalted _),
+    "q_supplier"       -> (qSupplier _),
     "q_agg_pricing"    -> (qAggPricing _),
     "q_agg_distinct"   -> (qAggDistinct _),
     "q_agg_approx"     -> (qAggApprox _),
@@ -372,6 +405,26 @@ object Relational {
     "q_except"         -> (qExcept _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_supplier" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    floor((min(l_extendedprice / l_quantity))*1000000.0 + 0.5)/1000000.0 AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |sup AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT p_partkey, p_name, p_size, s_name, n_name, s_acctbal, unit_cost
+        |FROM (
+        |  SELECT p.p_partkey, p.p_name, p.p_size, s.s_name, s.n_name, s.s_acctbal,
+        |    c.unit_cost,
+        |    row_number() OVER (PARTITION BY p.p_partkey
+        |      ORDER BY c.unit_cost ASC, s.s_suppkey ASC) AS rk
+        |  FROM cost c JOIN sup s ON c.l_suppkey = s.s_suppkey
+        |    JOIN part p ON c.l_partkey = p.p_partkey
+        |  WHERE p.p_size <= 10)
+        |WHERE rk = 1 ORDER BY p_partkey""".stripMargin,
     "q_project" ->
       """SELECT l_orderkey, l_linenumber,
         | floor((l_extendedprice*(1-l_discount))*100.0 + 0.5)/100.0 AS revenue,

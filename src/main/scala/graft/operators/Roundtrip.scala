@@ -1,0 +1,90 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+
+/** §2.1 sources/sinks under the DRIVER's oracle (not just ScalaTest): each
+  * query writes a fixture table through a non-parquet format and reads it
+  * back with an EXPLICIT schema — never inference, which would be a second
+  * full pass over the data at corpus scale. The oracle reads the SAME rows
+  * straight from parquet, so a hash match proves the write→read cycle is
+  * lossless for every value (Spark emits shortest-round-trip doubles, quotes
+  * CSV strings, and the timestamp format pins microseconds + UTC offset so
+  * session timezone can never leak into the bytes).
+  *
+  * Scale shape: the write fans out one file per input partition and the read
+  * back is a plain multi-split FileScan — both sides parallel, no coalesce,
+  * no driver bottleneck. Timestamps leave the query as epoch-microsecond
+  * BIGINT per the repo-wide determinism convention.
+  */
+object Roundtrip {
+
+  /** Per-(sfDir, name) scratch dir so concurrent Verify/Bench runs on
+    * different SFs never clobber each other. */
+  private def scratch(d: String, name: String): String = {
+    val base = sys.env.getOrElse("GRAFT_SCRATCH",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    s"$base/graft-roundtrip/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+  }
+
+  /** The fixture's o_orderdate is TIMESTAMP_NTZ (parquet not-UTC-adjusted),
+    * so the text format carries NO zone — microsecond wall-clock digits only,
+    * deterministic under any session timezone. */
+  private val tsNtzFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+  private val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  /** customer → CSV (header, default quoting) → explicit-schema read-back. */
+  def qCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = scratch(d, "customer_csv")
+    customer(s, d).write.mode("overwrite").option("header", "true").csv(out)
+    s.read.schema(customerSchema).option("header", "true").csv(out)
+      .orderBy("c_custkey")
+  }
+
+  private val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampNTZType),
+    StructField("o_orderpriority", StringType)))
+
+  /** orders → JSON lines → explicit-schema read-back; the timestamp survives
+    * as a real TimestampNTZType through the text format (micro digits pinned
+    * by [[tsNtzFmt]]) and is emitted as epoch-us at the boundary per the
+    * repo-wide convention. */
+  def qJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = scratch(d, "orders_json")
+    orders(s, d).write.mode("overwrite")
+      .option("timestampNTZFormat", tsNtzFmt).json(out)
+    s.read.schema(ordersSchema).option("timestampNTZFormat", tsNtzFmt).json(out)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), graft.Cols.epochUs(col("o_orderdate")).as("o_date_us"),
+        col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q_csv_roundtrip"  -> (qCsvRoundtrip _),
+    "q_json_roundtrip" -> (qJsonRoundtrip _))
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_json_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  epoch_us(o_orderdate) AS o_date_us, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+}
