@@ -75,9 +75,26 @@ object Roundtrip {
       .orderBy("o_orderkey")
   }
 
+  private val partSchema = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  /** part → ORC → explicit-schema read-back (columnar sink beyond parquet;
+    * the ScalaTest side additionally proves ORC predicate pushdown). */
+  def qOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = scratch(d, "part_orc")
+    part(s, d).write.mode("overwrite").orc(out)
+    s.read.schema(partSchema).orc(out).orderBy("p_partkey")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_csv_roundtrip"  -> (qCsvRoundtrip _),
-    "q_json_roundtrip" -> (qJsonRoundtrip _))
+    "q_json_roundtrip" -> (qJsonRoundtrip _),
+    "q_orc_roundtrip"  -> (qOrcRoundtrip _))
 
   val oracles: ListMap[String, String] = ListMap(
     "q_csv_roundtrip" ->
@@ -86,5 +103,8 @@ object Roundtrip {
     "q_json_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  epoch_us(o_orderdate) AS o_date_us, o_orderpriority
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin)
 }
