@@ -215,8 +215,10 @@ object Relational {
     * map-side partials — the only corpus-sized shuffle; supplier ⋈ nation ⋈
     * region is a broadcast chain (region-filtered suppliers are a small dim
     * at any SF); part joins without a hint (stats-broadcast here, shuffle
-    * join at scale); the per-part argmin reuses the aggregate's partkey
-    * clustering for its window. */
+    * join at scale). The per-part argmin is `min(struct(...))` — struct
+    * ordering is lexicographic, so (unit_cost, s_suppkey, …) encodes the
+    * ORDER BY including the unique tiebreak, and the aggregate gets
+    * map-side partial combine where a ranking window would full-sort. */
   def qSupplier(s: SparkSession, d: String): DataFrame = {
     val cost = lineitem(s, d)
       .groupBy(col("l_partkey"), col("l_suppkey"))
@@ -226,16 +228,17 @@ object Relational {
       .join(broadcast(region(s, d).where(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
-    val w = Window.partitionBy(col("p_partkey"))
-      .orderBy(col("unit_cost").asc, col("s_suppkey").asc)
     cost
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(part(s, d).where(col("p_size") <= 10),
         col("l_partkey") === col("p_partkey"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("p_partkey"), col("p_name"), col("p_size"), col("s_name"),
-        col("n_name"), col("s_acctbal"), col("unit_cost"))
+      .groupBy(col("p_partkey"), col("p_name"), col("p_size"))
+      .agg(min(struct(col("unit_cost"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("s_acctbal"))).as("best"))
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        col("best.s_name").as("s_name"), col("best.n_name").as("n_name"),
+        col("best.s_acctbal").as("s_acctbal"),
+        col("best.unit_cost").as("unit_cost"))
       .orderBy("p_partkey")
   }
 

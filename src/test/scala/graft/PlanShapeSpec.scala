@@ -84,6 +84,29 @@ class PlanShapeSpec extends SparkSpec {
         "recompute the centroid-build + cross-join + window subtree twice")
   }
 
+  test("q_supplier broadcasts the dim chain and partial-aggregates the argmin") {
+    val p = planOf(Relational.qSupplier(spark, d))
+    assert(p.contains("BroadcastHashJoin"), "supplier/nation/region must broadcast")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 4, // partial+final for unit-cost agg AND min(struct) argmin
+      s"min(struct) argmin should aggregate with map-side partials, got:\n$p")
+    assert(!p.contains("Window"), "argmin must not fall back to a ranking window")
+  }
+
+  test("q_repetition computes entirely inside the row — no shuffle before the sort") {
+    val p = planOf(CorpusFilters.qRepetition(spark, d))
+    // the only Exchange allowed is the output sort's rangepartitioning —
+    // any hashpartitioning means a join/agg shuffle crept into the signals
+    assert(!p.contains("hashpartitioning"),
+      s"repetition signals must need no shuffle (only the output sort), got:\n$p")
+  }
+
+  test("q_contamination broadcasts the bounded eval-gram side") {
+    val p = planOf(CorpusFilters.qContamination(spark, d))
+    assert(p.contains("BroadcastHashJoin"),
+      "eval suite grams are bounded by construction and must broadcast")
+  }
+
   test("q_join_salted keeps the salted key in the join and never goes cartesian") {
     val p = planOf(Relational.qJoinSalted(spark, d))
     assert(!p.contains("CartesianProduct"))
