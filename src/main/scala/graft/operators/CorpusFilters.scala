@@ -3,6 +3,7 @@ package graft.operators
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -106,10 +107,60 @@ object CorpusFilters {
       .orderBy("lang", "source")
   }
 
+  /** Pretraining sequence packing: docs are laid head-to-tail into 512-token
+    * training sequences within (lang, shard) streams — shard = doc_id mod 32,
+    * because packing is inherently sequential and a single per-language
+    * stream would serialize the corpus at scale; per-shard streams are how a
+    * distributed packer actually shards the work, and the shard key also
+    * caps window-partition size (no whole-language sort on one executor).
+    * Per doc: its token offset in the stream, the sequence its first token
+    * lands in, and whether it straddles a sequence boundary. */
+  def qSeqPack(s: SparkSession, d: String): DataFrame = {
+    val L = 512
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("shard", pmod(col("doc_id"), lit(32L)))
+      .withColumn("tok_end", sum(col("n_tok")).over(w))
+      .withColumn("tok_offset", col("tok_end") - col("n_tok"))
+      .withColumn("seq_id", floor(col("tok_offset") / L))
+      .withColumn("spans_boundary",
+        floor((col("tok_end") - 1) / L) =!= col("seq_id"))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
+        col("tok_offset"), col("seq_id"), col("spans_boundary"))
+      .orderBy("doc_id")
+  }
+
+  /** Symmetric int8 embedding quantization (the storage format a
+    * billion-vector ANN index actually holds): per vector, scale =
+    * max|v|/127, codes = floor(v/scale + 0.5) — explicit half-up on BOTH
+    * engines, never `round` (whose half-way tie rule differs across
+    * engines) — plus the L2 reconstruction error. Entirely inside the row:
+    * zero shuffles at any corpus size. */
+  def qVecQuantize(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("dv", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("mx", expr("aggregate(dv, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("scale", col("mx") / 127.0)
+      .withColumn("q", expr(
+        "transform(dv, x -> CAST(floor(x / nullif(scale, 0.0) + 0.5) AS BIGINT))"))
+      .withColumn("err", expr(
+        "sqrt(aggregate(zip_with(dv, q, (x, c) -> pow(x - coalesce(c, CAST(0 AS BIGINT)) * scale, 2)), " +
+          "CAST(0 AS DOUBLE), (a, e) -> a + e))"))
+      .select(col("vec_id"), col("label"),
+        Cols.r6(col("scale") * 1000.0).as("scale_x1000"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, c) -> a + abs(coalesce(c, CAST(0 AS BIGINT))))")
+          .as("l1_codes"),
+        Cols.r6(col("err")).as("recon_err"))
+      .orderBy("vec_id")
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_repetition"    -> (qRepetition _),
     "q_contamination" -> (qContamination _),
-    "q_mix_weights"   -> (qMixWeights _))
+    "q_mix_weights"   -> (qMixWeights _),
+    "q_seq_pack"      -> (qSeqPack _),
+    "q_vec_quantize"  -> (qVecQuantize _))
 
   val oracles: ListMap[String, String] = ListMap(
     "q_repetition" ->
@@ -154,5 +205,38 @@ object CorpusFilters {
         |SELECT lang, source, n_docs, n_tokens,
         |  floor((n_tokens*1.0/tot_tokens)*1000000.0 + 0.5)/1000000.0 AS token_share,
         |  floor((tot_tokens*1.0/(n_strata*n_tokens))*1000000.0 + 0.5)/1000000.0 AS mix_weight
-        |FROM strata CROSS JOIN tot ORDER BY lang, source""".stripMargin)
+        |FROM strata CROSS JOIN tot ORDER BY lang, source""".stripMargin,
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, doc_id % 32 AS shard,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, shard, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+        |  FROM t)
+        |SELECT doc_id, lang, shard, n_tok,
+        |  tok_end - n_tok AS tok_offset,
+        |  CAST(floor((tok_end - n_tok) / 512.0) AS BIGINT) AS seq_id,
+        |  (CAST(floor((tok_end - 1) / 512.0) AS BIGINT)
+        |    <> CAST(floor((tok_end - n_tok) / 512.0) AS BIGINT)) AS spans_boundary
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_vec_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, label, dv,
+        |        list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale
+        |      FROM v),
+        |q AS (SELECT vec_id, label, dv, scale,
+        |        list_transform(dv, x -> CAST(floor(x / nullif(scale, 0.0) + 0.5) AS BIGINT)) AS codes
+        |      FROM m)
+        |SELECT vec_id, label,
+        |  floor((scale * 1000.0)*1000000.0 + 0.5)/1000000.0 AS scale_x1000,
+        |  CAST(list_sum(list_transform(codes, c -> abs(coalesce(c, 0)))) AS BIGINT) AS l1_codes,
+        |  floor((sqrt(list_sum(list_transform(list_zip(dv, codes),
+        |    p -> pow(p[1] - coalesce(p[2], 0) * scale, 2)))))*1000000.0 + 0.5)/1000000.0 AS recon_err
+        |FROM q ORDER BY vec_id""".stripMargin)
 }

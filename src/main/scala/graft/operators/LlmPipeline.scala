@@ -30,18 +30,18 @@ import graft.functions.VectorFunctions._
   */
 object LlmPipeline {
 
-  /** Exact dedup by normalized content hash; survivor = lowest doc_id. */
-  def qDedupExact(s: SparkSession, d: String): DataFrame = {
-    val h = sha2(lower(trim(col("text"))), 256)
-    val w = Window.partitionBy(col("hash"))
+  /** Exact dedup by normalized content hash; survivor = lowest doc_id.
+    * One groupBy on the hash (min doc_id + count) instead of a ranking
+    * window: map-side partial combine collapses duplicate groups BEFORE the
+    * shuffle, so at 100 TB the exchange carries ~|distinct docs| rows and
+    * no per-partition sort ever runs. */
+  def qDedupExact(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("hash", h)
-      .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
-      .withColumn("n_copies", count(lit(1)).over(w))
-      .where(col("rn") === 1)
+      .withColumn("hash", sha2(lower(trim(col("text"))), 256))
+      .groupBy(col("hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("hash"), col("n_copies"))
       .orderBy("doc_id")
-  }
 
   /** Near-dup pairs: distinct-word-set Jaccard >= 0.95 within a language
     * block — via DELETION SIGNATURES (SymSpell-style), not an all-pairs
