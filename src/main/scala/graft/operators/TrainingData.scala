@@ -371,6 +371,27 @@ object TrainingData {
         (col("frame_idx") * 40000L).as("frame_us"), col("n_frames"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Resize planning over the decoded media: letterbox every asset into a
+    * 224×224 training canvas — integer-only arithmetic (scale in 1/10000
+    * units, floor semantics) so both engines compute identical plans. The
+    * actual pixel resample belongs inside the per-partition decoder
+    * ([[qMediaDecode]]); THIS op is the metadata pass a pipeline runs to
+    * batch assets by output geometry. Pure row-level arithmetic: zero
+    * shuffles at any corpus size. */
+  def qMediaResize(s: SparkSession, d: String): DataFrame = {
+    qMediaDecode(s, d)
+      // basis points, integral floor div — min(T/w, T/h) * 10000 for T=224
+      .withColumn("scale_bp",
+        expr("least(2240000L div width, 2240000L div height)"))
+      .withColumn("out_w", expr("(width * scale_bp) div 10000L"))
+      .withColumn("out_h", expr("(height * scale_bp) div 10000L"))
+      .withColumn("pad_x", expr("(224L - out_w) div 2L"))
+      .withColumn("pad_y", expr("(224L - out_h) div 2L"))
+      .select(col("doc_id"), col("width"), col("height"), col("scale_bp"),
+        col("out_w"), col("out_h"), col("pad_x"), col("pad_y"))
+      .orderBy("doc_id")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -381,7 +402,8 @@ object TrainingData {
     "q_ann_ivf"       -> (qAnnIvf _),
     "q_binary_meta"   -> (qBinaryMeta _),
     "q_media_decode"  -> (qMediaDecode _),
-    "q_media_frames"  -> (qMediaFrames _))
+    "q_media_frames"  -> (qMediaFrames _),
+    "q_media_resize"  -> (qMediaResize _))
 
   private val minhashCols = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
     s"min(($a*tok_id + $b) % 2147483647) AS h$i"
@@ -520,6 +542,26 @@ object TrainingData {
         |  64 + (byte_sum*31 + n_bytes) % 192 AS height,
         |  1 + n_bytes % 30 AS n_frames
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q_media_resize" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CAST(list_sum(list_transform(range(1, len(text)+1),
+        |      i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum
+        |  FROM documents),
+        |dec AS (SELECT doc_id,
+        |    64 + byte_sum % 192 AS width,
+        |    64 + (byte_sum*31 + n_bytes) % 192 AS height
+        |  FROM b),
+        |sc AS (SELECT doc_id, width, height,
+        |    least(2240000 // width, 2240000 // height) AS scale_bp
+        |  FROM dec),
+        |o AS (SELECT doc_id, width, height, scale_bp,
+        |    (width * scale_bp) // 10000 AS out_w,
+        |    (height * scale_bp) // 10000 AS out_h
+        |  FROM sc)
+        |SELECT doc_id, width, height, scale_bp, out_w, out_h,
+        |  (224 - out_w) // 2 AS pad_x, (224 - out_h) // 2 AS pad_y
+        |FROM o ORDER BY doc_id""".stripMargin,
     "q_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
