@@ -108,20 +108,21 @@ object CorpusFilters {
   }
 
   /** Pretraining sequence packing: docs are laid head-to-tail into 512-token
-    * training sequences within (lang, shard) streams — shard = doc_id mod 32,
-    * because packing is inherently sequential and a single per-language
-    * stream would serialize the corpus at scale; per-shard streams are how a
-    * distributed packer actually shards the work, and the shard key also
-    * caps window-partition size (no whole-language sort on one executor).
-    * Per doc: its token offset in the stream, the sequence its first token
-    * lands in, and whether it straddles a sequence boundary. */
+    * training sequences within (lang, shard) streams — shard = doc_id DIV
+    * 1000, i.e. streams of at most 1000 docs whose COUNT grows with the
+    * corpus (a fixed modulus would cap shard count instead, leaving each
+    * stream corpus-sized — a one-task sort at 100 TB). Packing is inherently
+    * sequential, so bounded per-shard streams are exactly how a distributed
+    * packer shards the work. Per doc: its token offset in the stream, the
+    * sequence its first token lands in, and whether it straddles a sequence
+    * boundary. */
   def qSeqPack(s: SparkSession, d: String): DataFrame = {
     val L = 512
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     documents(s, d)
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
-      .withColumn("shard", pmod(col("doc_id"), lit(32L)))
+      .withColumn("shard", floor(col("doc_id") / 1000L))
       .withColumn("tok_end", sum(col("n_tok")).over(w))
       .withColumn("tok_offset", col("tok_end") - col("n_tok"))
       .withColumn("seq_id", floor(col("tok_offset") / L))
@@ -208,7 +209,7 @@ object CorpusFilters {
         |FROM strata CROSS JOIN tot ORDER BY lang, source""".stripMargin,
     "q_seq_pack" ->
       """WITH t AS (
-        |  SELECT doc_id, lang, doc_id % 32 AS shard,
+        |  SELECT doc_id, lang, doc_id // 1000 AS shard,
         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
         |  FROM documents),
         |c AS (
