@@ -66,12 +66,16 @@ object CorpusFilters {
     * (the oracle joins the gram strings — identical membership up to a
     * ~|grams|²/2⁶⁴ collision, far below the rounding noise floor). */
   def qContamination(s: SparkSession, d: String): DataFrame = {
-    val grams = documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .where(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(1, size(toks) - 4), " +
-          "i -> xxhash64(concat_ws(' ', slice(toks, i, 5))))"))).as("gh"))
+    // The gram table feeds three subtrees (eval set, per-doc totals, match
+    // counts) — persist it once rather than re-shingling the corpus 3×.
+    val grams = TrainingData.cached("contamGrams", s, d) {
+      documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .where(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(toks) - 4), " +
+            "i -> xxhash64(concat_ws(' ', slice(toks, i, 5))))"))).as("gh"))
+    }
     // Eval suites are bounded (MBs) no matter how big the corpus grows —
     // the one broadcast in this module that is justified at ANY scale.
     val ev = broadcast(grams.where(col("doc_id") % 100 === 0)
@@ -91,10 +95,14 @@ object CorpusFilters {
     * the stratum's share of corpus tokens, and the up/down-sampling weight
     * that would equalize token mass across strata (uniform target). */
   def qMixWeights(s: SparkSession, d: String): DataFrame = {
-    val strata = documents(s, d)
-      .groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " "))).as("n_tokens"))
+    // tot derives from strata: persist the per-stratum aggregate so the
+    // corpus scan+agg runs once, not once per consumer.
+    val strata = TrainingData.cached("mixStrata", s, d) {
+      documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("n_tokens"))
+    }
     val tot = strata.agg(sum(col("n_tokens")).as("tot_tokens"),
       count(lit(1)).as("n_strata"))
     strata.crossJoin(broadcast(tot))
