@@ -69,8 +69,12 @@ object LlmPipeline {
     val toks = TrainingData.docToks(s, d)
       .withColumn("h1", pmod(xxhash64(col("tok")), lit(M)))
       .withColumn("h2", pmod(xxhash64(lit("graft-family-2"), col("tok")), lit(M)))
-    val docs = toks.groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n"), sum(col("h1")).as("s1"), sum(col("h2")).as("s2"))
+    // Per-doc sums feed BOTH signature families (full + one-token deletions);
+    // persist so the token-stream aggregate runs once, not once per family.
+    val docs = TrainingData.cached("nearDocSums", s, d) {
+      toks.groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("h1")).as("s1"), sum(col("h2")).as("s2"))
+    }
     val fullSig = docs.select(col("doc_id"), col("n"), col("lang"),
       col("n").as("k_n"), col("s1").as("k_s1"), col("s2").as("k_s2"))
     val delSig = toks
@@ -325,8 +329,12 @@ object LlmPipeline {
     // doc has a single lang, so (term, doc_id) is already distinct in it),
     // then derive BOTH tf (sum of occurrences) and df (row count — a plain
     // count, no countDistinct expansion) from that far smaller table.
-    val perDoc = toks.groupBy(col("term"), col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_occ"))
+    // The (term, doc) occurrence table feeds both tf and df; persist so the
+    // corpus-sized aggregate materializes once, not once per consumer.
+    val perDoc = TrainingData.cached("tfidfPerDoc", s, d) {
+      toks.groupBy(col("term"), col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_occ"))
+    }
     val tf = perDoc.groupBy(col("lang"), col("term")).agg(sum(col("n_occ")).as("tf"))
     val df = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("lang"))
