@@ -44,10 +44,19 @@ object Roundtrip {
     StructField("c_acctbal", DoubleType),
     StructField("c_mktsegment", StringType)))
 
-  /** customer → CSV (header, default quoting) → explicit-schema read-back. */
+  /** customer → CSV (header, default quoting) → explicit-schema read-back.
+    * The writer's whitespace trimming is DISABLED (it defaults on and would
+    * silently eat leading/trailing spaces — RoundtripSpec proves the gap).
+    * Values with embedded newlines additionally need `multiLine=true` on
+    * read, which makes files non-splittable — a newline-bearing corpus
+    * should take the JSON-lines path instead (escapes `\n`, stays
+    * splittable); the spec documents both behaviors. */
   def qCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val out = scratch(d, "customer_csv")
-    customer(s, d).write.mode("overwrite").option("header", "true").csv(out)
+    customer(s, d).write.mode("overwrite").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(out)
     s.read.schema(customerSchema).option("header", "true").csv(out)
       .orderBy("c_custkey")
   }
