@@ -100,10 +100,31 @@ object Roundtrip {
     s.read.schema(partSchema).orc(out).orderBy("p_partkey")
   }
 
+  /** documents → hive-partitioned parquet (one directory per lang) →
+    * read-back. The partition column leaves the data files and comes back
+    * from directory names — the layout every 100 TB corpus uses so that
+    * per-language jobs scan 1/|langs| of the data (partition pruning is
+    * pinned in PlanShapeSpec). Text is dropped from the round-trip output
+    * to keep the oracle row narrow; n_chars stands in as the payload. */
+  def qPartitionedRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = scratch(d, "documents_bylang")
+    documents(s, d).select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    partitionedRead(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** The read side of [[qPartitionedRoundtrip]] — separated so the spec can
+    * pin partition pruning on a lang predicate over the same layout. */
+  private[graft] def partitionedRead(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(scratch(d, "documents_bylang"))
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_csv_roundtrip"  -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
-    "q_orc_roundtrip"  -> (qOrcRoundtrip _))
+    "q_orc_roundtrip"  -> (qOrcRoundtrip _),
+    "q_partitioned_roundtrip" -> (qPartitionedRoundtrip _))
 
   val oracles: ListMap[String, String] = ListMap(
     "q_csv_roundtrip" ->
@@ -115,5 +136,8 @@ object Roundtrip {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
-        |FROM part ORDER BY p_partkey""".stripMargin)
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_partitioned_roundtrip" ->
+      """SELECT doc_id, source, n_chars, lang
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

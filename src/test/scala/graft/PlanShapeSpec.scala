@@ -107,6 +107,14 @@ class PlanShapeSpec extends SparkSpec {
       "eval suite grams are bounded by construction and must broadcast")
   }
 
+  test("partitioned round-trip read prunes partitions on the lang predicate") {
+    Roundtrip.qPartitionedRoundtrip(spark, d).count() // materialize the layout
+    val p = planOf(Roundtrip.partitionedRead(spark, d)
+      .where(org.apache.spark.sql.functions.col("lang") === "en"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("lang"), s"lang predicate must prune directories: $p")
+  }
+
   test("q_join_salted keeps the salted key in the join and never goes cartesian") {
     val p = planOf(Relational.qJoinSalted(spark, d))
     assert(!p.contains("CartesianProduct"))
