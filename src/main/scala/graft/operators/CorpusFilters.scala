@@ -164,12 +164,62 @@ object CorpusFilters {
         Cols.r6(col("err")).as("recon_err"))
       .orderBy("vec_id")
 
+  /** Inverted index (term → document-frequency + capped posting list): the
+    * corpus asset retrieval and dedup-audit tooling read. One shuffle on the
+    * term; postings are sorted and capped at 10 BEFORE leaving the
+    * aggregate, then emitted as a joined string (the repo's q_collect
+    * convention for cross-engine list determinism). At 100 TB the posting
+    * cap is what keeps stop-word rows bounded. */
+  def qDocIndex(s: SparkSession, d: String): DataFrame =
+    TrainingData.docToks(s, d)
+      .groupBy(col("tok").as("term"))
+      .agg(count(lit(1)).as("df_docs"),
+        array_join(slice(array_sort(collect_list(col("doc_id"))), 1, 10), ",")
+          .as("postings"))
+      .orderBy("term")
+
+  /** Bigram collocations by pointwise mutual information:
+    * pmi = ln((c_ab/N) / ((c_a/n1)·(c_b/n1))) over consecutive token pairs,
+    * min count 5, top-20. Bigram and unigram tables are vocabulary-sized —
+    * their joins carry no hint (stats-broadcast here, shuffle join once a
+    * real vocabulary outgrows the threshold); the two grand totals ride a
+    * single-row broadcast. */
+  def qBigramPmi(s: SparkSession, d: String): DataFrame = {
+    val big = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+        .as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val uni = TrainingData.allToks(s, d)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = big.agg(sum(col("c_ab")).as("n_big"))
+      .crossJoin(uni.agg(sum(col("c")).as("n_uni")))
+    big
+      .join(uni.toDF("a", "c_a"), "a")
+      .join(uni.toDF("b", "c_b"), "b")
+      .crossJoin(broadcast(tot))
+      .where(col("c_ab") >= 5)
+      .withColumn("pmi", Cols.r6(log(
+        (col("c_ab").cast("double") / col("n_big")) /
+          ((col("c_a").cast("double") / col("n_uni"))
+            * (col("c_b").cast("double") / col("n_uni"))))))
+      .select(col("a"), col("b"), col("c_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(20)
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_repetition"    -> (qRepetition _),
     "q_contamination" -> (qContamination _),
     "q_mix_weights"   -> (qMixWeights _),
     "q_seq_pack"      -> (qSeqPack _),
-    "q_vec_quantize"  -> (qVecQuantize _))
+    "q_vec_quantize"  -> (qVecQuantize _),
+    "q_doc_index"     -> (qDocIndex _),
+    "q_bigram_pmi"    -> (qBigramPmi _))
 
   val oracles: ListMap[String, String] = ListMap(
     "q_repetition" ->
@@ -247,5 +297,27 @@ object CorpusFilters {
         |  CAST(list_sum(list_transform(codes, c -> abs(coalesce(c, 0)))) AS BIGINT) AS l1_codes,
         |  floor((sqrt(list_sum(list_transform(list_zip(dv, codes),
         |    p -> pow(p[1] - coalesce(p[2], 0) * scale, 2)))))*1000000.0 + 0.5)/1000000.0 AS recon_err
-        |FROM q ORDER BY vec_id""".stripMargin)
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "q_doc_index" ->
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+        |           FROM documents)
+        |SELECT tok AS term, CAST(count(*) AS BIGINT) AS df_docs,
+        |  array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
+        |FROM t GROUP BY tok ORDER BY term""".stripMargin,
+    "q_bigram_pmi" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |big AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM (
+        |  SELECT ts[i] AS a, ts[i+1] AS b
+        |  FROM toks, unnest(range(1, len(ts))) AS r(i)
+        |  WHERE len(ts) >= 2) GROUP BY 1, 2),
+        |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+        |  SELECT unnest(string_split(text,' ')) AS tok FROM documents) GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(c_ab) AS BIGINT) FROM big) AS n_big,
+        |               (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_uni)
+        |SELECT a, b, c_ab,
+        |  floor((ln((c_ab*1.0/n_big) / ((ca.c*1.0/n_uni) * (cb.c*1.0/n_uni))))*1000000.0 + 0.5)/1000000.0 AS pmi
+        |FROM big JOIN uni ca ON big.a = ca.tok JOIN uni cb ON big.b = cb.tok
+        |CROSS JOIN tot
+        |WHERE c_ab >= 5
+        |ORDER BY pmi DESC, a ASC, b ASC LIMIT 20""".stripMargin)
 }
