@@ -234,6 +234,50 @@ object LlmPipeline {
       .orderBy("a_id", "b_id")
   }
 
+  /** Near-dup CLUSTERS: the step after pair generation that an actual dedup
+    * job runs — connected components over the [[qDedupNear]] pair graph via
+    * MIN-LABEL PROPAGATION (Pregel shape: each round every doc takes the
+    * min label among itself and its neighbors; one shuffle per round,
+    * O(component diameter) rounds, each iteration's labels persisted and
+    * the previous unpersisted so lineage stays flat). Every doc gets its
+    * component's min doc_id as cluster_id (singletons cluster with
+    * themselves), the component size, and a survivor flag — exactly the
+    * keep/drop decision a 100 TB dedup emits. The DuckDB oracle computes
+    * the same components independently via a recursive transitive-closure
+    * CTE. */
+  def qDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = qDedupNear(s, d).select(col("a_id"), col("b_id"))
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist()
+    var labels = documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("label")).persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .persist()
+      converged = next.as("n").join(labels.as("p"), "doc_id")
+        .where(col("n.label") =!= col("p.label")).isEmpty
+      labels.unpersist(blocking = false)
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist(blocking = false)
+    // final-round labels STAY persisted — the returned plan reads them; they
+    // are released with the session (or an explicit unpersistAll-style sweep)
+    labels
+      .withColumnRenamed("label", "cluster_id")
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Top-10 cosine neighbors of probe vec_id=0 (brute force, broadcast probe;
     * TakeOrderedAndProject keeps only k rows per partition). */
   def qSimTopk(s: SparkSession, d: String): DataFrame = {
@@ -371,6 +415,7 @@ object LlmPipeline {
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_dedup_exact"  -> (qDedupExact _),
     "q_dedup_near"   -> (qDedupNear _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_ngram"  -> (qDedupNgram _),
     "q_dedup_embed"  -> (qDedupEmbed _),
     "q_sim_topk"     -> (qSimTopk _),
@@ -408,6 +453,31 @@ object LlmPipeline {
         |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
         |WHERE c*1.0/(sa.n + sb.n - c) >= 0.95
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |           FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |          FROM t a JOIN t b ON a.lang = b.lang AND a.tok = b.tok
+        |            AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2, 3),
+        |pairs AS (SELECT a_id, b_id
+        |          FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |          WHERE c*1.0/(sa.n + sb.n - c) >= 0.95),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |lab AS (SELECT dd.doc_id,
+        |          least(dd.doc_id, coalesce(min(r.d), dd.doc_id)) AS cluster_id
+        |        FROM documents dd LEFT JOIN reach r ON r.s = dd.doc_id
+        |        GROUP BY dd.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |  (doc_id = cluster_id) AS is_survivor
+        |FROM lab ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram" ->
       """WITH s AS (
         |  SELECT doc_id, lang,
