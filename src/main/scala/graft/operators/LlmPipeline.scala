@@ -238,8 +238,11 @@ object LlmPipeline {
     * job runs — connected components over the [[qDedupNear]] pair graph via
     * MIN-LABEL PROPAGATION (Pregel shape: each round every doc takes the
     * min label among itself and its neighbors; one shuffle per round,
-    * O(component diameter) rounds, each iteration's labels persisted and
-    * the previous unpersisted so lineage stays flat). Every doc gets its
+    * O(component diameter) rounds, each round's labels LOCAL-CHECKPOINTED —
+    * persist alone is not enough for iterative plans, because the analyzer
+    * re-walks the logically-nested plan every round and its cost compounds
+    * per iteration (measured 16 s/round by round 10 at sf0.1; checkpointing
+    * truncates the lineage and holds it at ~0.3 s/round)). Every doc gets its
     * component's min doc_id as cluster_id (singletons cluster with
     * themselves), the component size, and a survivor flag — exactly the
     * keep/drop decision a 100 TB dedup emits. The DuckDB oracle computes
@@ -249,9 +252,9 @@ object LlmPipeline {
     val pairs = qDedupNear(s, d).select(col("a_id"), col("b_id"))
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .persist()
+      .localCheckpoint(true)
     var labels = documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("label")).persist()
+      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -260,16 +263,12 @@ object LlmPipeline {
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
       converged = next.as("n").join(labels.as("p"), "doc_id")
         .where(col("n.label") =!= col("p.label")).isEmpty
-      labels.unpersist(blocking = false)
       labels = next
       rounds += 1
     }
-    edges.unpersist(blocking = false)
-    // final-round labels STAY persisted — the returned plan reads them; they
-    // are released with the session (or an explicit unpersistAll-style sweep)
     labels
       .withColumnRenamed("label", "cluster_id")
       .withColumn("cluster_size",
