@@ -260,9 +260,18 @@ object LlmPipeline {
     while (!converged && rounds < 50) {
       val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nl"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+      val prop = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // pointer jumping: follow the new label one hop (label[label]) —
+      // labels are monotone non-increasing within a component, so the
+      // shortcut preserves the fixpoint while collapsing O(diameter)
+      // rounds to O(log diameter)
+      val next = prop.as("p")
+        .join(prop.select(col("doc_id").as("lid"), col("label").as("ll")).as("q"),
+          col("p.label") === col("q.lid"), "left")
+        .select(col("p.doc_id").as("doc_id"),
+          coalesce(col("q.ll"), col("p.label")).as("label"))
         .localCheckpoint(true)
       converged = next.as("n").join(labels.as("p"), "doc_id")
         .where(col("n.label") =!= col("p.label")).isEmpty
