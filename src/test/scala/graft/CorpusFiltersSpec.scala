@@ -57,6 +57,27 @@ class CorpusFiltersSpec extends SparkSpec {
     }
   }
 
+  test("dedup clusters match a driver-side union-find over the same pairs") {
+    val pairs = operators.LlmPipeline.qDedupNear(spark, d)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = operators.LlmPipeline.qDedupClusters(spark, d)
+      .select("doc_id", "cluster_id").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(1) == find(r.getLong(0)),
+        s"doc ${r.getLong(0)}: spark=${r.getLong(1)} union-find=${find(r.getLong(0))}")
+    }
+  }
+
   test("seq_pack offsets are contiguous within each (lang, shard) stream") {
     val rows = CorpusFilters.qSeqPack(spark, d)
       .select(col("lang"), col("shard"), col("doc_id"), col("n_tok"),
