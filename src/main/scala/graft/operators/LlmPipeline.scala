@@ -63,43 +63,49 @@ object LlmPipeline {
     * the corpus, and needs no corpus-wide token dictionary (which would
     * cost a global window at 100 TB). The DuckDB oracle is the independent
     * naive quadratic join — different algorithm, same answer. */
-  def qDedupNear(s: SparkSession, d: String): DataFrame = {
-    // 40-bit masks keep per-doc sums < 2^46: no long overflow under ANSI.
-    val M = 1L << 40
-    val toks = TrainingData.docToks(s, d)
-      .withColumn("h1", pmod(xxhash64(col("tok")), lit(M)))
-      .withColumn("h2", pmod(xxhash64(lit("graft-family-2"), col("tok")), lit(M)))
-    // Per-doc sums feed BOTH signature families (full + one-token deletions);
-    // persist so the token-stream aggregate runs once, not once per family.
-    val docs = TrainingData.cached("nearDocSums", s, d) {
-      toks.groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("n"), sum(col("h1")).as("s1"), sum(col("h2")).as("s2"))
+  def qDedupNear(s: SparkSession, d: String): DataFrame =
+    nearPairs(s, d).orderBy("a_id", "b_id")
+
+  /** Unordered near-dup pair set — shared (and persisted) between
+    * [[qDedupNear]] and the clustering pass [[qDedupClusters]], which
+    * consumes the same pairs as its edge list. */
+  private def nearPairs(s: SparkSession, d: String): DataFrame =
+    TrainingData.cached("nearPairs", s, d) {
+      // 40-bit masks keep per-doc sums < 2^46: no long overflow under ANSI.
+      val M = 1L << 40
+      val toks = TrainingData.docToks(s, d)
+        .withColumn("h1", pmod(xxhash64(col("tok")), lit(M)))
+        .withColumn("h2", pmod(xxhash64(lit("graft-family-2"), col("tok")), lit(M)))
+      // Per-doc sums feed BOTH signature families (full + one-token
+      // deletions); persist so the token-stream aggregate runs once.
+      val docs = TrainingData.cached("nearDocSums", s, d) {
+        toks.groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("h1")).as("s1"), sum(col("h2")).as("s2"))
+      }
+      val fullSig = docs.select(col("doc_id"), col("n"), col("lang"),
+        col("n").as("k_n"), col("s1").as("k_s1"), col("s2").as("k_s2"))
+      val delSig = toks
+        .join(docs.select(col("doc_id"), col("n"), col("s1"), col("s2")), "doc_id")
+        .select(col("doc_id"), col("n"), col("lang"), (col("n") - 1).as("k_n"),
+          (col("s1") - col("h1")).as("k_s1"), (col("s2") - col("h2")).as("k_s2"))
+      val allSig = fullSig.unionByName(delSig)
+        .toDF("a_id", "a_n", "lang", "k_n", "k_s1", "k_s2")
+      allSig
+        .join(fullSig.toDF("b_id", "b_n", "lang", "k_n", "k_s1", "k_s2"),
+          Seq("lang", "k_n", "k_s1", "k_s2"))
+        .where(col("a_id") =!= col("b_id"))
+        // Only equal-set pairs (a_n == b_n: full sig matched full sig) appear
+        // twice — once per direction. Orienting those by id replaces a
+        // |pairs|-sized distinct shuffle; deletion matches are unique already.
+        .where(col("a_n") =!= col("b_n") || col("a_id") < col("b_id"))
+        .select(col("lang"),
+          least(col("a_id"), col("b_id")).as("a_id"),
+          greatest(col("a_id"), col("b_id")).as("b_id"),
+          (least(col("a_n"), col("b_n")).cast("double") /
+            greatest(col("a_n"), col("b_n")).cast("double")).as("jac"))
+        .where(col("jac") >= 0.95)
+        .select(col("a_id"), col("b_id"), col("lang"), Cols.r6(col("jac")).as("jac"))
     }
-    val fullSig = docs.select(col("doc_id"), col("n"), col("lang"),
-      col("n").as("k_n"), col("s1").as("k_s1"), col("s2").as("k_s2"))
-    val delSig = toks
-      .join(docs.select(col("doc_id"), col("n"), col("s1"), col("s2")), "doc_id")
-      .select(col("doc_id"), col("n"), col("lang"), (col("n") - 1).as("k_n"),
-        (col("s1") - col("h1")).as("k_s1"), (col("s2") - col("h2")).as("k_s2"))
-    val allSig = fullSig.unionByName(delSig)
-      .toDF("a_id", "a_n", "lang", "k_n", "k_s1", "k_s2")
-    allSig
-      .join(fullSig.toDF("b_id", "b_n", "lang", "k_n", "k_s1", "k_s2"),
-        Seq("lang", "k_n", "k_s1", "k_s2"))
-      .where(col("a_id") =!= col("b_id"))
-      // Only equal-set pairs (a_n == b_n: full sig matched full sig) appear
-      // twice — once per direction. Orienting those by id replaces a
-      // |pairs|-sized distinct shuffle; deletion matches are unique already.
-      .where(col("a_n") =!= col("b_n") || col("a_id") < col("b_id"))
-      .select(col("lang"),
-        least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"),
-        (least(col("a_n"), col("b_n")).cast("double") /
-          greatest(col("a_n"), col("b_n")).cast("double")).as("jac"))
-      .where(col("jac") >= 0.95)
-      .select(col("a_id"), col("b_id"), col("lang"), Cols.r6(col("jac")).as("jac"))
-      .orderBy("a_id", "b_id")
-  }
 
   /** Character-5-gram Jaccard near-dup pairs (theta = 0.8), language-blocked,
     * via PPJoin-STYLE PREFIX FILTERING: shingles are globally ordered by
@@ -249,7 +255,7 @@ object LlmPipeline {
     * the same components independently via a recursive transitive-closure
     * CTE. */
   def qDedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = qDedupNear(s, d).select(col("a_id"), col("b_id"))
+    val pairs = nearPairs(s, d).select(col("a_id"), col("b_id"))
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(true)
