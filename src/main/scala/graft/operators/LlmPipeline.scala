@@ -259,15 +259,20 @@ object LlmPipeline {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(true)
-    var labels = documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint(true)
+    // Only docs touched by some pair can ever change label: iterate over
+    // exactly those. At 100 TB the dup set is a small fraction of the
+    // corpus, so the loop's per-round working set is |dup docs|, not
+    // |corpus|; singletons join in once at the end.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
       val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nl"))
       val prop = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       // pointer jumping: follow the new label one hop (label[label]) —
       // labels are monotone non-increasing within a component, so the
@@ -276,16 +281,19 @@ object LlmPipeline {
       val next = prop.as("p")
         .join(prop.select(col("doc_id").as("lid"), col("label").as("ll")).as("q"),
           col("p.label") === col("q.lid"), "left")
-        .select(col("p.doc_id").as("doc_id"),
+        .select(col("p.doc_id").as("doc_id"), col("p.prev").as("prev"),
           coalesce(col("q.ll"), col("p.label")).as("label"))
         .localCheckpoint(true)
-      converged = next.as("n").join(labels.as("p"), "doc_id")
-        .where(col("n.label") =!= col("p.label")).isEmpty
-      labels = next
+      // prev rides along in the checkpointed frame, so convergence is a
+      // filter over materialized rows — no extra join, no recompute.
+      converged = next.where(col("label") =!= col("prev")).isEmpty
+      labels = next.select(col("doc_id"), col("label"))
       rounds += 1
     }
-    labels
-      .withColumnRenamed("label", "cluster_id")
+    documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
