@@ -212,6 +212,20 @@ object CorpusFilters {
       .limit(20)
   }
 
+  /** Stratified systematic sampling — the mix-rebalancing step that follows
+    * [[qMixWeights]]: downsample the dominant language (en keeps 10%) while
+    * keeping 40% of every minority language. Per-stratum keep decisions use
+    * the same fixed multiplicative key hash as [[Analytics.qSample]] (never
+    * `rand()`: an auditable corpus cut must be reproducible run-to-run and
+    * engine-to-engine). One scan, no shuffle before the pushed-down filter —
+    * at 100 TB this is a map-only job. */
+  def qSampleStratified(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .where((col("doc_id") * lit(2654435761L)) % 100 <
+        when(col("lang") === "en", lit(10L)).otherwise(lit(40L)))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_repetition"    -> (qRepetition _),
     "q_contamination" -> (qContamination _),
@@ -219,7 +233,8 @@ object CorpusFilters {
     "q_seq_pack"      -> (qSeqPack _),
     "q_vec_quantize"  -> (qVecQuantize _),
     "q_doc_index"     -> (qDocIndex _),
-    "q_bigram_pmi"    -> (qBigramPmi _))
+    "q_bigram_pmi"    -> (qBigramPmi _),
+    "q_sample_stratified" -> (qSampleStratified _))
 
   val oracles: ListMap[String, String] = ListMap(
     "q_repetition" ->
@@ -319,5 +334,10 @@ object CorpusFilters {
         |FROM big JOIN uni ca ON big.a = ca.tok JOIN uni cb ON big.b = cb.tok
         |CROSS JOIN tot
         |WHERE c_ab >= 5
-        |ORDER BY pmi DESC, a ASC, b ASC LIMIT 20""".stripMargin)
+        |ORDER BY pmi DESC, a ASC, b ASC LIMIT 20""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE (doc_id * 2654435761) % 100 <
+        |      CASE WHEN lang = 'en' THEN 10 ELSE 40 END
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -112,13 +112,38 @@ object EventTime {
       .orderBy("user_id")
   }
 
+  /** Pure interval-point range join (NO equi key): for every user session
+    * window, how many PURCHASE events — from ANY user — landed inside it
+    * (platform load seen during the session). Naive Spark plans this
+    * `BETWEEN` join as BroadcastNestedLoopJoin; here it runs through
+    * [[graft.plans.BinnedRangeJoin]] (1h bins), which turns it into a
+    * shuffled equi-join on the bin id — the 100 TB-safe shape. Inner join:
+    * sessions whose window saw no purchase are absent by definition. */
+  def qRangeBin(s: SparkSession, d: String): DataFrame = {
+    val sessions = events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        Cols.epochUs(col("session_window.start")).as("start_us"),
+        Cols.epochUs(col("session_window.end")).as("end_us"))
+    val purchases = events(s, d)
+      .where(col("event_type") === "purchase")
+      .select(Cols.epochUs(col("ts")).as("ev_us"))
+    graft.plans.BinnedRangeJoin
+      .pointInInterval(purchases, "ev_us", sessions, "start_us", "end_us", HourUs)
+      .groupBy("user_id", "start_us", "end_us")
+      .agg(count(lit(1)).as("n_concurrent"))
+      .orderBy("user_id", "start_us")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_win_tumbling"      -> (qWinTumbling _),
     "q_win_sliding"       -> (qWinSliding _),
     "q_win_session"       -> (qWinSession _),
     "q_dedup_events"      -> (qDedupEvents _),
     "q_late_data"         -> (qLateData _),
-    "q_sessionize_funnel" -> (qSessionizeFunnel _))
+    "q_sessionize_funnel" -> (qSessionizeFunnel _),
+    "q_range_bin"         -> (qRangeBin _))
 
   val oracles: ListMap[String, String] = ListMap(
     "q_win_tumbling" ->
@@ -171,5 +196,19 @@ object EventTime {
         |SELECT user_id, signup_us, purchase_us,
         |  CASE WHEN purchase_us IS NOT NULL AND purchase_us - signup_us <= 86400000000
         |       THEN 1 ELSE 0 END::BIGINT AS converted
-        |FROM a ORDER BY user_id""".stripMargin)
+        |FROM a ORDER BY user_id""".stripMargin,
+    "q_range_bin" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT *, CASE WHEN us - lag(us) OVER w >= 1800000000 OR lag(us) OVER w IS NULL
+        |                     THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),
+        |iv AS (SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us
+        |       FROM s GROUP BY user_id, sid),
+        |p AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ev_us FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT iv.user_id, iv.start_us, iv.end_us, count(*) AS n_concurrent
+        |FROM iv JOIN p ON p.ev_us BETWEEN iv.start_us AND iv.end_us
+        |GROUP BY 1, 2, 3 ORDER BY user_id, start_us""".stripMargin)
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.plans.BinnedRangeJoin
+
+/** Laws for the binned interval-point join: exact equivalence with the naive
+  * cross-join + BETWEEN filter (including boundary and bin-edge cases), one
+  * output row per qualifying pair, and a physical plan that is an equi-join
+  * — never a nested loop. */
+class BinnedRangeJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("binned join == naive BETWEEN join, boundaries and bin edges included") {
+    val binW = 10L
+    // Points sit ON interval bounds, ON bin edges, inside, and outside;
+    // intervals span 0, 1, and 3 bins, overlap each other, and one is
+    // degenerate (lo == hi on a bin edge).
+    val points = Seq(0L, 9L, 10L, 11L, 19L, 20L, 25L, 30L, 99L, 100L)
+      .toDF("p")
+    val intervals = Seq(
+      (1L, 0L, 9L),    // exactly bin 0
+      (2L, 5L, 25L),   // spans bins 0..2
+      (3L, 10L, 10L),  // degenerate, on a bin edge
+      (4L, 18L, 22L),  // straddles bin edge 20
+      (5L, 90L, 100L)  // right-closed on a bin edge
+    ).toDF("iv_id", "lo", "hi")
+
+    val binned = BinnedRangeJoin
+      .pointInInterval(points, "p", intervals, "lo", "hi", binW)
+      .select("p", "iv_id", "lo", "hi")
+    val naive = points.crossJoin(intervals)
+      .where(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("p", "iv_id", "lo", "hi")
+
+    val b = binned.collect().map(_.toSeq).toList.sortBy(_.toString)
+    val n = naive.collect().map(_.toSeq).toList.sortBy(_.toString)
+    assert(b == n)
+    // exactly-once: no pair may surface per extra overlapped bin
+    assert(b.distinct.size == b.size)
+  }
+
+  test("q_range_bin plans an equi-join on the bin id, not a nested loop") {
+    val p = operators.EventTime.qRangeBin(spark, sfDir("sf0.001"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
