@@ -120,11 +120,32 @@ object Roundtrip {
   private[graft] def partitionedRead(s: SparkSession, d: String): DataFrame =
     s.read.parquet(scratch(d, "documents_bylang"))
 
+  /** embeddings → `.vecbin` (the custom DSv2 fixed-width binary vector
+    * format, [[graft.sources.VecBinSource]]) → read-back. The query emits
+    * each vector's id, label, first dim (raw float — any byte corruption
+    * shows) and its r6 L2 norm (covers all 64 dims), so a hash match against
+    * the parquet-side oracle proves the binary write→read cycle is
+    * bit-lossless. Write is distributed (one file per input partition,
+    * footer stats per file); read is the splittable scan. */
+  def qVecbinRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = scratch(d, "embeddings_vecbin")
+    val fmt = "graft.sources.VecBinSource"
+    embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+      .write.format(fmt).mode("overwrite").save(out)
+    val fdot = graft.functions.FloatVectorDot.dotF(s) _
+    s.read.format(fmt).load(out)
+      .select(col("vec_id"), col("label"),
+        element_at(col("embedding"), 1).as("dim0"),
+        graft.Cols.r6(sqrt(fdot(col("embedding"), col("embedding")))).as("l2_norm"))
+      .orderBy("vec_id")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_csv_roundtrip"  -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_orc_roundtrip"  -> (qOrcRoundtrip _),
-    "q_partitioned_roundtrip" -> (qPartitionedRoundtrip _))
+    "q_partitioned_roundtrip" -> (qPartitionedRoundtrip _),
+    "q_vecbin_roundtrip" -> (qVecbinRoundtrip _))
 
   val oracles: ListMap[String, String] = ListMap(
     "q_csv_roundtrip" ->
@@ -139,5 +160,11 @@ object Roundtrip {
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_partitioned_roundtrip" ->
       """SELECT doc_id, source, n_chars, lang
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_vecbin_roundtrip" ->
+      """SELECT vec_id, label, embedding[1] AS dim0,
+        |  floor(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))*1000000.0 + 0.5)
+        |    /1000000.0 AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin)
 }

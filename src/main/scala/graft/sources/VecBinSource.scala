@@ -1,0 +1,358 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `.vecbin` — a DataSource V2 connector for a fixed-width binary embedding
+  * format, the kind of raw tensor dump (faiss/npy-adjacent) that vector
+  * pipelines exchange outside the parquet world.
+  *
+  * File layout (all little-endian):
+  * {{{
+  *   records (count × (12 + 4·dim) B): vec_id i64 | label i32 | dim × f32
+  *   footer  (40 B): magic "GVB1" | version i32 | dim i32 | pad i32
+  *                   | count i64 | minVecId i64 | maxVecId i64
+  * }}}
+  * Stats live in a FOOTER (parquet-style) so a writer streams records once
+  * and stamps the stats on close — no header back-patching, no second pass
+  * over the body, and append-only object stores (s3a) stay one PUT.
+  *
+  * Why this is the right 100 TB shape:
+  *  - **Perfectly splittable**: fixed record width means any byte range
+  *    aligned to `k·recordSize` is a valid split — no sync markers needed.
+  *    `planInputPartitions` slices every file into `maxRecordsPerSplit`
+  *    chunks, so a single huge file still fans out across the cluster
+  *    (unlike gzip'd CSV or multiLine JSON).
+  *  - **File skipping**: the footer's min/max vec_id act as row-group stats.
+  *    `vec_id` range predicates prune whole files before any task launches;
+  *    every filter is ALSO returned to Spark as residual, so skipping can
+  *    only drop provably-empty files — never change results.
+  *  - **Column pruning**: `SupportsPushDownRequiredColumns` reaches the
+  *    reader, which skips DECODING (and allocating) the float payload when
+  *    only ids/labels are needed. IO stride is fixed-width, so pruning saves
+  *    CPU + row width, not bytes read — same trade as CSV, documented
+  *    rather than hidden.
+  *  - **Distributed write**: each task streams its partition to a temp file
+  *    and reports (tmp, final, count) in its commit message; the driver's
+  *    `BatchWrite.commit` renames winners and drops empty partitions, so
+  *    speculative/retried tasks never leave half-written files visible.
+  *  - All IO goes through the Hadoop `FileSystem` API — the same code runs
+  *    on file://, hdfs:// or s3a:// paths. (Executor-side readers build a
+  *    default `Configuration`; a production deployment would ship the
+  *    driver's Hadoop conf via a broadcast — omitted here because the
+  *    harness is single-JVM.)
+  *
+  * Usage (no catalog registration needed — format by class name):
+  * {{{
+  *   df.write.format("graft.sources.VecBinSource").mode("overwrite").save(dir)
+  *   spark.read.format("graft.sources.VecBinSource").option("dim","64").load(dir)
+  * }}}
+  */
+object VecBin {
+  val Magic = 0x47564231 // "GVB1"
+  val Version = 1
+  val FooterLen = 40
+
+  def recordSize(dim: Int): Int = 12 + 4 * dim
+
+  def schema(dim: Int): StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("label", IntegerType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false),
+      nullable = false)))
+
+  def dimOf(opts: CaseInsensitiveStringMap): Int = {
+    val d = opts.getInt("dim", 64)
+    require(d > 0 && d <= (1 << 16), s"unreasonable vecbin dim $d")
+    d
+  }
+
+  case class FileMeta(path: String, count: Long, minVecId: Long, maxVecId: Long)
+
+  def readFooter(fs: FileSystem, st: FileStatus, dim: Int): FileMeta = {
+    val p = st.getPath
+    require(st.getLen >= FooterLen, s"$p: truncated vecbin file (${st.getLen} B)")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](FooterLen)
+      in.readFully(st.getLen - FooterLen, buf)
+      val b = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+      val magic = b.getInt; val ver = b.getInt; val fdim = b.getInt; b.getInt
+      require(magic == Magic, s"$p: not a vecbin file (magic $magic)")
+      require(ver == Version, s"$p: unsupported vecbin version $ver")
+      require(fdim == dim, s"$p: file dim $fdim != requested dim $dim")
+      val meta = FileMeta(p.toString, b.getLong, b.getLong, b.getLong)
+      require(st.getLen == FooterLen + meta.count * recordSize(dim),
+        s"$p: length ${st.getLen} inconsistent with count ${meta.count}")
+      meta
+    } finally in.close()
+  }
+
+  def footerBytes(dim: Int, count: Long, minId: Long, maxId: Long): Array[Byte] = {
+    val b = ByteBuffer.allocate(FooterLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(Magic).putInt(Version).putInt(dim).putInt(0)
+    b.putLong(count).putLong(minId).putLong(maxId)
+    b.array()
+  }
+}
+
+class VecBinSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    VecBin.schema(VecBin.dimOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = opts.get("path")
+    require(path != null && path.nonEmpty, "vecbin requires a path")
+    new VecBinTable(path, VecBin.dimOf(opts))
+  }
+}
+
+class VecBinTable(path: String, dim: Int) extends Table
+    with SupportsRead with SupportsWrite {
+  override def name(): String = s"vecbin:$path"
+  override def schema(): StructType = VecBin.schema(dim)
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VecBinScanBuilder(path, dim,
+      options.getLong("maxRecordsPerSplit", 1L << 19))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val s = info.schema()
+    require(s.length == 3 &&
+      s(0).name == "vec_id" && s(0).dataType == LongType &&
+      s(1).name == "label" && s(1).dataType == IntegerType &&
+      s(2).name == "embedding" &&
+      s(2).dataType.isInstanceOf[ArrayType] &&
+      s(2).dataType.asInstanceOf[ArrayType].elementType == FloatType,
+      s"vecbin write schema must be (vec_id long, label int, " +
+        s"embedding array<float>), got ${s.simpleString}")
+    new VecBinWriteBuilder(path, dim)
+  }
+}
+
+class VecBinScanBuilder(path: String, dim: Int, maxRecordsPerSplit: Long)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = VecBin.schema(dim)
+  private var lo = Long.MinValue
+  private var hi = Long.MaxValue
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter {
+      case EqualTo("vec_id", v: Long) => lo = lo max v; hi = hi min v; true
+      case GreaterThan("vec_id", v: Long) => lo = lo max (v + 1); true
+      case GreaterThanOrEqual("vec_id", v: Long) => lo = lo max v; true
+      case LessThan("vec_id", v: Long) => hi = hi min (v - 1); true
+      case LessThanOrEqual("vec_id", v: Long) => hi = hi min v; true
+      case _ => false
+    }
+    // Everything stays residual: min/max skipping drops provably-empty
+    // files only, Spark still evaluates every predicate on surviving rows.
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new VecBinScan(path, dim, required, lo, hi, maxRecordsPerSplit)
+}
+
+case class VecBinInputPartition(file: String, dim: Int,
+    startRecord: Long, numRecords: Long) extends InputPartition
+
+class VecBinScan(path: String, dim: Int, required: StructType,
+    lo: Long, hi: Long, maxRecordsPerSplit: Long) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"vecbin $path dim=$dim vec_id=[$lo,$hi] cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val files = fs.globStatus(new Path(dir, "*.vecbin"))
+    if (files == null) return Array.empty
+    files.iterator
+      .map(st => VecBin.readFooter(fs, st, dim))
+      .filter(m => m.count > 0 && m.maxVecId >= lo && m.minVecId <= hi)
+      .flatMap { m =>
+        (0L until m.count by maxRecordsPerSplit).map { start =>
+          VecBinInputPartition(m.path, dim, start,
+            math.min(maxRecordsPerSplit, m.count - start))
+        }
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    VecBinReaderFactory(required.fieldNames, dim)
+}
+
+case class VecBinReaderFactory(fields: Array[String], dim: Int)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new VecBinReader(p.asInstanceOf[VecBinInputPartition], fields)
+}
+
+class VecBinReader(p: VecBinInputPartition, fields: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val recSize = VecBin.recordSize(p.dim)
+  private val in: DataInputStream = {
+    val path = new Path(p.file)
+    val fsin = path.getFileSystem(new Configuration()).open(path)
+    fsin.seek(p.startRecord * recSize)
+    new DataInputStream(new BufferedInputStream(fsin, 1 << 20))
+  }
+  private val buf = new Array[Byte](recSize)
+  private val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+  private var done = 0L
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done >= p.numRecords) return false
+    in.readFully(buf)
+    val vals = new Array[Any](fields.length)
+    var i = 0
+    while (i < fields.length) {
+      vals(i) = fields(i) match {
+        case "vec_id" => bb.getLong(0)
+        case "label" => bb.getInt(8)
+        case "embedding" =>
+          // decoded only when required — pruning skips this allocation
+          val fl = new Array[Float](p.dim)
+          var j = 0
+          while (j < p.dim) { fl(j) = bb.getFloat(12 + 4 * j); j += 1 }
+          new GenericArrayData(fl)
+      }
+      i += 1
+    }
+    row = new GenericInternalRow(vals)
+    done += 1
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
+
+class VecBinWriteBuilder(path: String, dim: Int)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new VecBinBatchWrite(path, dim, doTruncate)
+  }
+}
+
+case class VecBinCommit(tmp: String, finalName: String, count: Long)
+  extends WriterCommitMessage
+
+class VecBinBatchWrite(path: String, dim: Int, truncate: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    VecBinWriterFactory(path, dim)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    if (truncate) {
+      val old = fs.globStatus(new Path(dir, "*.vecbin"))
+      if (old != null) old.foreach(st => fs.delete(st.getPath, false))
+    }
+    messages.foreach { case VecBinCommit(tmp, finalName, count) =>
+      if (count == 0) fs.delete(new Path(tmp), false) // no empty files
+      else fs.rename(new Path(tmp), new Path(dir, finalName))
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    messages.foreach {
+      case VecBinCommit(tmp, _, _) => fs.delete(new Path(tmp), false)
+      case _ =>
+    }
+  }
+}
+
+case class VecBinWriterFactory(path: String, dim: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new VecBinDataWriter(path, dim, partitionId, taskId)
+}
+
+class VecBinDataWriter(path: String, dim: Int, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val recSize = VecBin.recordSize(dim)
+  // suffix .tmp keeps in-flight files OUT of the *.vecbin read/truncate glob
+  private val tmpPath = new Path(path,
+    s"part-$partitionId-$taskId-${UUID.randomUUID().toString.take(8)}.vecbin.tmp")
+  private val fs = tmpPath.getFileSystem(new Configuration())
+  private val out = {
+    fs.mkdirs(new Path(path))
+    new DataOutputStream(new BufferedOutputStream(fs.create(tmpPath, true), 1 << 20))
+  }
+  private val bb = ByteBuffer.allocate(recSize).order(ByteOrder.LITTLE_ENDIAN)
+  private var count = 0L
+  private var minId = Long.MaxValue
+  private var maxId = Long.MinValue
+
+  override def write(row: InternalRow): Unit = {
+    val vecId = row.getLong(0)
+    val label = row.getInt(1)
+    val emb = row.getArray(2)
+    require(emb != null && emb.numElements() == dim,
+      s"vecbin: embedding of vec_id=$vecId has ${if (emb == null) "null"
+        else emb.numElements().toString} dims, expected $dim")
+    bb.clear()
+    bb.putLong(vecId).putInt(label)
+    var j = 0
+    while (j < dim) { bb.putFloat(emb.getFloat(j)); j += 1 }
+    out.write(bb.array())
+    count += 1
+    minId = minId min vecId
+    maxId = maxId max vecId
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.write(VecBin.footerBytes(dim, count, minId, maxId))
+    out.close()
+    VecBinCommit(tmpPath.toString, f"part-$partitionId%05d-$taskId.vecbin", count)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => }
+    fs.delete(tmpPath, false)
+  }
+  override def close(): Unit = ()
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** The vecbin DSv2 connector end-to-end: lossless roundtrip, record-aligned
+  * split planning, footer min/max file skipping, column pruning reaching the
+  * scan, truncate-overwrite, and write-side schema/dim validation. */
+class VecBinSpec extends SparkSpec {
+
+  private val fmt = "graft.sources.VecBinSource"
+  private def freshDir(): String =
+    Files.createTempDirectory("vecbin-spec").toString
+
+  private def emb(d: String): DataFrame =
+    Tables.embeddings(spark, d).select("vec_id", "label", "embedding")
+
+  private val d = sfDir("sf0.001")
+
+  test("write -> read roundtrip is lossless, all 64 dims bit-exact") {
+    val out = freshDir()
+    emb(d).write.format(fmt).mode("overwrite").save(out)
+    val back = spark.read.format(fmt).load(out)
+    assert(back.count() == emb(d).count())
+    assert(back.except(emb(d)).isEmpty && emb(d).except(back).isEmpty)
+  }
+
+  test("one big file fans out into record-aligned splits") {
+    val out = freshDir()
+    emb(d).repartition(1).write.format(fmt).mode("overwrite").save(out)
+    val n = emb(d).count()
+    val split = spark.read.format(fmt)
+      .option("maxRecordsPerSplit", "7").load(out)
+    assert(split.rdd.getNumPartitions == ((n + 6) / 7),
+      s"expected ceil($n/7) splits, got ${split.rdd.getNumPartitions}")
+    assert(split.count() == n)
+    // sanity: the split reader sees every row exactly once
+    assert(split.agg(sum("vec_id")).head.getLong(0)
+      == emb(d).agg(sum("vec_id")).head.getLong(0))
+  }
+
+  test("footer min/max skips files outside a vec_id range predicate") {
+    val out = freshDir()
+    // range-partitioned write -> each file covers a disjoint vec_id range
+    emb(d).repartitionByRange(4, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .write.format(fmt).mode("overwrite").save(out)
+    val all = spark.read.format(fmt).load(out)
+    assert(all.rdd.getNumPartitions == 4)
+    val filtered = all.where(col("vec_id") < 10)
+    assert(filtered.rdd.getNumPartitions == 1,
+      "only the file whose [min,max] overlaps vec_id<10 should be planned")
+    assert(filtered.count() == emb(d).where(col("vec_id") < 10).count())
+  }
+
+  test("column pruning reaches the vecbin scan") {
+    val out = freshDir()
+    emb(d).write.format(fmt).mode("overwrite").save(out)
+    val slim = spark.read.format(fmt).load(out).select("vec_id", "label")
+    val p = slim.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("cols=vec_id,label"), p)
+    assert(slim.count() == emb(d).count())
+  }
+
+  test("overwrite truncates: old files never leak into the new table") {
+    val out = freshDir()
+    emb(d).write.format(fmt).mode("overwrite").save(out)
+    val half = emb(d).where(col("vec_id") % 2 === 0)
+    half.write.format(fmt).mode("overwrite").save(out)
+    assert(spark.read.format(fmt).load(out).count() == half.count())
+  }
+
+  test("write rejects wrong-dim vectors and wrong schemas") {
+    val out = freshDir()
+    val badDim = emb(d).withColumn("embedding", slice(col("embedding"), 1, 3))
+    val e1 = intercept[Exception] {
+      badDim.write.format(fmt).mode("overwrite").save(out)
+    }
+    assert(e1.getMessage.contains("dims") ||
+      Option(e1.getCause).exists(_.getMessage.contains("dims")))
+    val e2 = intercept[Exception] {
+      emb(d).select("vec_id", "label") // missing embedding column
+        .write.format(fmt).mode("overwrite").save(out)
+    }
+    // Spark's own table-compat check fires first (INCOMPATIBLE_DATA_FOR_TABLE
+    // against the vecbin table schema); our builder require is the backstop
+    assert(e2.getMessage.contains("INCOMPATIBLE_DATA_FOR_TABLE") ||
+      e2.getMessage.contains("schema"))
+  }
+}
