@@ -14,6 +14,9 @@ import graft.functions.{FloatVectorDot, MinHashAgg, SortedIntersectCount}
   * created without the config. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Opt-in range-join binning (spark.graft.rangeJoin.binWidth) — rewrites
+    // pure interval-point joins away from BroadcastNestedLoopJoin.
+    ext.injectOptimizerRule(_ => new graft.plans.BinnedRangeJoinRule)
     ext.injectFunction((
       FunctionIdentifier("vec_dot_f"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot_f"),

@@ -48,4 +48,57 @@ class BinnedRangeJoinSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("optimizer rule: pure range join auto-rewrites to a bin equi-join when enabled") {
+    val points = (0L to 1000L).toDF("p")
+    val intervals = Seq((1L, 10L, 35L), (2L, 30L, 30L), (3L, 900L, 1200L))
+      .toDF("iv_id", "lo", "hi")
+    // queryExecution caches on the Dataset, so build a fresh join per phase
+    def joined = points.join(intervals,
+      col("p") >= col("lo") && col("p") <= col("hi"))
+    val expected = Seq.range(10L, 36L).map(_ -> 1L) ++
+      Seq(30L -> 2L) ++ Seq.range(900L, 1001L).map(_ -> 3L)
+
+    assert(physical(joined).contains("BroadcastNestedLoopJoin"),
+      "without the conf, Spark's only plan is a nested loop")
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "50")
+    try {
+      val plan = physical(joined)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      val got = joined.select("p", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == expected.sorted)
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
+  test("optimizer rule: strict bounds and extra conjuncts survive as residuals") {
+    val points = (0L to 100L).toDF("p")
+    val intervals = Seq((1L, 10L, 20L, "keep"), (2L, 10L, 20L, "drop"))
+      .toDF("iv_id", "lo", "hi", "tag")
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "7")
+    try {
+      val joined = points.join(intervals,
+        col("p") > col("lo") && col("p") < col("hi") && col("tag") === "keep")
+      assert(!physical(joined).contains("BroadcastNestedLoopJoin"))
+      val got = joined.select("p", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == Seq.range(11L, 20L).map(_ -> 1L))
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
+  test("optimizer rule leaves equi-key joins alone") {
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "7")
+    try {
+      val a = Seq((1L, 5L), (2L, 15L)).toDF("k", "v")
+      val b = Seq((1L, 0L, 10L)).toDF("k2", "lo", "hi")
+      val joined = a.join(b, col("k") === col("k2")
+        && col("v") >= col("lo") && col("v") <= col("hi"))
+      val plan = physical(joined)
+      assert(!plan.contains("__graft_ptbin"), plan)
+      assert(joined.count() == 1)
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
 }
