@@ -88,6 +88,22 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Stream-stream INTERVAL join — click attribution: a click joins its
+    * impression iff it lands within 1h of it. The equi key (imp_id) routes
+    * both streams to the same state shard; the event-time range condition
+    * plus watermarks on BOTH sides lets Spark expire buffered rows (an
+    * impression can be dropped once the click watermark passes imp_ts+1h),
+    * so join state is bounded by the attribution horizon, not the stream
+    * history — the property that keeps this runnable forever at cluster
+    * scale. Inner join: unattributed impressions simply never emit. */
+  def attributeClicks(impressions: DataFrame, clicks: DataFrame): DataFrame =
+    impressions.withWatermark("imp_ts", "1 hour")
+      .join(clicks.withWatermark("click_ts", "2 hours"),
+        expr("imp_id = click_imp_id" +
+          " AND click_ts >= imp_ts" +
+          " AND click_ts <= imp_ts + interval 1 hour"))
+      .select(col("imp_id"), col("user_id"), col("imp_ts"), col("click_ts"))
+
   case class Ev(user_id: Long, event_type: String, ts: Timestamp)
   case class FunnelState(signupUs: Option[Long], purchaseUs: Option[Long])
   case class Conversion(user_id: Long, signup_us: Long, purchase_us: Long,

@@ -102,4 +102,30 @@ class StreamingSpec extends SparkSpec {
       assert(afterReplay == afterB2, "replay converges to the same table")
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes clicks within the 1h horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    // modern event times on purpose: near-epoch (1970) timestamps trip the
+    // symmetric hash join's watermark bookkeeping (verified empirically —
+    // even an equi-only stream-stream join silently drops matches there)
+    val base = 1700000000000L
+    def mts(min: Long): Timestamp = new Timestamp(base + min * 60000L)
+    val imps = MemoryStream[(Long, Long, Timestamp)]
+    val clks = MemoryStream[(Long, Timestamp)]
+    val q = Streams.attributeClicks(
+        imps.toDF.toDF("imp_id", "user_id", "imp_ts"),
+        clks.toDF.toDF("click_imp_id", "click_ts"))
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      imps.addData((100L, 1L, mts(0)), (200L, 2L, mts(10)))
+      // in-horizon click, out-of-horizon click (>1h later), unknown imp_id
+      clks.addData((100L, mts(30)), (200L, mts(80)), (999L, mts(5)))
+      q.processAllAvailable()
+      val got = spark.table("attributed")
+        .select("imp_id").as[Long].collect().toSeq
+      assert(got == Seq(100L),
+        s"only the within-1h click on a known impression attributes, got $got")
+    } finally q.stop()
+  }
 }
