@@ -226,6 +226,30 @@ object CorpusFilters {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Zipf fit per language: token frequencies, rank by frequency (total
+    * tiebreak on the token so ranks are deterministic), then least-squares
+    * slope/intercept of log(freq) over log(rank) — the classic corpus
+    * health check (natural text ⇒ slope ≈ −1; generated/boilerplate text
+    * drifts). regr_slope/regr_intercept are one distributed aggregate
+    * (partial Σx/Σy/Σxy/Σx² merge map-side). The rank window sorts within
+    * each lang over the VOCABULARY (≪ corpus by Heaps' law), not the token
+    * stream, so the sort input at 100 TB is millions of rows, not
+    * trillions. */
+  def qZipf(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("freq"))
+    val ranked = tf.withColumn("rnk", row_number().over(
+      Window.partitionBy(col("lang"))
+        .orderBy(col("freq").desc, col("tok").asc)))
+    ranked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"),
+        Cols.r6(regr_slope(log(col("freq")), log(col("rnk")))).as("zipf_slope"),
+        Cols.r6(regr_intercept(log(col("freq")), log(col("rnk")))).as("zipf_icept"))
+      .orderBy("lang")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_repetition"    -> (qRepetition _),
     "q_contamination" -> (qContamination _),
@@ -234,7 +258,8 @@ object CorpusFilters {
     "q_vec_quantize"  -> (qVecQuantize _),
     "q_doc_index"     -> (qDocIndex _),
     "q_bigram_pmi"    -> (qBigramPmi _),
-    "q_sample_stratified" -> (qSampleStratified _))
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_zipf"          -> (qZipf _))
 
   val oracles: ListMap[String, String] = ListMap(
     "q_repetition" ->
@@ -339,5 +364,19 @@ object CorpusFilters {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE (doc_id * 2654435761) % 100 <
         |      CASE WHEN lang = 'en' THEN 10 ELSE 40 END
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "q_zipf" ->
+      """WITH tf AS (
+        |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE len(tok) > 0 GROUP BY lang, tok),
+        |r AS (SELECT lang, freq,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY freq DESC, tok ASC) AS rnk FROM tf)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+        |  floor((regr_slope(ln(freq), ln(rnk)))*1000000.0 + 0.5)/1000000.0
+        |    AS zipf_slope,
+        |  floor((regr_intercept(ln(freq), ln(rnk)))*1000000.0 + 0.5)/1000000.0
+        |    AS zipf_icept
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin)
 }
