@@ -95,14 +95,44 @@ object Windows {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** RANGE frame (vs [[qWinFrame]]'s ROWS frames): per user, the count and
+    * value-sum of their events in the trailing 30 event-time minutes — a
+    * moving window keyed by the ORDER VALUE, so ties and gaps behave
+    * correctly where a row-count frame would not (RANGE includes every row
+    * whose time falls in the bound, regardless of how many). One shuffle on
+    * user_id; frame evaluation is a per-partition sliding two-pointer. */
+  def qWinRange(s: SparkSession, d: String): DataFrame = {
+    val HalfHourUs = 1800000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-HalfHourUs, 0)
+    events(s, d)
+      .select(col("event_id"), col("user_id"),
+        Cols.epochUs(col("ts")).as("us"), col("value"))
+      .select(col("user_id"), col("event_id"), col("us"),
+        count(lit(1)).over(w).as("n_30m"),
+        Cols.r2(sum(col("value")).over(w)).as("sum_30m"))
+      .orderBy("user_id", "us", "event_id")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_win_rank"  -> (qWinRank _),
     "q_win_lag"   -> (qWinLag _),
     "q_win_frame" -> (qWinFrame _),
     "q_win_share" -> (qWinShare _),
-    "q_win_ntile" -> (qWinNtile _))
+    "q_win_ntile" -> (qWinNtile _),
+    "q_win_range" -> (qWinRange _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_win_range" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events)
+        |SELECT user_id, event_id, us,
+        |  count(*) OVER w AS n_30m,
+        |  floor((sum(value) OVER w)*100.0 + 0.5)/100.0 AS sum_30m
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, us, event_id""".stripMargin,
     "q_win_ntile" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,

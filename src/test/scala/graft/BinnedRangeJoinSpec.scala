@@ -89,6 +89,30 @@ class BinnedRangeJoinSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
   }
 
+  test("NULL points and bounds: binned (helper and rule) == naive everywhere") {
+    val points = Seq[Option[Long]](Some(5L), None, Some(25L))
+      .toDF("p")
+    val intervals = Seq(
+      (1L, Option(0L), Option(10L)),
+      (2L, None, Option(30L)),     // null lo: BETWEEN is null -> no match
+      (3L, Option(20L), None)      // null hi: same
+    ).toDF("iv_id", "lo", "hi")
+    def naive = points.crossJoin(intervals)
+      .where(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("p", "iv_id").collect().map(_.toSeq).toList.sortBy(_.toString)
+    val viaHelper = BinnedRangeJoin
+      .pointInInterval(points, "p", intervals, "lo", "hi", 10L)
+      .select("p", "iv_id").collect().map(_.toSeq).toList.sortBy(_.toString)
+    assert(viaHelper == naive)
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "10")
+    try {
+      val viaRule = points.join(intervals,
+          col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("p", "iv_id").collect().map(_.toSeq).toList.sortBy(_.toString)
+      assert(viaRule == naive)
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
   test("optimizer rule leaves equi-key joins alone") {
     spark.conf.set("spark.graft.rangeJoin.binWidth", "7")
     try {
