@@ -150,6 +150,39 @@ object Analytics {
       .orderBy("day_us")
   }
 
+  /** CDC MERGE: apply a changelog (insert / update / DELETE ops) to a base
+    * table in one full-outer shuffle join — the upsert-with-deletes core of
+    * every incremental ETL load, which [[qLatestState]] (no deletes) and
+    * [[qScd2]] (history, not state) do not cover. The changelog is derived
+    * deterministically from the base so the oracle can replay the final
+    * state directly: keys ≡0 (mod 97) delete, ≡1 update price +10%, ≡2
+    * insert as a fresh key. One shuffle on the key; at 100 TB the same plan
+    * runs per-partition when base and changelog share bucketing, and the
+    * swap becomes a transactional-format commit. */
+  def qCdcApply(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    val m = col("o_orderkey") % 97
+    val changes = base.where(m === 0).withColumn("op", lit("D"))
+      .unionByName(base.where(m === 1)
+        .withColumn("o_totalprice", Cols.r2(col("o_totalprice") * 1.1))
+        .withColumn("op", lit("U")))
+      .unionByName(base.where(m === 2)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("op", lit("I")))
+      .select(col("o_orderkey").as("c_key"), col("o_custkey").as("c_cust"),
+        col("o_orderstatus").as("c_status"), col("o_totalprice").as("c_price"),
+        col("op"))
+    base.join(changes, col("o_orderkey") === col("c_key"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("c_key"), col("o_orderkey")).as("o_orderkey"),
+        coalesce(col("c_cust"), col("o_custkey")).as("o_custkey"),
+        coalesce(col("c_status"), col("o_orderstatus")).as("o_orderstatus"),
+        coalesce(col("c_price"), col("o_totalprice")).as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_percentile"    -> (qPercentile _),
     "q_stats_moments" -> (qStatsMoments _),
@@ -160,9 +193,23 @@ object Analytics {
     "q_dq_checks"     -> (qDqChecks _),
     "q_sample"        -> (qSample _),
     "q_collect"       -> (qCollect _),
-    "q_date_spine"    -> (qDateSpine _))
+    "q_date_spine"    -> (qDateSpine _),
+    "q_cdc_apply"     -> (qCdcApply _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_cdc_apply" ->
+      """WITH survivors AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 97 = 1
+        |         THEN floor((o_totalprice * 1.1)*100.0 + 0.5)/100.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |inserts AS (
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+        |    o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 = 2)
+        |SELECT * FROM survivors UNION ALL SELECT * FROM inserts
+        |ORDER BY o_orderkey""".stripMargin,
     "q_collect" ->
       """SELECT o_custkey, count(*) AS n_orders,
         |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
