@@ -120,4 +120,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("salt"), "salt must be part of the join key")
   }
+
+  test("q_cdc_apply merges base and changelog in one keyed join, never a loop") {
+    val p = planOf(Analytics.qCdcApply(spark, d))
+    assert(p.contains("FullOuter"), s"merge must be a full-outer keyed join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_win_range runs one window pass over one user_id shuffle") {
+    val p = planOf(Windows.qWinRange(spark, d))
+    assert(p.linesIterator.count(_.trim.startsWith("(")) > 0)
+    val windows = p.linesIterator.count(_.contains(") Window"))
+    assert(windows == 1, s"expected a single Window operator:\n$p")
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly one hash shuffle (user_id):\n$p")
+  }
+
+  test("q_zipf term frequencies aggregate partial+final before the rank window") {
+    val p = planOf(CorpusFilters.qZipf(spark, d))
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"tf counts must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_sample_stratified is map-only before its output sort") {
+    val p = planOf(CorpusFilters.qSampleStratified(spark, d))
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 0, s"stratified sampling must not shuffle:\n$p")
+  }
 }
