@@ -250,6 +250,38 @@ object CorpusFilters {
       .orderBy("lang")
   }
 
+  /** The FULL curation pipeline as one DAG — the composition a real corpus
+    * build runs end-to-end, proving the stages stack without materialization
+    * boundaries: token-length quality gate → exact-dedup survivors (first
+    * doc_id per content hash) → stratified downsample (en 60%, others 90%)
+    * → 512-token sequence packing of what remains. Catalyst fuses the gate
+    * + hash into the scan projection; the plan shuffles exactly three times
+    * (dedup hash, pack window, output sort) at ANY corpus size. Offsets are
+    * computed over the post-sample survivor stream, exactly like the real
+    * job (packing before sampling would leave holes). */
+  def qCorpusPipeline(s: SparkSession, d: String): DataFrame = {
+    val L = 512
+    val survivors = documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .where(col("n_tok") >= 10 && col("n_tok") <= 500)
+      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+      .where((col("doc_id") * lit(2654435761L)) % 100 <
+        when(col("lang") === "en", lit(60L)).otherwise(lit(90L)))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    survivors
+      .withColumn("shard", floor(col("doc_id") / 1000L))
+      .withColumn("tok_end", sum(col("n_tok")).over(w))
+      .withColumn("tok_offset", col("tok_end") - col("n_tok"))
+      .withColumn("seq_id", floor(col("tok_offset") / L))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
+        col("tok_offset"), col("seq_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_repetition"    -> (qRepetition _),
     "q_contamination" -> (qContamination _),
@@ -259,7 +291,8 @@ object CorpusFilters {
     "q_doc_index"     -> (qDocIndex _),
     "q_bigram_pmi"    -> (qBigramPmi _),
     "q_sample_stratified" -> (qSampleStratified _),
-    "q_zipf"          -> (qZipf _))
+    "q_zipf"          -> (qZipf _),
+    "q_corpus_pipeline" -> (qCorpusPipeline _))
 
   val oracles: ListMap[String, String] = ListMap(
     "q_repetition" ->
@@ -378,5 +411,25 @@ object CorpusFilters {
         |    AS zipf_slope,
         |  floor((regr_intercept(ln(freq), ln(rnk)))*1000000.0 + 0.5)/1000000.0
         |    AS zipf_icept
-        |FROM r GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_corpus_pipeline" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |f AS (SELECT * FROM q WHERE n_tok BETWEEN 10 AND 500),
+        |h AS (SELECT *, sha256(lower(trim(text))) AS h FROM f),
+        |s AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id)
+        |        AS rn FROM h),
+        |sm AS (SELECT doc_id, lang, n_tok, doc_id // 1000 AS shard
+        |       FROM s WHERE rn = 1
+        |         AND (doc_id * 2654435761) % 100 <
+        |             CASE WHEN lang = 'en' THEN 60 ELSE 90 END),
+        |o AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY lang, shard
+        |        ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |        AS tok_end FROM sm)
+        |SELECT doc_id, lang, shard, n_tok,
+        |  tok_end - n_tok AS tok_offset,
+        |  CAST(floor((tok_end - n_tok) / 512.0) AS BIGINT) AS seq_id
+        |FROM o ORDER BY doc_id""".stripMargin)
 }

@@ -144,6 +144,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_corpus_pipeline stacks all stages on exactly two hash shuffles") {
+    val p = planOf(CorpusFilters.qCorpusPipeline(spark, d))
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 2,
+      s"quality+hash fuse into the scan; only dedup window + pack window shuffle:\n$p")
+  }
+
   test("q_sample_stratified is map-only before its output sort") {
     val p = planOf(CorpusFilters.qSampleStratified(spark, d))
     val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
