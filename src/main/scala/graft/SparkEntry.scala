@@ -16,9 +16,13 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The composed curation pipeline — quality gate → exact-dedup survivors
+    * → stratified sample → sequence packing in one DAG — exercises scan
+    * pruning, two window shuffles and the repo's determinism conventions in
+    * a single smoke. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.qAggPricing(spark, "/root/testdata/sf0.001")
+    CorpusFilters.qCorpusPipeline(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

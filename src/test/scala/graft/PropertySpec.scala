@@ -70,6 +70,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("binned range join == naive BETWEEN join on random intervals/points") {
+    for (s <- seeds; binW <- Seq(1L, 7L, 100L)) {
+      val ps = sample(Gen.listOfN(40, Gen.choose(0L, 300L)), s)
+      val ivs = sample(Gen.listOfN(15,
+        Gen.zip(Gen.choose(0L, 300L), Gen.choose(0L, 60L))), s + 300)
+        .zipWithIndex.map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+      val points = ps.toDF("p")
+      val intervals = ivs.toDF("iv_id", "lo", "hi")
+      val binned = graft.plans.BinnedRangeJoin
+        .pointInInterval(points, "p", intervals, "lo", "hi", binW)
+        .select("p", "iv_id").collect().map(_.toSeq).toList.sortBy(_.toString)
+      val naive = points.crossJoin(intervals)
+        .where(col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("p", "iv_id").collect().map(_.toSeq).toList.sortBy(_.toString)
+      assert(binned == naive, s"seed $s binW $binW")
+    }
+  }
+
   test("session windows tile: per-user session row counts sum to event count") {
     for (s <- seeds) {
       val times = sample(Gen.listOfN(20, Gen.choose(0L, 5000L)), s)
