@@ -91,6 +91,7 @@ class BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       (p1, lo) <- facts
       (hi, p2) <- facts
       if p1.semanticEquals(p2)
+      if p1.deterministic && lo.deterministic && hi.deterministic
       if isIntegral(p1) && isIntegral(lo) && isIntegral(hi)
       pSide <- sideOf(p1)
       loSide <- sideOf(lo)
@@ -106,8 +107,12 @@ class BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val ivBin = AttributeReference("__graft_ivbin", LongType)()
     val (pointSide, intervalSide) = if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
     val projectedPoint = Project(pointSide.output :+ pBin, pointSide)
+    // step stays inferred (None): an inverted interval (lo > hi) must yield
+    // zero matches like the original predicate — an explicit +1 step would
+    // make Sequence THROW on descending bounds instead. Inferred descending
+    // bins are harmless: the residual lo<=p<=hi kills every candidate.
     val explodedIntervals = Generate(
-      Explode(Sequence(bin(lo), bin(hi), Some(Literal(1L)),
+      Explode(Sequence(bin(lo), bin(hi), None,
         Some(conf.sessionLocalTimeZone))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(ivBin), child = intervalSide)

@@ -136,9 +136,11 @@ class VecBinTable(path: String, dim: Int) extends Table
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new VecBinScanBuilder(path, dim,
-      options.getLong("maxRecordsPerSplit", 1L << 19))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxRec = options.getLong("maxRecordsPerSplit", 1L << 19)
+    require(maxRec > 0, s"maxRecordsPerSplit must be positive, got $maxRec")
+    new VecBinScanBuilder(path, dim, maxRec)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val s = info.schema()
@@ -285,13 +287,26 @@ class VecBinBatchWrite(path: String, dim: Int, truncate: Boolean)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    // compare by file NAME: executor-side message paths may lack the
+    // scheme (file:/) that driver-side glob results carry
+    val live = messages.collect {
+      case VecBinCommit(tmp, _, _) => new Path(tmp).getName
+    }.toSet
     if (truncate) {
       val old = fs.globStatus(new Path(dir, "*.vecbin"))
       if (old != null) old.foreach(st => fs.delete(st.getPath, false))
+      // orphaned temps from killed/speculative tasks that never reached
+      // abort(): anything not in this commit's message set is dead
+      val orphans = fs.globStatus(new Path(dir, "*.vecbin.tmp"))
+      if (orphans != null) orphans.iterator
+        .filterNot(st => live.contains(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, false))
     }
     messages.foreach { case VecBinCommit(tmp, finalName, count) =>
       if (count == 0) fs.delete(new Path(tmp), false) // no empty files
-      else fs.rename(new Path(tmp), new Path(dir, finalName))
+      else if (!fs.rename(new Path(tmp), new Path(dir, finalName)))
+        throw new java.io.IOException(
+          s"vecbin commit failed: could not rename $tmp -> $finalName")
     }
   }
 

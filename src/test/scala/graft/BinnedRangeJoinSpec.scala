@@ -113,6 +113,22 @@ class BinnedRangeJoinSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
   }
 
+  test("inverted intervals (lo > hi) yield empty results, never a crash") {
+    val points = (0L to 50L).toDF("p")
+    val intervals = Seq((1L, 40L, 10L), (2L, 5L, 8L)).toDF("iv_id", "lo", "hi")
+    val viaHelper = BinnedRangeJoin
+      .pointInInterval(points, "p", intervals, "lo", "hi", 10L)
+      .select("iv_id").as[Long].collect().toSet
+    assert(viaHelper == Set(2L))
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "10")
+    try {
+      val viaRule = points.join(intervals,
+          col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("iv_id").as[Long].collect().toSet
+      assert(viaRule == Set(2L))
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
   test("optimizer rule leaves equi-key joins alone") {
     spark.conf.set("spark.graft.rangeJoin.binWidth", "7")
     try {
