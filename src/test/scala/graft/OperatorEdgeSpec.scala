@@ -96,6 +96,45 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(df.getDouble(1) == df.getDouble(2))
   }
 
+  test("range_bin: every session counts ALL purchases inside its window") {
+    // sessions: u1 [0,59] [60,90] [95,125]; u2 [10,40] (ends = last + 30)
+    // purchases at t=29 (u1) and t=10 (u2); both land in [0,59] AND [10,40];
+    // the two later u1 sessions see none and drop out of the inner join
+    val rows = operators.EventTime.qRangeBin(spark, mini).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 60000000L, r.getLong(3)))
+    assert(rows.toSet == Set((1L, 0L, 2L), (2L, 10L, 2L)), rows.toSeq)
+  }
+
+  test("win_range: trailing 30-min frame is value-keyed, not row-keyed") {
+    val rows = operators.Windows.qWinRange(spark, mini).collect()
+      .map(r => (r.getLong(0), r.getLong(2) / 60000000L,
+        r.getLong(3), r.getDouble(4)))
+    // u1 events at 0,29,60,95 min (values 1,2,3,4): t=29 sees t=0 (29 <= 30);
+    // t=60 does NOT see t=29 (gap 31); u2 single event sees itself
+    assert(rows.toSet == Set(
+      (1L, 0L, 1L, 1.0), (1L, 29L, 2L, 3.0),
+      (1L, 60L, 1L, 3.0), (1L, 95L, 1L, 4.0),
+      (2L, 10L, 1L, 5.0)), rows.toSeq)
+  }
+
+  test("cdc_apply: delete, update and insert each hit their key class") {
+    val dir = Files.createTempDirectory("graft-cdc").toString
+    // 194 ≡ 0 (mod 97) → deleted; 98 ≡ 1 → price +10%; 99 ≡ 2 → also
+    // inserted as 100000099; 100 ≡ 3 → untouched
+    Seq(
+      (194L, 1L, "O", 10.0, ts(1), "1-URGENT"),
+      (98L, 1L, "O", 20.0, ts(2), "1-URGENT"),
+      (99L, 2L, "F", 30.0, ts(3), "2-HIGH"),
+      (100L, 2L, "F", 40.0, ts(4), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val rows = operators.Analytics.qCdcApply(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows == Map(98L -> 22.0, 99L -> 30.0, 100L -> 40.0,
+      100000099L -> 30.0), rows)
+  }
+
   test("r2/r6 rounding matches the shared floor formula at half boundaries") {
     val row = Seq((2.675, 0.0000005)).toDF("a", "b")
       .select(Cols.r2(col("a")), Cols.r6(col("b"))).head()
