@@ -13,8 +13,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -158,12 +159,14 @@ class VecBinTable(path: String, dim: Int) extends Table
 
 class VecBinScanBuilder(path: String, dim: Int, maxRecordsPerSplit: Long)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = VecBin.schema(dim)
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
   private var accepted: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Aggregation] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter {
@@ -183,8 +186,94 @@ class VecBinScanBuilder(path: String, dim: Int, maxRecordsPerSplit: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new VecBinScan(path, dim, required, lo, hi, maxRecordsPerSplit)
+  /** COUNT(*) / MIN(vec_id) / MAX(vec_id) are answered from the footers
+    * alone — a metadata-only query plan, zero record IO at any table size.
+    * COMPLETE pushdown only (Spark skips its own agg entirely), and only
+    * when no filter reached us: Spark already refuses to push aggregates
+    * past post-scan filters, and our residual-filter policy means every
+    * filter is post-scan. */
+  private def isVecId(e: VExpression): Boolean = e match {
+    case f: NamedReference => f.fieldNames.toSeq == Seq("vec_id")
+    case _ => false
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && accepted.isEmpty &&
+      lo == Long.MinValue && hi == Long.MaxValue &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => isVecId(m.column)
+        case m: Max => isVecId(m.column)
+        case _ => false
+      }
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    supportCompletePushDown(agg) && { pushedAgg = Some(agg); true }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new VecBinStatsScan(path, dim, agg.aggregateExpressions)
+    case None => new VecBinScan(path, dim, required, lo, hi, maxRecordsPerSplit)
+  }
+}
+
+/** Metadata-only scan backing a completely-pushed-down aggregation: one
+  * partition, one row, values folded from the per-file footers on the
+  * driver. */
+class VecBinStatsScan(path: String, dim: Int, aggs: Array[AggregateFunc])
+    extends Scan with Batch {
+
+  private val kinds: Array[String] = aggs.map {
+    case _: CountStar => "count"
+    case _: Min => "min"
+    case _: Max => "max"
+    case other => throw new IllegalStateException(s"unexpected pushed agg $other")
+  }
+
+  override def readSchema(): StructType =
+    StructType(kinds.zipWithIndex.map { case (k, i) =>
+      StructField(s"${k}_$i", LongType, nullable = k != "count")
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"vecbin $path statsOnly=${kinds.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val files = fs.globStatus(new Path(dir, "*.vecbin"))
+    val metas =
+      if (files == null) Seq.empty
+      else files.toSeq.map(st => VecBin.readFooter(fs, st, dim)).filter(_.count > 0)
+    val count = metas.map(_.count).sum
+    val minId = if (metas.isEmpty) None else Some(metas.map(_.minVecId).min)
+    val maxId = if (metas.isEmpty) None else Some(metas.map(_.maxVecId).max)
+    Array(VecBinStatsPartition(kinds, count, minId, maxId))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    VecBinStatsReaderFactory()
+}
+
+case class VecBinStatsPartition(kinds: Array[String], count: Long,
+    minId: Option[Long], maxId: Option[Long]) extends InputPartition
+
+case class VecBinStatsReaderFactory() extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[VecBinStatsPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow =
+        new GenericInternalRow(sp.kinds.map {
+          case "count" => sp.count: Any
+          case "min" => sp.minId.map(x => x: Any).orNull
+          case "max" => sp.maxId.map(x => x: Any).orNull
+        })
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class VecBinInputPartition(file: String, dim: Int,

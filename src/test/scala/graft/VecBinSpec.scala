@@ -73,6 +73,24 @@ class VecBinSpec extends SparkSpec {
     assert(spark.read.format(fmt).load(out).count() == half.count())
   }
 
+  test("count/min/max aggregate answers from footers without scanning records") {
+    val out = freshDir()
+    emb(d).repartition(3).write.format(fmt).mode("overwrite").save(out)
+    val table = spark.read.format(fmt).load(out)
+    val agg = table.agg(count(lit(1)), min("vec_id"), max("vec_id"))
+    val p = agg.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("statsOnly"), s"agg must be answered from metadata:\n$p")
+    val row = agg.head()
+    val n = emb(d).count()
+    assert(row.getLong(0) == n && row.getLong(1) == 0L && row.getLong(2) == n - 1)
+    // a filtered aggregate must NOT take the stats path (filters stay residual)
+    val filtered = table.where(col("label") > 0).agg(count(lit(1)))
+    val fp = filtered.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!fp.contains("statsOnly"), fp)
+    assert(filtered.head().getLong(0)
+      == emb(d).where(col("label") > 0).count())
+  }
+
   test("write rejects wrong-dim vectors and wrong schemas") {
     val out = freshDir()
     val badDim = emb(d).withColumn("embedding", slice(col("embedding"), 1, 3))
