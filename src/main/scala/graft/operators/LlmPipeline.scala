@@ -290,6 +290,11 @@ object LlmPipeline {
       labels = next.select(col("doc_id"), col("label"))
       rounds += 1
     }
+    // Unconverged labels are not "approximate" clusters, they are WRONG
+    // ones (a component could still be split) — fail loudly rather than
+    // return them. 50 pointer-jumped rounds cover diameter ~2^50.
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not converge after $rounds rounds")
     documents(s, d).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -33,6 +33,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *  - a join that already has an equi conjunct is left alone (Spark plans
   *    it fine), which also makes the rule a fixed point: its own output
   *    carries the bin equi condition.
+  *
+  * Scope: INNER joins only, by design. An outer pure range join would need
+  * unmatched-row preservation through the bin explosion (inner-bin join +
+  * anti-join union) — expressible, but not a shape the fixtures exercise;
+  * the rule leaves outer joins to Spark's nested loop rather than risk
+  * null-extension semantics silently changing.
   */
 class BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
