@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * split planning, footer min/max file skipping, column pruning reaching the
   * scan, truncate-overwrite, and write-side schema/dim validation. */
 class VecBinSpec extends SparkSpec {
+  import spark.implicits._
 
   private val fmt = "graft.sources.VecBinSource"
   private def freshDir(): String =
@@ -89,6 +90,22 @@ class VecBinSpec extends SparkSpec {
     assert(!fp.contains("statsOnly"), fp)
     assert(filtered.head().getLong(0)
       == emb(d).where(col("label") > 0).count())
+  }
+
+  test("non-default dim option flows through write and read; wrong dim fails fast") {
+    val out = freshDir()
+    val df = Seq((1L, 0, Array.fill(8)(1.5f)), (2L, 1, Array.tabulate(8)(_.toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    df.write.format(fmt).option("dim", "8").mode("overwrite").save(out)
+    val back = spark.read.format(fmt).option("dim", "8").load(out)
+    assert(back.count() == 2)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+    // a mismatched reader dim is caught by the footer check at plan time
+    val e = intercept[Exception] {
+      spark.read.format(fmt).load(out).collect() // default dim 64
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("dim"))
   }
 
   test("write rejects wrong-dim vectors and wrong schemas") {
