@@ -108,6 +108,21 @@ class VecBinSpec extends SparkSpec {
       .contains("dim"))
   }
 
+  test("special floats roundtrip bit-exactly: NaN, infinities, -0.0, denormals") {
+    val out = freshDir()
+    val specials = Array(Float.NaN, Float.PositiveInfinity,
+      Float.NegativeInfinity, -0.0f, 0.0f, Float.MinPositiveValue,
+      -Float.MinPositiveValue, Float.MaxValue)
+    val df = Seq((1L, 0, specials)).toDF("vec_id", "label", "embedding")
+    df.write.format(fmt).option("dim", "8").mode("overwrite").save(out)
+    val got = spark.read.format(fmt).option("dim", "8").load(out)
+      .select("embedding").head.getSeq[Float](0)
+    // bit-level compare: SQL equality would conflate -0.0 with 0.0 and
+    // needs special NaN handling — raw bits prove true losslessness
+    assert(got.map(java.lang.Float.floatToRawIntBits).toSeq
+      == specials.map(java.lang.Float.floatToRawIntBits).toSeq)
+  }
+
   test("write rejects wrong-dim vectors and wrong schemas") {
     val out = freshDir()
     val badDim = emb(d).withColumn("embedding", slice(col("embedding"), 1, 3))
