@@ -63,6 +63,24 @@ object Analytics {
       .agg(Cols.r2(sum(col("o_totalprice"))))
       .orderBy("o_orderpriority")
 
+  /** Unpivot (melt): the inverse of [[qPivot]] — a wide per-user matrix of
+    * event-type value sums back to long form. Missing cells are 0-filled
+    * BEFORE melting so the long form is dense and engine-agnostic (Spark's
+    * `unpivot` keeps nulls, DuckDB's UNPIVOT drops them — pinning density
+    * sidesteps the dialect split). Melt is a per-row explode: no shuffle
+    * beyond the pivot's own aggregation. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("view", "click", "signup", "purchase", "error")
+    events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(Cols.r2(sum(col("value"))))
+      .na.fill(0.0, types)
+      .unpivot(Array(col("user_id")), types.map(col).toArray,
+        "event_type", "total")
+      .orderBy("user_id", "event_type")
+  }
+
   /** Latest-state compaction ("upsert view" of the event stream): the most
     * recent event per user, ties broken by event_id. */
   def qLatestState(s: SparkSession, d: String): DataFrame = {
@@ -194,9 +212,22 @@ object Analytics {
     "q_sample"        -> (qSample _),
     "q_collect"       -> (qCollect _),
     "q_date_spine"    -> (qDateSpine _),
-    "q_cdc_apply"     -> (qCdcApply _))
+    "q_cdc_apply"     -> (qCdcApply _),
+    "q_unpivot"       -> (qUnpivot _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_unpivot" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    floor((sum(value))*100.0 + 0.5)/100.0 AS total
+        |  FROM events GROUP BY 1, 2),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |ty AS (SELECT unnest(['view','click','signup','purchase','error'])
+        |       AS event_type)
+        |SELECT u.user_id AS user_id, ty.event_type AS event_type,
+        |  coalesce(t.total, 0.0) AS total
+        |FROM u CROSS JOIN ty
+        |LEFT JOIN t ON t.user_id = u.user_id AND t.event_type = ty.event_type
+        |ORDER BY u.user_id, ty.event_type""".stripMargin,
     "q_cdc_apply" ->
       """WITH survivors AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,
