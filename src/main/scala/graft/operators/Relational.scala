@@ -377,6 +377,17 @@ object Relational {
   def qExcept(s: SparkSession, d: String): DataFrame =
     highBal(s, d).except(recentCust(s, d)).orderBy("k")
 
+  /** Multiset set ops: the orders side carries one row per order, so
+    * `exceptAll`/`intersectAll` preserve MULTIPLICITY (bag semantics) where
+    * [[qExcept]]/[[qIntersect]] collapse to distinct keys — e.g. a customer
+    * with three qualifying orders but no high balance survives exceptAll
+    * three times. Same single shuffle as the distinct forms. */
+  def qExceptAll(s: SparkSession, d: String): DataFrame =
+    recentCust(s, d).exceptAll(highBal(s, d)).orderBy("k")
+
+  def qIntersectAll(s: SparkSession, d: String): DataFrame =
+    recentCust(s, d).intersectAll(highBal(s, d)).orderBy("k")
+
   // ---- wiring --------------------------------------------------------------
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -405,7 +416,9 @@ object Relational {
     "q_topk_group"     -> (qTopkGroup _),
     "q_union"          -> (qUnion _),
     "q_intersect"      -> (qIntersect _),
-    "q_except"         -> (qExcept _))
+    "q_except"         -> (qExcept _),
+    "q_except_all"     -> (qExceptAll _),
+    "q_intersect_all"  -> (qIntersectAll _))
 
   val oracles: ListMap[String, String] = ListMap(
     "q_supplier" ->
@@ -580,5 +593,15 @@ object Relational {
       """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY k""".stripMargin,
+    "q_except_all" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |EXCEPT ALL
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |ORDER BY k""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |INTERSECT ALL
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
         |ORDER BY k""".stripMargin)
 }
