@@ -1,0 +1,122 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** One-pass bucket-count sketch over hash ARRAYS as a native typed
+  * imperative aggregate: `bucket_hist(shs, bits)` folds every element of
+  * every array into a fixed `2^bits`-bucket histogram
+  * (`bucket = hash & (2^bits - 1)`), map-side combined, merged bucket-wise.
+  *
+  * This feeds [[PrefixByFreq]]'s frequency sketch in ONE scan of the cached
+  * shingle arrays — no explode (corpus-sized row fan-out), no shuffle of
+  * exploded rows, and a single-row result whose collect cost is the sketch
+  * size, a dial independent of corpus size. The explode→groupBy→collect
+  * formulation it replaces materialized |corpus|·|shingles per doc| rows
+  * just to count them (profiled at 1.2 s of q_dedup_ngram's 4.4 s at
+  * sf0.1).
+  *
+  * Buffers are `2^bits` ints (256 KiB at the default 16 bits); counts
+  * saturate at Int.MaxValue instead of wrapping, so a hot bucket at corpus
+  * scale stays "very frequent" rather than going negative and jumping to
+  * the front of the rarity order.
+  */
+case class BucketHistAgg(
+    child: Expression,
+    bits: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]] {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if bits >= 0 && bits <= 26 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, 0<=bits<=26), got " +
+        s"(${t.simpleString}, $bits)")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  private def size: Int = 1 << bits
+  private def mask: Int = size - 1
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](size)
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val b = arr.getLong(i).toInt & mask
+          if (buf(b) != Int.MaxValue) buf(b) += 1
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Int], b2: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < size) {
+      val s = b1(i).toLong + b2(i).toLong
+      b1(i) = if (s > Int.MaxValue) Int.MaxValue else s.toInt
+      i += 1
+    }
+    b1
+  }
+
+  override def eval(buf: Array[Int]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(size * 4)
+    buf.foreach(bb.putInt)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(size)(bb.getInt)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BucketHistAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BucketHistAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "bucket_hist"
+}
+
+object BucketHistAgg {
+  private val name = "bucket_hist"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => BucketHistAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+
+  /** Aggregate column: `2^bits`-bucket histogram of a grouped
+    * array<bigint> column's elements. */
+  def hist(spark: SparkSession)(shs: Column, bits: Int): Column = {
+    register(spark)
+    call_function(name, shs, lit(bits))
+  }
+}

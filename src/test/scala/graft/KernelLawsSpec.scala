@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{FloatVectorDot, MinHashAgg, ShingleHashes, SortedIntersectCount}
+import graft.functions.{BucketHistAgg, FloatVectorDot, MinHashAgg, PrefixByFreq, ShingleHashes, SignBands, SortedIntersectCount}
 
 /** ScalaCheck laws for the hand-written native kernels, checked against
   * straightforward Scala models over random inputs (interpreted eval path —
@@ -82,6 +82,71 @@ class KernelLawsSpec extends AnyFunSuite {
         s + x.toDouble * y.toDouble
       }
       got == model && sym == model
+    })
+  }
+
+  test("PrefixByFreq == sortBy((freq, sh)).take(k) model") {
+    val shsGen = Gen.listOf(Gen.chooseNum(-5000L, 5000L)).map(_.distinct)
+    val freqGen = Gen.listOfN(16, Gen.chooseNum(0, 40))
+    val thetaGen = Gen.oneOf(0.5, 0.8, 0.9, 1.0)
+    check(forAll(shsGen, freqGen, thetaGen) {
+      (shs: List[Long], fs: List[Int], theta: Double) =>
+        val freqs = fs.toArray
+        val got = PrefixByFreq(
+          Literal(arr(shs), ArrayType(LongType)),
+          Literal(ArrayData.toArrayData(freqs),
+            ArrayType(org.apache.spark.sql.types.IntegerType)),
+          theta).eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+        val n = shs.length
+        val k = math.min(n - math.ceil(theta * n).toInt + 1, n)
+        val model =
+          shs.sortBy(sh => (freqs(sh.toInt & 15).toLong, sh)).take(math.max(k, 0))
+        got == model
+    })
+  }
+
+  test("BucketHistAgg == exploded bucket counts; merge adds, saturating") {
+    val gen = Gen.listOf(Gen.listOf(Gen.chooseNum(-5000L, 5000L)))
+    check(forAll(gen, gen) { (xs: List[List[Long]], ys: List[List[Long]]) =>
+      val bits = 4
+      val agg = BucketHistAgg(
+        BoundReference(0, ArrayType(LongType), nullable = false), bits)
+      def fold(rows: List[List[Long]]): Array[Int] =
+        rows.foldLeft(agg.createAggregationBuffer()) { (buf, r) =>
+          agg.update(buf, org.apache.spark.sql.catalyst.InternalRow(arr(r)))
+        }
+      def model(rows: List[List[Long]]): Seq[Int] =
+        (0 until (1 << bits)).map(b =>
+          rows.flatten.count(sh => (sh.toInt & 15) == b))
+      val sat = {
+        val b1 = agg.createAggregationBuffer(); b1(0) = Int.MaxValue - 1
+        val b2 = agg.createAggregationBuffer(); b2(0) = 5
+        agg.merge(b1, b2)(0) == Int.MaxValue
+      }
+      fold(xs).toSeq == model(xs) &&
+        agg.merge(fold(xs), fold(ys)).toSeq ==
+          model(xs).zip(model(ys)).map { case (p, q) => p + q } &&
+        agg.deserialize(agg.serialize(fold(ys))).toSeq == model(ys) && sat
+    })
+  }
+
+  test("SignBands == per-band sign-bit fold; short vectors pad bit 0") {
+    val vecGen = Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.chooseNum(-10f, 10f), Gen.const(0f),
+        Gen.const(Float.NaN))))
+    check(forAll(vecGen) { (v: List[Float]) =>
+      val nBands = 3; val width = 8
+      val got = SignBands(
+        Literal(ArrayData.toArrayData(v.toArray), ArrayType(FloatType)),
+        nBands, width).eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      val model = (0 until nBands).map { t =>
+        (0 until width).foldLeft(0L) { (bv, i) =>
+          val d = t * width + i
+          val set = d < v.length && (v(d) > 0f || v(d).isNaN)
+          if (set) bv | (1L << i) else bv
+        }
+      }
+      got == model
     })
   }
 
