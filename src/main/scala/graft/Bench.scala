@@ -29,7 +29,8 @@ object Bench {
     // list is the first-toucher of every named cache in
     // TrainingData/LlmPipeline/CorpusFilters.
     val warmQs = Seq("q_token_count", "q_tfidf", "q_dedup_near",
-      "q_dedup_ngram", "q_contamination", "q_mix_weights", "q_ann_ivf")
+      "q_dedup_ngram", "q_contamination", "q_mix_weights", "q_ann_ivf",
+      "q_range_bin")
     val w0 = System.nanoTime()
     warmQs.foreach { q =>
       try SparkEntry.queries(q)(spark, sfDir).count()

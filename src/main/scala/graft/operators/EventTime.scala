@@ -119,13 +119,21 @@ object EventTime {
     * [[graft.plans.BinnedRangeJoin]] (1h bins), which turns it into a
     * shuffled equi-join on the bin id — the 100 TB-safe shape. Inner join:
     * sessions whose window saw no purchase are absent by definition. */
+  /** Per-user session intervals (30-min gap), cached: feeds both range-join
+    * shapes below and is the session-interval asset a cluster would
+    * materialize once per snapshot. */
+  private def sessionIntervals(s: SparkSession, d: String): DataFrame =
+    TrainingData.cached("eventSessions", s, d) {
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          Cols.epochUs(col("session_window.start")).as("start_us"),
+          Cols.epochUs(col("session_window.end")).as("end_us"))
+    }
+
   def qRangeBin(s: SparkSession, d: String): DataFrame = {
-    val sessions = events(s, d)
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("user_id"),
-        Cols.epochUs(col("session_window.start")).as("start_us"),
-        Cols.epochUs(col("session_window.end")).as("end_us"))
+    val sessions = sessionIntervals(s, d)
     val purchases = events(s, d)
       .where(col("event_type") === "purchase")
       .select(Cols.epochUs(col("ts")).as("ev_us"))
@@ -136,6 +144,29 @@ object EventTime {
       .orderBy("user_id", "start_us")
   }
 
+  /** INTERVAL-INTERVAL overlap join (NO equi key): which user pairs were on
+    * the platform concurrently, for how many session pairs and how much
+    * combined overlap time. The naive plan is a quadratic
+    * BroadcastNestedLoopJoin over all session pairs; here both sides bin
+    * through [[graft.plans.BinnedRangeJoin.intervalOverlap]] (1h bins,
+    * ownership-bin dedup) so it runs as a shuffled equi-join — the other
+    * classic range-join cliff after point-in-interval. A user's own
+    * sessions never overlap (session construction guarantees a >= 30-min
+    * gap), so `user_a < user_b` both orients pairs and drops self-joins. */
+  def qOverlapJoin(s: SparkSession, d: String): DataFrame = {
+    val sess = sessionIntervals(s, d)
+    val a = sess.toDF("user_a", "a_start", "a_end")
+    val b = sess.toDF("user_b", "b_start", "b_end")
+    graft.plans.BinnedRangeJoin
+      .intervalOverlap(a, "a_start", "a_end", b, "b_start", "b_end", HourUs)
+      .where(col("user_a") < col("user_b"))
+      .groupBy("user_a", "user_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("a_end"), col("b_end"))
+          - greatest(col("a_start"), col("b_start"))).as("overlap_us"))
+      .orderBy("user_a", "user_b")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_win_tumbling"      -> (qWinTumbling _),
     "q_win_sliding"       -> (qWinSliding _),
@@ -143,7 +174,8 @@ object EventTime {
     "q_dedup_events"      -> (qDedupEvents _),
     "q_late_data"         -> (qLateData _),
     "q_sessionize_funnel" -> (qSessionizeFunnel _),
-    "q_range_bin"         -> (qRangeBin _))
+    "q_range_bin"         -> (qRangeBin _),
+    "q_overlap_join"      -> (qOverlapJoin _))
 
   val oracles: ListMap[String, String] = ListMap(
     "q_win_tumbling" ->
@@ -210,5 +242,20 @@ object EventTime {
         |      WHERE event_type = 'purchase')
         |SELECT iv.user_id, iv.start_us, iv.end_us, count(*) AS n_concurrent
         |FROM iv JOIN p ON p.ev_us BETWEEN iv.start_us AND iv.end_us
-        |GROUP BY 1, 2, 3 ORDER BY user_id, start_us""".stripMargin)
+        |GROUP BY 1, 2, 3 ORDER BY user_id, start_us""".stripMargin,
+    "q_overlap_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT *, CASE WHEN us - lag(us) OVER w >= 1800000000 OR lag(us) OVER w IS NULL
+        |                     THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),
+        |iv AS (SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us
+        |       FROM s GROUP BY user_id, sid)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_pairs,
+        |       CAST(sum(least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us)) AS BIGINT) AS overlap_us
+        |FROM iv a JOIN iv b
+        |  ON a.start_us <= b.end_us AND b.start_us <= a.end_us
+        | AND a.user_id < b.user_id
+        |GROUP BY 1, 2 ORDER BY user_a, user_b""".stripMargin)
 }

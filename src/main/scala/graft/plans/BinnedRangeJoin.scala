@@ -48,4 +48,36 @@ object BinnedRangeJoin {
         && pt(pointCol) >= iv(loCol) && pt(pointCol) <= iv(hiCol))
       .drop("__bin")
   }
+
+  /** Join `a` to every row of `b` whose `[bLo, bHi]` overlaps `[aLo, aHi]`
+    * (inclusive on both ends: `aLo <= bHi && bLo <= aHi`). Both sides
+    * explode over their bin ranges, so a pair can share many bins; the
+    * OWNERSHIP predicate — emit only at bin `max(aLo, bLo) div w` — keeps
+    * exactly one copy without a dedup shuffle: that bin is an endpoint of
+    * the later-starting interval's sequence and, by the overlap condition,
+    * lies inside the other's. Column names must not collide across inputs.
+    * Output = a's columns ++ b's columns.
+    *
+    * At 100 TB: Σ(span/w) shuffled rows per side vs |A|·|B| comparisons —
+    * the same economics as [[pointInInterval]], with `binWidth` near the
+    * median SPAN of the shorter-interval side.
+    */
+  def intervalOverlap(
+      a: DataFrame, aLo: String, aHi: String,
+      b: DataFrame, bLo: String, bHi: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val ea = a.withColumn("__abin",
+      explode(sequence(
+        expr(s"$aLo div ${binWidth}L"), expr(s"$aHi div ${binWidth}L"))))
+    val eb = b.withColumn("__bbin",
+      explode(sequence(
+        expr(s"$bLo div ${binWidth}L"), expr(s"$bHi div ${binWidth}L"))))
+    ea.join(eb, ea("__abin") === eb("__bbin")
+        && ea(aLo) <= eb(bHi) && eb(bLo) <= ea(aHi))
+      // integer div, like the bin ids — double division could round the
+      // other way at a bin edge and drop (or double-emit) a boundary pair
+      .where(expr(s"__abin = (greatest($aLo, $bLo) div ${binWidth}L)"))
+      .drop("__abin", "__bbin")
+  }
 }

@@ -49,6 +49,13 @@ class BinnedRangeJoinSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_overlap_join plans an equi-join on the bin id, not a nested loop") {
+    val p = operators.EventTime.qOverlapJoin(spark, sfDir("sf0.001"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   private def physical(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
@@ -126,6 +133,105 @@ class BinnedRangeJoinSpec extends SparkSpec {
           col("p") >= col("lo") && col("p") <= col("hi"))
         .select("iv_id").as[Long].collect().toSet
       assert(viaRule == Set(2L))
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
+  test("intervalOverlap helper == naive overlap join, edges included, exactly once") {
+    val binW = 10L
+    val a = Seq(
+      (1L, 0L, 9L),     // exactly bin 0
+      (2L, 5L, 25L),    // spans bins 0..2
+      (3L, 10L, 10L),   // degenerate on a bin edge
+      (4L, 18L, 22L),   // straddles bin edge 20
+      (5L, 90L, 100L),  // right-closed on a bin edge
+      (6L, 40L, 30L)    // inverted: matches nothing
+    ).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq(
+      (10L, 9L, 10L),   // touches 1, 2, 3 at single points
+      (20L, 26L, 89L),  // gap-filler: overlaps nothing but 6? no - nothing
+      (30L, 0L, 100L),  // overlaps everything non-inverted
+      (40L, 20L, 20L),  // degenerate inside 2 and 4
+      (50L, 101L, 150L) // starts past every a
+    ).toDF("b_id", "b_lo", "b_hi")
+    val binned = plans.BinnedRangeJoin
+      .intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", binW)
+      .select("a_id", "b_id")
+    val naive = a.crossJoin(b)
+      .where(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("a_id", "b_id")
+    val g = binned.collect().map(_.toSeq).toList.sortBy(_.toString)
+    val n = naive.collect().map(_.toSeq).toList.sortBy(_.toString)
+    assert(g == n)
+    assert(g.distinct.size == g.size, "a pair surfaced at more than one bin")
+  }
+
+  test("optimizer rule: overlap join auto-rewrites to a bin equi-join when enabled") {
+    val a = (0L until 200L).map(i => (i, i * 7 % 500, i * 7 % 500 + i % 40))
+      .toDF("a_id", "a_lo", "a_hi")
+    val b = (0L until 200L).map(i => (i, i * 13 % 500, i * 13 % 500 + i % 25))
+      .toDF("b_id", "b_lo", "b_hi")
+    def joined = a.join(b,
+      col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(physical(joined).contains("BroadcastNestedLoopJoin"))
+    val expected = rows(joined)
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "16")
+    try {
+      val plan = physical(joined)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(rows(joined) == expected)
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
+  test("optimizer rule: strict overlap bounds are NOT matched (stay nested loop)") {
+    val a = Seq((1L, 0L, 10L)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((2L, 5L, 15L)).toDF("b_id", "b_lo", "b_hi")
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "10")
+    try {
+      // strict < on both: not an inclusive overlap — a strict cross-side
+      // conjunct is indistinguishable from an orientation filter, so the
+      // rule must leave it alone rather than bin a wrong pair of columns
+      val strict = a.join(b,
+        col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      assert(physical(strict).contains("BroadcastNestedLoopJoin"))
+      assert(strict.count() == 1)
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
+  test("optimizer rule: point-in-interval takes precedence over the overlap reading") {
+    // p BETWEEN lo AND hi also matches the overlap pattern with [p, p] as a
+    // degenerate interval; the point shape (single-bin projection, no
+    // explode on the point side) must win.
+    val points = Seq(5L, 15L).toDF("p")
+    val intervals = Seq((1L, 0L, 10L)).toDF("iv_id", "lo", "hi")
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "10")
+    try {
+      val joined = points.join(intervals,
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      val plan = physical(joined)
+      assert(plan.contains("__graft_ptbin"), plan)
+      assert(joined.count() == 1)
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
+  test("optimizer rule: NULL overlap bounds drop rows exactly like the naive join") {
+    val a = Seq((1L, Option(0L), Option(10L)), (2L, None, Option(10L)),
+      (3L, Option(0L), None)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((7L, Option(5L), Option(6L)), (8L, None, Option(6L)))
+      .toDF("b_id", "b_lo", "b_hi")
+    def naive = a.crossJoin(b)
+      .where(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("a_id", "b_id").collect().map(_.toSeq).toList.sortBy(_.toString)
+    val expected = naive
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "10")
+    try {
+      val viaRule = a.join(b,
+          col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        .select("a_id", "b_id").collect().map(_.toSeq).toList.sortBy(_.toString)
+      assert(viaRule == expected && expected == List(Seq(1L, 7L)))
     } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
   }
 
