@@ -32,6 +32,10 @@ import graft.functions.VectorFunctions._
   */
 object TrainingData {
 
+  /** k-means dials for [[qAnnIvf]] — shared with the generated oracle. */
+  private[graft] val IvfK = 10
+  private[graft] val IvfIters = 5
+
   private val P = graft.functions.MinHashAgg.P
   /** Fixed affine MinHash family h_i(x) = (a_i·x + b_i) mod P — owned by
     * [[graft.functions.MinHashAgg]] so the one-pass aggregate, the column
@@ -260,32 +264,75 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
-  /** IVF-style ANN: k=10 centroids (per-label mean vectors), every vector
-    * assigned to its nearest centroid by (rounded) cosine; the probe
-    * (vec_id=0) searches only its centroid's bucket for its top-5. */
-  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+  private def cosCol(s: SparkSession)(a: Column, b: Column): Column = {
     val fdot = graft.functions.FloatVectorDot.dotF(s) _
-    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      fdot(a, b) / (sqrt(fdot(a, a)) * sqrt(fdot(b, b)))
+    fdot(a, b) / (sqrt(fdot(a, a)) * sqrt(fdot(b, b)))
+  }
+
+  /** k-means init: the vectors at `vec_id` strides (row `j·(n div k)` for
+    * j = 0..k−1) — deterministic, label-free, and the same rows at any
+    * replay. PlanShapeSpec pins that `label` never enters this subtree. */
+  private[graft] def ivfInit(s: SparkSession, d: String, k: Int): DataFrame = {
     val e = embeddings(s, d)
-    val cent = e
-      .select(col("label").as("clabel"),
+    val stride = math.max(e.count() / k, 1L)
+    e.where(col("vec_id") % stride === 0 && col("vec_id") < k * stride)
+      .select((col("vec_id") / stride).cast("int").as("cid"),
+        toDouble(col("embedding")).as("cvec"))
+  }
+
+  /** One Lloyd update: assign every vector to its nearest centroid by
+    * (r6-rounded) cosine — groupBy argmin via `min(struct(−ccos, cid))`,
+    * a partial-aggregating shape, NOT a window sort — then per-(cluster,
+    * position) means. Label-free (pinned). */
+  private[graft] def ivfStep(s: SparkSession, d: String, centDf: DataFrame): DataFrame =
+    embeddings(s, d).crossJoin(broadcast(centDf))
+      .withColumn("ccos", Cols.r6(cosCol(s)(col("embedding"), col("cvec"))))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("ccos")).as("negc"), col("cid").as("cid"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("m.cid").as("cluster"),
         posexplode(toDouble(col("embedding"))).as(Seq("pos", "v")))
-      .groupBy(col("clabel"), col("pos")).agg(avg(col("v")).as("cv"))
-      .groupBy(col("clabel"))
+      .groupBy(col("cluster"), col("pos")).agg(avg(col("v")).as("cv"))
+      .groupBy(col("cluster"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         x => x.getField("cv")).as("cvec"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("clabel").asc)
+
+  /** IVF-style ANN, UNSUPERVISED: k=10 centroids from deterministic k-means
+    * — init at `vec_id` strides, [[IvfIters]] fixed Lloyd iterations, empty
+    * clusters keep their previous centroid — so the DuckDB oracle replays
+    * the identical iterations (unrolled CTEs) with no labels anywhere in
+    * the build (a production embedding corpus has none). Per-iteration
+    * driver state is k×dim doubles — the bounded k-means-centroid kind,
+    * collected once per corpus snapshot and memoized like the cached
+    * DataFrames. Every vector then lands in its nearest-centroid bucket
+    * and the probe (vec_id=0) searches ONLY its bucket for its top-5 —
+    * 1/k of the corpus. */
+  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = IvfK
+    def cos = cosCol(s) _
+    val e = embeddings(s, d)
+    val centDf = cached("ivfCent", s, d) {
+      var cent: Seq[(Int, Seq[Double])] = ivfInit(s, d, k)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+      for (_ <- 1 to IvfIters) {
+        val sums = ivfStep(s, d, cent.toDF("cid", "cvec"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        cent = cent.map { case (cid, old) => cid -> sums.getOrElse(cid, old) }
+      }
+      cent.toDF("cid", "cvec")
+    }
     // Probe lookup AND candidate scan both read the assignment table; persist
-    // it so the centroid-build + broadcast-cross-join + per-vector window
-    // subtree materializes ONCE instead of running on each side of the join.
+    // it so the broadcast-cross-join + per-vector argmin subtree
+    // materializes ONCE instead of running on each side of the join.
     val assigned = cached("ivfAssigned", s, d) {
-      e.crossJoin(broadcast(cent))
+      e.crossJoin(broadcast(centDf))
         .withColumn("ccos", Cols.r6(cos(col("embedding"), col("cvec"))))
-        .withColumn("rn", row_number().over(wAssign))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("embedding"), col("clabel").as("cluster"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct((-col("ccos")).as("negc"), col("cid").as("cid"))).as("m"),
+          first(col("label")).as("label"), first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("label"), col("embedding"),
+          col("m.cid").cast("long").as("cluster"))
     }
     val probe = broadcast(assigned.where(col("vec_id") === 0)
       .select(col("embedding").as("probe_emb"), col("cluster").as("probe_cluster")))
@@ -409,6 +456,56 @@ object TrainingData {
     s"min(($a*tok_id + $b) % 2147483647) AS h$i"
   }.mkString(", ")
 
+  /** DuckDB cosine between a float-list column and a double-list column,
+    * r6-rounded — the exact arithmetic of `Cols.r6(cosCol(...))`. */
+  private def duckCos(v: String, c: String): String =
+    s"""floor((list_sum(list_transform(list_zip($v, $c),
+       |     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |   / (sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |      * sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))))*1000000.0 + 0.5)/1000000.0""".stripMargin
+
+  /** The [[qAnnIvf]] oracle: the SAME deterministic k-means, its
+    * [[IvfIters]] Lloyd iterations UNROLLED as chained CTEs (assignment by
+    * r6-cosine argmax with cid-asc tie-break, per-position means, empty
+    * clusters keeping the previous centroid via LEFT JOIN + COALESCE),
+    * then the bucket-limited probe search. Generated so the iteration
+    * count can never drift from the Spark side. */
+  private def ivfOracle: String = {
+    val iters = (1 to IvfIters).map { i =>
+      s"""s$i AS (SELECT vec_id, embedding, cid,
+         |  ${duckCos("embedding", "cvec")} AS ccos
+         |  FROM embeddings CROSS JOIN c${i - 1}),
+         |a$i AS (SELECT vec_id, embedding, cid AS cluster FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM s$i) WHERE rn = 1),
+         |m$i AS (SELECT cluster AS cid, list(cv ORDER BY pos) AS cvec FROM (
+         |  SELECT cluster, pos, avg(ev) AS cv FROM (
+         |    SELECT cluster, unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS ev,
+         |           unnest(range(1, len(embedding)+1)) AS pos FROM a$i) GROUP BY 1, 2) GROUP BY 1),
+         |c$i AS (SELECT p.cid, COALESCE(m$i.cvec, p.cvec) AS cvec
+         |        FROM c${i - 1} p LEFT JOIN m$i ON p.cid = m$i.cid),""".stripMargin
+    }.mkString("\n")
+    s"""WITH st AS (SELECT greatest(count(*) // $IvfK, 1) AS stride FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id // (SELECT stride FROM st) AS INT) AS cid,
+       |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |       FROM embeddings
+       |       WHERE vec_id % (SELECT stride FROM st) = 0
+       |         AND vec_id < $IvfK * (SELECT stride FROM st)),
+       |$iters
+       |sf AS (SELECT vec_id, label, embedding, cid,
+       |  ${duckCos("embedding", "cvec")} AS ccos
+       |  FROM embeddings CROSS JOIN c$IvfIters),
+       |af AS (SELECT vec_id, label, embedding, CAST(cid AS BIGINT) AS cluster FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, cid ASC) AS rn FROM sf) WHERE rn = 1),
+       |probe AS (SELECT embedding AS pe, cluster AS pc FROM af WHERE vec_id = 0)
+       |SELECT vec_id, label, cluster,
+       |  ${duckCos("embedding", "pe")} AS cos_sim
+       |FROM af CROSS JOIN probe
+       |WHERE cluster = pc AND vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
+  }
+
   val oracles: ListMap[String, String] = ListMap(
     "q_dedup_minhash" ->
       (s"""WITH t AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text,' '))) AS tok
@@ -500,30 +597,7 @@ object TrainingData {
         |       FROM st JOIN v ON st.tok = v.tok GROUP BY 1)
         |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
         |FROM fp ORDER BY doc_id""".stripMargin,
-    "q_ann_ivf" ->
-      """WITH ex AS (SELECT label, unnest(embedding) AS e,
-        |              unnest(range(1, len(embedding)+1)) AS pos FROM embeddings),
-        |cent AS (SELECT clabel, list(cv ORDER BY pos) AS cvec FROM (
-        |  SELECT label AS clabel, pos, avg(CAST(e AS DOUBLE)) AS cv FROM ex GROUP BY 1, 2)
-        |  GROUP BY 1),
-        |scored AS (SELECT vec_id, label, embedding, clabel,
-        |  floor((list_sum(list_transform(list_zip(embedding, cvec),
-        |     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        |   / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-        |      * sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))))*1000000.0 + 0.5)/1000000.0 AS ccos
-        |  FROM embeddings CROSS JOIN cent),
-        |assigned AS (SELECT vec_id, label, embedding, clabel AS cluster FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY ccos DESC, clabel ASC) AS rn FROM scored) WHERE rn = 1),
-        |probe AS (SELECT embedding AS pe, cluster AS pc FROM assigned WHERE vec_id = 0)
-        |SELECT vec_id, label, cluster,
-        |  floor((list_sum(list_transform(list_zip(embedding, pe),
-        |     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        |   / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-        |      * sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))))*1000000.0 + 0.5)/1000000.0 AS cos_sim
-        |FROM assigned CROSS JOIN probe
-        |WHERE cluster = pc AND vec_id <> 0
-        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "q_ann_ivf" -> ivfOracle,
     "q_media_frames" ->
       """WITH b AS (SELECT doc_id,
         |    1 + CAST(octet_length(encode(text)) AS BIGINT) % 30 AS n_frames

@@ -84,6 +84,26 @@ class PlanShapeSpec extends SparkSpec {
         "recompute the centroid-build + cross-join + window subtree twice")
   }
 
+  test("q_ann_ivf centroid build is UNSUPERVISED — label never enters it") {
+    // a production embedding corpus has no labels; init and each Lloyd
+    // step must derive centroids from (vec_id, embedding) alone
+    // the scan's ReadSchema is what the subtree actually consumes — the
+    // Relation header always prints the full parquet schema
+    def readSchemas(p: String): Seq[String] =
+      p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    val init = TrainingData.ivfInit(spark, d, TrainingData.IvfK)
+    val initSchemas = readSchemas(planOf(init))
+    assert(initSchemas.nonEmpty && initSchemas.forall(!_.contains("label")),
+      planOf(init))
+    val step = TrainingData.ivfStep(spark, d, init)
+    val stepSchemas = readSchemas(planOf(step))
+    assert(stepSchemas.nonEmpty && stepSchemas.forall(!_.contains("label")),
+      planOf(step))
+    // and the step aggregates with map-side partials, not a ranking window
+    assert(!planOf(step).contains("Window"),
+      "argmin assignment must not fall back to a ranking window")
+  }
+
   test("q_supplier broadcasts the dim chain and partial-aggregates the argmin") {
     val p = planOf(Relational.qSupplier(spark, d))
     assert(p.contains("BroadcastHashJoin"), "supplier/nation/region must broadcast")
