@@ -163,13 +163,87 @@ object Roundtrip {
       .orderBy("o_orderkey")
   }
 
+  /** The rewritten partition's date — fixed so the oracle can replay it. */
+  private[graft] val EvolveDay = "2024-01-15"
+
+  /** The partition-overwrite lake's location, for the spec's file-level
+    * assertions. */
+  private[graft] def evolveDir(d: String): String = scratch(d, "events_bydate")
+
+  private def eventsByDate(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(col("event_id"), col("user_id"), col("value"),
+      date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+
+  /** Step 1: the initial date-partitioned lake write, deliberately
+    * FRAGMENTED (8-way repartition → up to 8 small files per partition,
+    * the daily-ingest debris every real lake accumulates). Returns the
+    * lake dir. */
+  private[graft] def evolveInitial(s: SparkSession, d: String): String = {
+    val out = scratch(d, "events_bydate")
+    eventsByDate(s, d)
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    out
+  }
+
+  /** Step 2: DYNAMIC partition overwrite — reprocess ONE day (values
+    * doubled, the deterministic stand-in for a corrected feed) and rewrite
+    * only that partition. `partitionOverwriteMode=dynamic` replaces just
+    * the partitions the incoming frame contains; with the default STATIC
+    * mode this same write would silently DELETE the other 29 days. Passed
+    * as a writer option so no session conf leaks past the write. */
+  private[graft] def evolveRewrite(s: SparkSession, d: String): Unit =
+    eventsByDate(s, d)
+      .where(col("event_date") === EvolveDay)
+      .withColumn("value", col("value") * 2)
+      .repartition(8)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date").parquet(scratch(d, "events_bydate"))
+
+  /** Step 3: small-file COMPACTION of the rewritten partition — read the
+    * partition back, repartition to the target file count (1 here; at
+    * scale, `ceil(partition bytes / target file size)`), dynamic-overwrite
+    * it in place. Untouched partitions' files are never rewritten. */
+  private[graft] def evolveCompact(s: SparkSession, d: String): Unit = {
+    val out = scratch(d, "events_bydate")
+    s.read.parquet(out)
+      .where(col("event_date") === EvolveDay)
+      .repartition(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date").parquet(out)
+  }
+
+  /** §2.1 dynamic-partition-overwrite + compaction: initial fragmented
+    * date-partitioned write → one day reprocessed under
+    * `partitionOverwriteMode=dynamic` → that day compacted to target file
+    * size — the #1 operational loop on a partitioned 100 TB lake (rewrite
+    * only touched partitions, keep file counts bounded). The read-back
+    * aggregates final state per day; the oracle replays it from the source
+    * table (day 15 doubled). SourcesSinksSpec additionally pins the FILE
+    * facts SQL can't see: untouched partitions' files byte-identical
+    * across both steps, and the compacted day collapsing to one file. */
+  def qPartitionOverwrite(s: SparkSession, d: String): DataFrame = {
+    val out = evolveInitial(s, d)
+    evolveRewrite(s, d)
+    evolveCompact(s, d)
+    // Partition-dir discovery infers event_date as DATE; cast back to the
+    // written string form so the output schema matches the oracle's VARCHAR.
+    s.read.parquet(out)
+      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"))
+      .agg(count(lit(1)).as("n"), graft.Cols.r2(sum(col("value"))).as("sum_value"))
+      .orderBy("event_date")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_csv_roundtrip"  -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_orc_roundtrip"  -> (qOrcRoundtrip _),
     "q_partitioned_roundtrip" -> (qPartitionedRoundtrip _),
     "q_vecbin_roundtrip" -> (qVecbinRoundtrip _),
-    "q_schema_evolution" -> (qSchemaEvolution _))
+    "q_schema_evolution" -> (qSchemaEvolution _),
+    "q_partition_overwrite" -> (qPartitionOverwrite _))
 
   val oracles: ListMap[String, String] = ListMap(
     "q_csv_roundtrip" ->
@@ -195,5 +269,12 @@ object Roundtrip {
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus,
         |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END::BIGINT AS batch
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_partition_overwrite" ->
+      s"""WITH e AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
+        |  CASE WHEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') = '$EvolveDay'
+        |       THEN value * 2 ELSE value END AS value FROM events)
+        |SELECT event_date, count(*) AS n,
+        |  floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
+        |FROM e GROUP BY 1 ORDER BY event_date""".stripMargin)
 }

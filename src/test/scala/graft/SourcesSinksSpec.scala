@@ -116,6 +116,49 @@ class SourcesSinksSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
+  test("dynamic partition overwrite touches only its partitions; compaction merges files") {
+    val d = sfDir("sf0.001")
+    def partFiles(date: String): Map[String, Long] = {
+      val dir = new java.io.File(
+        s"${operators.Roundtrip.evolveDir(d)}/event_date=$date")
+      assert(dir.isDirectory, s"missing partition dir $dir")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    }
+    val day = operators.Roundtrip.EvolveDay
+    val untouched = "2024-01-05"
+
+    operators.Roundtrip.evolveInitial(spark, d)
+    val untouchedBefore = partFiles(untouched)
+    val dayBefore = partFiles(day)
+    assert(untouchedBefore.nonEmpty && dayBefore.nonEmpty)
+
+    operators.Roundtrip.evolveRewrite(spark, d)
+    // dynamic mode: the day NOT in the incoming frame keeps its exact files
+    assert(partFiles(untouched) == untouchedBefore,
+      "dynamic overwrite must not rewrite partitions absent from the frame")
+    assert(partFiles(day).keySet.intersect(dayBefore.keySet).isEmpty,
+      "the rewritten day must consist of new files")
+
+    operators.Roundtrip.evolveCompact(spark, d)
+    assert(partFiles(untouched) == untouchedBefore,
+      "compaction of one day must not touch other partitions")
+    assert(partFiles(day).size == 1,
+      s"compaction should merge the day to 1 file, got ${partFiles(day).size}")
+
+    // final state: day-15 values doubled, every other day unchanged
+    val base = Tables.events(spark, d)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("value"))
+    val expected = base
+      .withColumn("value", when(col("dt") === day, col("value") * 2)
+        .otherwise(col("value")))
+      .groupBy("dt").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = operators.Roundtrip.qPartitionOverwrite(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("src_text: line mode and wholetext mode") {
     val dir = tmp() + "/txt"
     Tables.documents(spark, sfDir("sf0.001"))
