@@ -307,13 +307,13 @@ object TrainingData {
     * DataFrames. Every vector then lands in its nearest-centroid bucket
     * and the probe (vec_id=0) searches ONLY its bucket for its top-5 —
     * 1/k of the corpus. */
-  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+  /** The trained IVF centroid table (deterministic k-means, see
+    * [[qAnnIvf]]) — factored out so AnnRecallSpec can grade recall of the
+    * production centroids against brute force. */
+  private[graft] def ivfCentroids(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val k = IvfK
-    def cos = cosCol(s) _
-    val e = embeddings(s, d)
-    val centDf = cached("ivfCent", s, d) {
-      var cent: Seq[(Int, Seq[Double])] = ivfInit(s, d, k)
+    cached("ivfCent", s, d) {
+      var cent: Seq[(Int, Seq[Double])] = ivfInit(s, d, IvfK)
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
       for (_ <- 1 to IvfIters) {
         val sums = ivfStep(s, d, cent.toDF("cid", "cvec"))
@@ -322,6 +322,12 @@ object TrainingData {
       }
       cent.toDF("cid", "cvec")
     }
+  }
+
+  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    def cos = cosCol(s) _
+    val e = embeddings(s, d)
+    val centDf = ivfCentroids(s, d)
     // Probe lookup AND candidate scan both read the assignment table; persist
     // it so the broadcast-cross-join + per-vector argmin subtree
     // materializes ONCE instead of running on each side of the join.
