@@ -282,8 +282,45 @@ object CorpusFilters {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style composite quality gate (the published pre-filter rule set
+    * of Rae et al. 2021, Appendix A — word-count bounds, mean-word-length
+    * bounds, alphabetic-word fraction, minimum stop-word hits): per doc the
+    * four signals, their gate booleans at the PUBLISHED thresholds, and the
+    * conjunction `keep`. On this synthetic corpus the length (50..100000)
+    * and stop-word (≥2 distinct of 6) gates differentiate; the
+    * word-length [3,10] and alpha ≥0.8 gates pass everywhere — kept at
+    * their published values rather than bent to the fixture.
+    *
+    * Scale: zero shuffles — every signal folds inside the row (the
+    * mean-word-length reuses `n_chars` instead of re-measuring strings),
+    * so the gate runs at scan speed on any corpus size. */
+  def qGopherGate(s: SparkSession, d: String): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to", "in")
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("mean_tok_len", Cols.r6(
+        (col("n_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok")))
+      .withColumn("alpha_frac", Cols.r6(
+        size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double") / col("n_tok")))
+      .withColumn("n_stop", size(array_intersect(
+        array_distinct(col("toks")), array(stops.map(lit): _*))).cast("long"))
+      .withColumn("gate_len", col("n_tok") >= 50 && col("n_tok") <= 100000)
+      .withColumn("gate_word_len",
+        col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0)
+      .withColumn("gate_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("gate_stop", col("n_stop") >= 2)
+      .withColumn("keep", col("gate_len") && col("gate_word_len") &&
+        col("gate_alpha") && col("gate_stop"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("mean_tok_len"),
+        col("alpha_frac"), col("n_stop"), col("gate_len"), col("gate_word_len"),
+        col("gate_alpha"), col("gate_stop"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_repetition"    -> (qRepetition _),
+    "q_gopher_gate"   -> (qGopherGate _),
     "q_contamination" -> (qContamination _),
     "q_mix_weights"   -> (qMixWeights _),
     "q_seq_pack"      -> (qSeqPack _),
@@ -295,6 +332,25 @@ object CorpusFilters {
     "q_corpus_pipeline" -> (qCorpusPipeline _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_gopher_gate" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks, n_chars
+        |           FROM documents),
+        |s AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok,
+        |  floor(((n_chars - (len(toks)-1))*1.0/len(toks))*1000000.0 + 0.5)/1000000.0
+        |    AS mean_tok_len,
+        |  floor((len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))*1.0
+        |    /len(toks))*1000000.0 + 0.5)/1000000.0 AS alpha_frac,
+        |  CAST(len(list_intersect(list_distinct(toks),
+        |    ['the','a','of','and','to','in'])) AS BIGINT) AS n_stop
+        |FROM t)
+        |SELECT doc_id, lang, n_tok, mean_tok_len, alpha_frac, n_stop,
+        |  (n_tok >= 50 AND n_tok <= 100000) AS gate_len,
+        |  (mean_tok_len >= 3.0 AND mean_tok_len <= 10.0) AS gate_word_len,
+        |  (alpha_frac >= 0.8) AS gate_alpha,
+        |  (n_stop >= 2) AS gate_stop,
+        |  (n_tok >= 50 AND n_tok <= 100000 AND mean_tok_len >= 3.0
+        |   AND mean_tok_len <= 10.0 AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
         |           WHERE len(string_split(text,' ')) >= 2),

@@ -236,6 +236,40 @@ object Roundtrip {
       .orderBy("event_date")
   }
 
+  /** §2.1 bucketed-table co-located join under the hash gate: orders and
+    * customer are saved as 8-bucket tables bucketed AND sorted by custkey,
+    * then joined bucket-to-bucket. Bucketing is THE 100 TB co-location
+    * strategy for a recurring large-large join: both sides' shuffles are
+    * paid once at write time, and every subsequent join is Exchange-free
+    * (SourcesSinksSpec pins the no-Exchange sort-merge plan with broadcast
+    * disabled; at this test SF Catalyst rightly prefers a broadcast of the
+    * tiny dim — the layout's payoff begins where broadcast ends). The
+    * read-back aggregates revenue per segment; the oracle replays the join
+    * from the raw tables, proving the bucketed write→read cycle lossless. */
+  /** The bucketed tables' catalog names, for the spec's plan pin. */
+  private[graft] def bucketedTableNames(d: String): (String, String) = {
+    val suff = d.replaceAll("[^A-Za-z0-9]", "_")
+    (s"graft_orders_bkt_$suff", s"graft_customer_bkt_$suff")
+  }
+
+  def qBucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val (ot, ct) = bucketedTableNames(d)
+    s.sql(s"DROP TABLE IF EXISTS $ot")
+    s.sql(s"DROP TABLE IF EXISTS $ct")
+    orders(s, d).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", scratch(d, "orders_bucketed"))
+      .mode("overwrite").saveAsTable(ot)
+    customer(s, d).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", scratch(d, "customer_bucketed"))
+      .mode("overwrite").saveAsTable(ct)
+    s.table(ot).join(s.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        graft.Cols.r2(sum(col("o_totalprice"))).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_csv_roundtrip"  -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
@@ -243,7 +277,8 @@ object Roundtrip {
     "q_partitioned_roundtrip" -> (qPartitionedRoundtrip _),
     "q_vecbin_roundtrip" -> (qVecbinRoundtrip _),
     "q_schema_evolution" -> (qSchemaEvolution _),
-    "q_partition_overwrite" -> (qPartitionOverwrite _))
+    "q_partition_overwrite" -> (qPartitionOverwrite _),
+    "q_bucketed_join" -> (qBucketedJoin _))
 
   val oracles: ListMap[String, String] = ListMap(
     "q_csv_roundtrip" ->
@@ -270,6 +305,12 @@ object Roundtrip {
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus,
         |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END::BIGINT AS batch
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+        |  floor((sum(o_totalprice))*100.0 + 0.5)/100.0 AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_partition_overwrite" ->
       s"""WITH e AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
         |  CASE WHEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') = '$EvolveDay'

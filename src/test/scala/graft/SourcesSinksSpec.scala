@@ -116,6 +116,21 @@ class SourcesSinksSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
+  test("q_bucketed_join's declared tables join Exchange-free once broadcast ends") {
+    val d = sfDir("sf0.001")
+    operators.Roundtrip.qBucketedJoin(spark, d).collect() // creates the tables
+    val (ot, ct) = operators.Roundtrip.bucketedTableNames(d)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table(ot)
+        .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"the declared bucketed tables must join without a shuffle:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("dynamic partition overwrite touches only its partitions; compaction merges files") {
     val d = sfDir("sf0.001")
     def partFiles(date: String): Map[String, Long] = {
