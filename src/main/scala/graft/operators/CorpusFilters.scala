@@ -318,9 +318,84 @@ object CorpusFilters {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style LM quality score: score every document by its mean token
+    * log-probability under a per-language unigram model and flag the bottom
+    * decile of its language. The published pipeline scores with a
+    * wiki-trained KenLM; the model here is the corpus's own per-language
+    * unigram distribution — the same bounded-artifact shape (a model table
+    * ≤ vocab size, NOT corpus size) with a replayable oracle.
+    *
+    * Scale: the model build is one map-side-combined aggregate; its
+    * per-language totals come from a window over the VOCAB (Heaps' law —
+    * millions of rows at 100 TB, not trillions, same argument as q_zipf);
+    * scoring is explode → model join → per-doc re-agg (the model join key
+    * is (lang, tok), so Catalyst degrades it from broadcast to shuffle as
+    * the vocab grows — either way linear in corpus tokens); the decile
+    * threshold is per-lang exact percentile over DOC scores (|docs| rows)
+    * broadcast back. */
+  def qUnigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val model = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("tok"),
+        log(col("cnt").cast("double") / col("tot")).as("logp"))
+    val scored = toks.join(model, Seq("lang", "tok"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tok"), Cols.r6(avg(col("logp"))).as("mean_logp"))
+    val thresh = scored.groupBy(col("lang"))
+      .agg(Cols.r6(expr("percentile(mean_logp, 0.1)")).as("p10"))
+    scored.join(broadcast(thresh), "lang")
+      .withColumn("low_quality", col("mean_logp") < col("p10"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("mean_logp"),
+        col("p10"), col("low_quality"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR-style importance weight (data selection via importance
+    * resampling): every document weighted by how much more likely its
+    * features are under the TARGET domain (here lang='en', the corpus's
+    * dominant slice) than under the raw corpus — log w(doc) = Σ_feat
+    * n_feat(doc)·[log p̂_target(feat) − log p̂_raw(feat)], add-1 smoothed.
+    * The published method hashes n-grams into a bounded feature space; the
+    * bounded space here is the top-1024 tokens by raw-corpus frequency
+    * (deterministic rank, hash-free so the oracle replays it exactly).
+    *
+    * Scale: feature selection is one corpus aggregate + a 1024-row rank;
+    * both feature models and their totals are broadcast BY CONSTRUCTION
+    * (the feature space is fixed-size no matter the corpus); scoring is
+    * one explode + broadcast join + per-doc re-agg — a single shuffle on
+    * doc_id. */
+  def qDsirWeight(s: SparkSession, d: String): DataFrame = {
+    val F = 1024
+    val toks = documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val rawCnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt_r"))
+    val feats = rawCnt
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt_r").desc, col("tok").asc)))
+      .where(col("rk") <= F)
+      .select(col("tok"), col("cnt_r"))
+    val tgtCnt = toks.where(col("lang") === "en")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt_t"))
+    val model = feats.join(tgtCnt, Seq("tok"), "left")
+      .withColumn("cnt_t", coalesce(col("cnt_t"), lit(0L)))
+    val tots = model.agg(sum(col("cnt_r")).as("tot_r"), sum(col("cnt_t")).as("tot_t"))
+    val weighted = model.crossJoin(broadcast(tots))
+      .select(col("tok"),
+        (log((col("cnt_t") + 1).cast("double") / (col("tot_t") + F)) -
+          log((col("cnt_r") + 1).cast("double") / (col("tot_r") + F))).as("logratio"))
+    toks.join(broadcast(weighted), Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_feat"), Cols.r6(sum(col("logratio"))).as("dsir_logw"))
+      .orderBy("doc_id")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_repetition"    -> (qRepetition _),
     "q_gopher_gate"   -> (qGopherGate _),
+    "q_unigram_logprob" -> (qUnigramLogprob _),
+    "q_dsir_weight"   -> (qDsirWeight _),
     "q_contamination" -> (qContamination _),
     "q_mix_weights"   -> (qMixWeights _),
     "q_seq_pack"      -> (qSeqPack _),
@@ -332,6 +407,42 @@ object CorpusFilters {
     "q_corpus_pipeline" -> (qCorpusPipeline _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_unigram_logprob" ->
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok
+        |           FROM documents),
+        |m AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |mt AS (SELECT lang, sum(cnt) AS tot FROM m GROUP BY 1),
+        |lp AS (SELECT m.lang, m.tok, ln(m.cnt*1.0/mt.tot) AS logp
+        |       FROM m JOIN mt ON m.lang = mt.lang),
+        |sc AS (SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_tok,
+        |         floor(avg(lp.logp)*1000000.0 + 0.5)/1000000.0 AS mean_logp
+        |       FROM t JOIN lp ON t.lang = lp.lang AND t.tok = lp.tok
+        |       GROUP BY 1, 2),
+        |th AS (SELECT lang,
+        |         floor(quantile_cont(mean_logp, 0.1)*1000000.0 + 0.5)/1000000.0 AS p10
+        |       FROM sc GROUP BY 1)
+        |SELECT sc.doc_id, sc.lang, sc.n_tok, sc.mean_logp, th.p10,
+        |  (sc.mean_logp < th.p10) AS low_quality
+        |FROM sc JOIN th ON sc.lang = th.lang ORDER BY sc.doc_id""".stripMargin,
+    "q_dsir_weight" ->
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok
+        |           FROM documents),
+        |rc AS (SELECT tok, count(*) AS cnt_r FROM t GROUP BY 1),
+        |f AS (SELECT tok, cnt_r FROM (SELECT tok, cnt_r,
+        |        row_number() OVER (ORDER BY cnt_r DESC, tok ASC) AS rk FROM rc)
+        |      WHERE rk <= 1024),
+        |tc AS (SELECT tok, count(*) AS cnt_t FROM t WHERE lang = 'en' GROUP BY 1),
+        |m AS (SELECT f.tok, f.cnt_r, coalesce(tc.cnt_t, 0) AS cnt_t
+        |      FROM f LEFT JOIN tc ON f.tok = tc.tok),
+        |tot AS (SELECT sum(cnt_r) AS tot_r, sum(cnt_t) AS tot_t FROM m),
+        |w AS (SELECT m.tok,
+        |        ln((m.cnt_t + 1)*1.0/(tot.tot_t + 1024))
+        |          - ln((m.cnt_r + 1)*1.0/(tot.tot_r + 1024)) AS logratio
+        |      FROM m, tot)
+        |SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_feat,
+        |  floor(sum(w.logratio)*1000000.0 + 0.5)/1000000.0 AS dsir_logw
+        |FROM t JOIN w ON t.tok = w.tok
+        |GROUP BY 1, 2 ORDER BY t.doc_id""".stripMargin,
     "q_gopher_gate" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks, n_chars
         |           FROM documents),
