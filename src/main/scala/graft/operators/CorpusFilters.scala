@@ -371,11 +371,10 @@ object CorpusFilters {
     val toks = documents(s, d)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
     val rawCnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt_r"))
-    val feats = rawCnt
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("cnt_r").desc, col("tok").asc)))
-      .where(col("rk") <= F)
-      .select(col("tok"), col("cnt_r"))
+    // top-F selection via orderBy+limit → TakeOrderedAndProject (per-partition
+    // heaps + driver merge of F rows), NOT a global row_number window (which
+    // would sort the whole vocab in one task)
+    val feats = rawCnt.orderBy(col("cnt_r").desc, col("tok").asc).limit(F)
     val tgtCnt = toks.where(col("lang") === "en")
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt_t"))
     val model = feats.join(tgtCnt, Seq("tok"), "left")

@@ -176,4 +176,19 @@ class PlanShapeSpec extends SparkSpec {
     val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
     assert(hashEx == 0, s"stratified sampling must not shuffle:\n$p")
   }
+
+  test("q_gopher_gate folds every signal inside the row (no hash shuffle, no window)") {
+    val p = planOf(CorpusFilters.qGopherGate(spark, d))
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 0, s"gate signals must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"gate must not need a window:\n$p")
+  }
+
+  test("q_dsir_weight selects its feature space with a top-k, not a global window") {
+    val p = planOf(CorpusFilters.qDsirWeight(spark, d))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-1024 selection should be a distributed top-k:\n$p")
+    assert(!p.contains("Window"),
+      s"no single-partition rank window allowed in the feature build:\n$p")
+  }
 }
