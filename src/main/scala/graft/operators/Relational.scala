@@ -207,6 +207,35 @@ object Relational {
         |""".stripMargin)
   }
 
+  /** Recursive CTE through the SQL front door (`WITH RECURSIVE`, Spark 4's
+    * iterative union execution): every customer walks the synthetic
+    * binary-tree hierarchy parent(k) = k div 2 up to the root, emitting its
+    * depth and the key-sum along the path. The oracle runs the identical
+    * recursion in DuckDB.
+    *
+    * Scale shape: a recursive CTE executes as ITERATED distributed steps —
+    * each iteration scans only the frontier produced by the previous one
+    * (rows still walking), so total work is O(|customers| · depth) spread
+    * over the cluster and the iteration count is the hierarchy DEPTH
+    * (log₂ max-key ≈ 25 even at 100 TB key spaces), not the row count.
+    * Same execution family as q_dedup_clusters' Pregel loop, but
+    * declaratively planned. */
+  def qRecursive(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer")
+    s.sql(
+      """WITH RECURSIVE walk(k, cur, depth, path_sum) AS (
+        |  SELECT c_custkey, c_custkey, 0, CAST(c_custkey AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT k, CAST(floor(cur / 2.0) AS BIGINT), depth + 1,
+        |    path_sum + CAST(floor(cur / 2.0) AS BIGINT)
+        |  FROM walk WHERE cur > 1
+        |)
+        |SELECT k AS c_custkey, CAST(max(depth) AS BIGINT) AS depth,
+        |  CAST(max(path_sum) AS BIGINT) AS path_sum
+        |FROM walk GROUP BY k ORDER BY c_custkey""".stripMargin)
+  }
+
   /** TPC-H Q2-shaped sourcing query: for each small part, the cheapest
     * EUROPE-region supplier (min observed unit price over lineitem, since
     * this schema has no partsupp), ties to the smaller s_suppkey.
@@ -409,6 +438,7 @@ object Relational {
     "q_agg_approx_quantile" -> (qAggApproxQuantile _),
     "q_rollup"         -> (qRollup _),
     "q_grouping_sets"  -> (qGroupingSets _),
+    "q_recursive"      -> (qRecursive _),
     "q_cube"           -> (qCube _),
     "q_having"         -> (qHaving _),
     "q_sort"           -> (qSort _),
@@ -474,6 +504,18 @@ object Relational {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_recursive" ->
+      """WITH RECURSIVE walk(k, cur, depth, path_sum) AS (
+        |  SELECT c_custkey, c_custkey, 0, CAST(c_custkey AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT k, CAST(floor(cur / 2.0) AS BIGINT), depth + 1,
+        |    path_sum + CAST(floor(cur / 2.0) AS BIGINT)
+        |  FROM walk WHERE cur > 1
+        |)
+        |SELECT k AS c_custkey, CAST(max(depth) AS BIGINT) AS depth,
+        |  CAST(max(path_sum) AS BIGINT) AS path_sum
+        |FROM walk GROUP BY k ORDER BY c_custkey""".stripMargin,
     "q_join_salted" ->
       """WITH agg AS (
         |  SELECT user_id, floor(sum(value)*100.0 + 0.5)/100.0 AS user_total,
