@@ -28,12 +28,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ Scalars.queries ++
       EventTime.queries ++ LlmPipeline.queries ++ TrainingData.queries ++
-      Analytics.queries ++ Roundtrip.queries ++ CorpusFilters.queries
+      Analytics.queries ++ Roundtrip.queries ++ CorpusFilters.queries ++
+      Insights.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Windows.oracles ++ Scalars.oracles ++
       EventTime.oracles ++ LlmPipeline.oracles ++ TrainingData.oracles ++
-      Analytics.oracles ++ Roundtrip.oracles ++ CorpusFilters.oracles
+      Analytics.oracles ++ Roundtrip.oracles ++ CorpusFilters.oracles ++
+      Insights.oracles
 }

@@ -1,0 +1,362 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.Cols
+
+/** Decision-support operators a pipeline team runs ON TOP of the curated
+  * data: cohort retention, RFM segmentation, statistical anomaly flags,
+  * BM25 relevance ranking, Pareto (skyline) extraction, and a fixed-point
+  * graph centrality (PageRank). Each is the Spark-shaped version of a
+  * classic warehouse/IR workload, declared under the same DuckDB-oracle
+  * contract as everything else.
+  *
+  * Scale notes:
+  *  - retention/anomaly: map-side-combined grouped aggregates; the only
+  *    broadcast sides are bounded by the CALENDAR (weeks, days) or the
+  *    event-type domain, never by the corpus.
+  *  - rfm: the quartile windows sort the CUSTOMER DIMENSION (bounded,
+  *    same Heaps'-law argument as the q_zipf vocab rank), not the fact
+  *    table; at larger dims swap ntile for approx-percentile cut points.
+  *  - skyline: two-phase — local fronts per partition key (embarrassingly
+  *    parallel), then one pass over the survivors, which are frontier-sized.
+  *    No quadratic dominance join anywhere (the oracle IS the quadratic
+  *    NOT-EXISTS formulation, as the independent check).
+  *  - pagerank: rank mass flows along an edge table that is NODE-count
+  *    sized after the build aggregation; each of the 5 fixed iterations is
+  *    one join + one aggregate, with per-round localCheckpoint exactly like
+  *    q_dedup_clusters' Pregel loop.
+  */
+object Insights {
+
+  /** Weekly cohort retention over the event stream: users are cohorted by
+    * the ISO week of their FIRST event; for every (cohort week, week
+    * offset) cell, the number of cohort members active that week and the
+    * retention fraction. The classic product-analytics matrix, computed in
+    * two map-side-combined shuffles (per-user first event, per-cell count)
+    * plus a calendar-bounded broadcast of cohort sizes. */
+  def qRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val firsts = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("first_ts"))).as("cohort_week"))
+    val active = ev.select(col("user_id"),
+      to_date(date_trunc("week", col("ts"))).as("week")).distinct()
+    val sizes = firsts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    active.join(firsts, "user_id")
+      .withColumn("week_offset",
+        floor(datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        Cols.r6(col("n_active").cast("double") / col("cohort_size"))
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** RFM customer segmentation: per customer, days since last order
+    * (anchored at the corpus max order date so the cut is reproducible),
+    * order count, and total spend, each scored into deterministic quartiles
+    * (ntile over a TOTAL order — metric plus custkey tiebreak — so both
+    * engines bucket identically) and concatenated into the classic 3-digit
+    * segment code. */
+  def qRfm(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
+    val per = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice")).as("monetary0"))
+      .crossJoin(broadcast(anchor))
+      .select(col("o_custkey"),
+        datediff(col("anchor"), col("last_order")).cast("long").as("recency_days"),
+        col("frequency"),
+        Cols.r2(col("monetary0")).as("monetary"))
+    val wr = Window.orderBy(col("recency_days").asc, col("o_custkey").asc)
+    val wf = Window.orderBy(col("frequency").desc, col("o_custkey").asc)
+    val wm = Window.orderBy(col("monetary").desc, col("o_custkey").asc)
+    per
+      .withColumn("r_score", ntile(4).over(wr).cast("long"))
+      .withColumn("f_score", ntile(4).over(wf).cast("long"))
+      .withColumn("m_score", ntile(4).over(wm).cast("long"))
+      .withColumn("segment", concat(col("r_score").cast("string"),
+        col("f_score").cast("string"), col("m_score").cast("string")))
+      .orderBy("o_custkey")
+  }
+
+  /** Daily-value anomaly flags per event type: day totals z-scored against
+    * the type's own mean/stddev across days, |z| > 2 flagged. The shape of
+    * every pipeline-health monitor (volume spikes, silent-drop days). One
+    * shuffle for the daily aggregate; the per-type stats are a
+    * type-domain-bounded broadcast back onto it. */
+  def qAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("day_value"), count(lit(1)).as("n_events"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(avg(col("day_value")).as("mu"),
+        stddev_samp(col("day_value")).as("sigma"))
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("z",
+        Cols.r6((col("day_value") - col("mu")) / nullif(col("sigma"), lit(0.0))))
+      .select(col("event_type"), col("day"),
+        Cols.r2(col("day_value")).as("day_value"), col("n_events"),
+        col("z"), (abs(col("z")) > 2.0).as("anomalous"))
+      .orderBy("event_type", "day")
+  }
+
+  /** BM25 relevance ranking of the corpus for the fixed query
+    * "spark hash join" (k1 = 1.2, b = 0.75, the Robertson idf): top-20
+    * docs containing at least one query term. tf is per (doc, term); df and
+    * the corpus stats (N, avgdl) ride bounded broadcasts — df is
+    * query-term-sized and the stats are a single row, so scoring is one
+    * shuffle on doc_id at any corpus size. */
+  def qBm25(s: SparkSession, d: String): DataFrame = {
+    val qTerms = Seq("spark", "hash", "join")
+    val docs = documents(s, d)
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("double").as("dl"))
+    val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib", col("idf") * (col("tf") * 2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), Cols.r6(sum(col("contrib"))).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  private def paretoFront(df: DataFrame, partition: Seq[Column]): DataFrame = {
+    // 2D skyline in one sorted pass: order by (price asc, size desc,
+    // partkey asc); a row survives iff its size strictly exceeds every
+    // earlier row's (earlier = cheaper, or equal-price-bigger). Exact
+    // (price, size) duplicates collapse to the min partkey by the same
+    // rule.
+    val ord = Seq(col("p_retailprice").asc, col("p_size").desc,
+      col("p_partkey").asc)
+    val w = (if (partition.isEmpty) Window.orderBy(ord: _*)
+             else Window.partitionBy(partition: _*).orderBy(ord: _*))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("runmax", max(col("p_size")).over(w))
+      .where(col("runmax").isNull || col("p_size") > col("runmax"))
+      .drop("runmax")
+  }
+
+  /** Skyline (Pareto front) of the part catalog: parts where no other part
+    * is both cheaper-or-equal AND larger-or-equal (strict somewhere) —
+    * minimize p_retailprice, maximize p_size. Computed without any
+    * dominance join: a local front per brand (partitioned window,
+    * embarrassingly parallel — a global skyline point always survives its
+    * local pass), then the same sorted pass over the frontier-sized
+    * survivors. The oracle is the independent quadratic NOT-EXISTS
+    * formulation. */
+  def qSkyline(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("p_size"))
+    paretoFront(paretoFront(p, Seq(col("p_brand"))), Seq.empty)
+      .select(col("p_partkey"), col("p_brand"),
+        Cols.r2(col("p_retailprice")).as("p_retailprice"), col("p_size"))
+      .orderBy("p_retailprice", "p_partkey")
+  }
+
+  /** PageRank over the nation-level trade graph (edge src→dst = customer
+    * nation → supplier nation, weighted by lineitem count; out-edge
+    * fractions normalized): 5 fixed power iterations, damping 0.85,
+    * uniform teleport — deterministic, so the DuckDB oracle replays the
+    * identical 5 iterations as unrolled CTEs (the q_ann_ivf k-means oracle
+    * precedent). The edge build reduces the fact tables to a
+    * node²-bounded edge list ONCE; each iteration joins ranks to edges and
+    * re-aggregates, localCheckpoint'ed per round like q_dedup_clusters so
+    * plan depth stays constant. */
+  def qPagerank(s: SparkSession, d: String): DataFrame = {
+    val n = nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val e0 = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outw = e0.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val edges = e0.join(outw, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("outw")).as("frac"))
+      .localCheckpoint(true)
+    val nTot = broadcast(n.agg(count(lit(1)).cast("double").as("n_nodes")))
+    var ranks = n.select(col("n_nationkey").as("node")).crossJoin(nTot)
+      .withColumn("pr", lit(1.0) / col("n_nodes"))
+    for (_ <- 1 to 5) {
+      val contrib = edges
+        .join(ranks.select(col("node"), col("pr")), col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("frac") * col("pr")).as("contrib"))
+      ranks = ranks.select(col("node"), col("n_nodes"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .withColumn("pr", lit(0.15) / col("n_nodes") +
+          lit(0.85) * coalesce(col("contrib"), lit(0.0)))
+        .select(col("node"), col("n_nodes"), col("pr"))
+        .localCheckpoint(true)
+    }
+    ranks.join(n, col("node") === col("n_nationkey"))
+      .select(col("n_name"), Cols.r6(col("pr")).as("pagerank"))
+      .orderBy("n_name")
+  }
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q_retention" -> (qRetention _),
+    "q_rfm"       -> (qRfm _),
+    "q_anomaly"   -> (qAnomaly _),
+    "q_bm25"      -> (qBm25 _),
+    "q_skyline"   -> (qSkyline _),
+    "q_pagerank"  -> (qPagerank _))
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+        |        AS cohort_week FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id,
+        |        CAST(date_trunc('week', ts) AS DATE) AS week FROM e),
+        |cs AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        |       FROM f GROUP BY 1),
+        |g AS (SELECT f.cohort_week,
+        |        CAST(floor(date_diff('day', f.cohort_week, a.week) / 7.0)
+        |          AS BIGINT) AS week_offset,
+        |        CAST(count(*) AS BIGINT) AS n_active
+        |      FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT g.cohort_week, g.week_offset, g.n_active, cs.cohort_size,
+        |  floor((g.n_active*1.0/cs.cohort_size)*1000000.0 + 0.5)/1000000.0
+        |    AS retention
+        |FROM g JOIN cs USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_rfm" ->
+      """WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor
+        |                FROM orders),
+        |per AS (SELECT o_custkey,
+        |          max(CAST(o_orderdate AS DATE)) AS last_order,
+        |          CAST(count(*) AS BIGINT) AS frequency,
+        |          floor(sum(o_totalprice)*100.0 + 0.5)/100.0 AS monetary
+        |        FROM orders GROUP BY 1),
+        |m AS (SELECT o_custkey,
+        |        CAST(date_diff('day', last_order, anchor) AS BIGINT)
+        |          AS recency_days,
+        |        frequency, monetary
+        |      FROM per CROSS JOIN anchor)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |  CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+        |    AS BIGINT) AS r_score,
+        |  CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC)
+        |    AS BIGINT) AS f_score,
+        |  CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC)
+        |    AS BIGINT) AS m_score,
+        |  CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS VARCHAR)
+        |   || CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS VARCHAR)
+        |   || CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS VARCHAR)
+        |    AS segment
+        |FROM m ORDER BY o_custkey""".stripMargin,
+    "q_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    sum(value) AS day_value, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, avg(day_value) AS mu,
+        |         stddev_samp(day_value) AS sigma
+        |       FROM daily GROUP BY 1),
+        |z AS (SELECT d.event_type, d.day,
+        |        floor(d.day_value*100.0 + 0.5)/100.0 AS day_value, d.n_events,
+        |        floor(((d.day_value - st.mu) / nullif(st.sigma, 0.0))
+        |          *1000000.0 + 0.5)/1000000.0 AS z
+        |      FROM daily d JOIN st USING (event_type))
+        |SELECT event_type, day, day_value, n_events, z,
+        |  (abs(z) > 2.0) AS anomalous
+        |FROM z ORDER BY event_type, day""".stripMargin,
+    "q_bm25" ->
+      """WITH dl AS (SELECT doc_id,
+        |              CAST(len(string_split(text,' ')) AS DOUBLE) AS dl
+        |            FROM documents),
+        |c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+        |      FROM dl),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+        |         SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |         FROM documents)
+        |       WHERE tok IN ('spark','hash','join') GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  floor(sum(ln(1.0 + (c.n_docs - df.df + 0.5)/(df.df + 0.5))
+        |    * (tf.tf * 2.2)
+        |    / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/c.avgdl)))*1000000.0 + 0.5)
+        |    /1000000.0 AS bm25
+        |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN c
+        |GROUP BY tf.doc_id
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q_skyline" ->
+      """SELECT p.p_partkey, p.p_brand,
+        |  floor(p.p_retailprice*100.0 + 0.5)/100.0 AS p_retailprice, p.p_size
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |AND p.p_partkey = (SELECT min(q2.p_partkey) FROM part q2
+        |  WHERE q2.p_retailprice = p.p_retailprice AND q2.p_size = p.p_size)
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
+    "q_pagerank" ->
+      """WITH e0 AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |              CAST(count(*) AS BIGINT) AS w
+        |            FROM lineitem l
+        |            JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |            JOIN customer c ON o.o_custkey = c.c_custkey
+        |            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |            GROUP BY 1, 2),
+        |ow AS (SELECT src, sum(w) AS outw FROM e0 GROUP BY 1),
+        |e AS (SELECT e0.src, e0.dst, e0.w*1.0/ow.outw AS frac
+        |      FROM e0 JOIN ow USING (src)),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nation),
+        |r0 AS (SELECT n_nationkey AS node, 1.0/nn.n_nodes AS pr
+        |       FROM nation, nn),
+        |c1 AS (SELECT e.dst AS node, sum(e.frac * r0.pr) AS contrib
+        |       FROM e JOIN r0 ON e.src = r0.node GROUP BY 1),
+        |r1 AS (SELECT r0.node,
+        |         0.15/nn.n_nodes + 0.85*coalesce(c1.contrib, 0.0) AS pr
+        |       FROM r0 LEFT JOIN c1 USING (node), nn),
+        |c2 AS (SELECT e.dst AS node, sum(e.frac * r1.pr) AS contrib
+        |       FROM e JOIN r1 ON e.src = r1.node GROUP BY 1),
+        |r2 AS (SELECT r1.node,
+        |         0.15/nn.n_nodes + 0.85*coalesce(c2.contrib, 0.0) AS pr
+        |       FROM r1 LEFT JOIN c2 USING (node), nn),
+        |c3 AS (SELECT e.dst AS node, sum(e.frac * r2.pr) AS contrib
+        |       FROM e JOIN r2 ON e.src = r2.node GROUP BY 1),
+        |r3 AS (SELECT r2.node,
+        |         0.15/nn.n_nodes + 0.85*coalesce(c3.contrib, 0.0) AS pr
+        |       FROM r2 LEFT JOIN c3 USING (node), nn),
+        |c4 AS (SELECT e.dst AS node, sum(e.frac * r3.pr) AS contrib
+        |       FROM e JOIN r3 ON e.src = r3.node GROUP BY 1),
+        |r4 AS (SELECT r3.node,
+        |         0.15/nn.n_nodes + 0.85*coalesce(c4.contrib, 0.0) AS pr
+        |       FROM r3 LEFT JOIN c4 USING (node), nn),
+        |c5 AS (SELECT e.dst AS node, sum(e.frac * r4.pr) AS contrib
+        |       FROM e JOIN r4 ON e.src = r4.node GROUP BY 1),
+        |r5 AS (SELECT r4.node,
+        |         0.15/nn.n_nodes + 0.85*coalesce(c5.contrib, 0.0) AS pr
+        |       FROM r4 LEFT JOIN c5 USING (node), nn)
+        |SELECT n.n_name,
+        |  floor(r5.pr*1000000.0 + 0.5)/1000000.0 AS pagerank
+        |FROM r5 JOIN nation n ON r5.node = n.n_nationkey
+        |ORDER BY n.n_name""".stripMargin)
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Insights
+
+/** Independent checks for the decision-support operators: brute-force
+  * replays on the sf0.001 fixture (small enough to recompute driver-side)
+  * plus the structural invariants each operator promises. */
+class InsightsSpec extends SparkSpec {
+
+  private val d = sfDir("sf0.001")
+
+  test("q_retention: offset-0 cell equals the cohort size (everyone is active in their first week)") {
+    val rows = Insights.qRetention(spark, d).collect()
+    assert(rows.nonEmpty)
+    val zero = rows.filter(_.getAs[Long]("week_offset") == 0L)
+    assert(zero.nonEmpty, "every cohort must have an offset-0 cell")
+    zero.foreach { r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("cohort_size"), r.toString)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_size"), r.toString)
+    }
+  }
+
+  test("q_rfm: scores in 1..4, quartiles balanced to within one row, segment is the score concat") {
+    val rows = Insights.qRfm(spark, d).collect()
+    assert(rows.length > 0)
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      val scores = rows.map(_.getAs[Long](c))
+      assert(scores.forall(v => v >= 1 && v <= 4), s"$c out of range")
+      val counts = scores.groupBy(identity).view.mapValues(_.length).values
+      assert(counts.max - counts.min <= 1, s"$c buckets unbalanced: $counts")
+    }
+    rows.foreach { r =>
+      val seg = s"${r.getAs[Long]("r_score")}${r.getAs[Long]("f_score")}${r.getAs[Long]("m_score")}"
+      assert(r.getAs[String]("segment") == seg, r.toString)
+    }
+  }
+
+  test("q_anomaly: one row per (type, day); flags match the reported z at the 2.0 threshold") {
+    val rows = Insights.qAnomaly(spark, d).collect()
+    val keys = rows.map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day")))
+    assert(keys.distinct.length == keys.length)
+    rows.foreach { r =>
+      val z = r.getAs[Double]("z")
+      assert(r.getAs[Boolean]("anomalous") == (math.abs(z) > 2.0), r.toString)
+    }
+  }
+
+  test("q_bm25 matches a driver-side brute-force BM25 on the fixture") {
+    val terms = Seq("spark", "hash", "join")
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.size).sum.toDouble / n
+    val dfreq = terms.map(t => t -> docs.values.count(_.contains(t))).toMap
+    val expected = docs.flatMap { case (id, toks) =>
+      val contribs = terms.flatMap { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) None
+        else Some(math.log(1.0 + (n - dfreq(t) + 0.5) / (dfreq(t) + 0.5)) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks.size / avgdl)))
+      }
+      if (contribs.isEmpty) None
+      else Some(id -> math.floor(contribs.sum * 1e6 + 0.5) / 1e6)
+    }.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(20)
+    val got = Insights.qBm25(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toSeq
+    assert(got == expected)
+  }
+
+  test("q_skyline matches the brute-force dominance check and is itself dominance-free") {
+    val parts = Tables.part(spark, d)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    def dominated(p: (Long, Double, Int)) = parts.exists { q =>
+      q._2 <= p._2 && q._3 >= p._3 && (q._2 < p._2 || q._3 > p._3)
+    }
+    val expected = parts.filter(!dominated(_))
+      .groupBy(p => (p._2, p._3)).map(_._2.minBy(_._1)).map(_._1).toSet
+    val got = Insights.qSkyline(spark, d).collect().map(_.getAs[Long]("p_partkey")).toSet
+    assert(got == expected)
+  }
+
+  test("q_skyline plans windows only — no dominance join, no cartesian product") {
+    val p = Insights.qSkyline(spark, d).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), s"skyline must not join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_pagerank matches a driver-side replay of the 5 power iterations") {
+    val df = Insights.qPagerank(spark, d)
+    // rebuild edges independently via SQL over the same fixtures
+    Seq("lineitem", "orders", "customer", "supplier", "nation").foreach { t =>
+      Tables.table(spark, d, t).createOrReplaceTempView(s"pg_$t")
+    }
+    val edges = spark.sql(
+      """SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+        |FROM pg_lineitem l JOIN pg_orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN pg_customer c ON o.o_custkey = c.c_custkey
+        |JOIN pg_supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val nodes = Tables.nation(spark, d).select(col("n_nationkey"), col("n_name"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val nN = nodes.length.toDouble
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var pr = nodes.map(n => n._1 -> 1.0 / nN).toMap
+    for (_ <- 1 to 5) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map(e => e._3.toDouble / outw(e._1) * pr(e._1)).sum).toMap
+      pr = nodes.map(n => n._1 -> (0.15 / nN + 0.85 * contrib.getOrElse(n._1, 0.0))).toMap
+    }
+    val expected = nodes.map { case (k, name) =>
+      name -> math.floor(pr(k) * 1e6 + 0.5) / 1e6
+    }.sortBy(_._1).toSeq
+    val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    // r6 rounding can differ by one ulp-step between independent double sums;
+    // require equality within 1e-6 per node plus exact name order
+    assert(got.map(_._1).toSeq == expected.map(_._1).toSeq)
+    got.zip(expected).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) <= 1e-6 + 1e-12, s"$g vs $e")
+    }
+    // total rank mass stays in [teleport floor, 1]
+    val mass = got.map(_._2).sum
+    assert(mass > 0.15 && mass <= 1.0 + 1e-6, s"mass $mass")
+  }
+}
