@@ -219,15 +219,86 @@ object Insights {
       .orderBy("n_name")
   }
 
+  /** Exponentially weighted moving average (α = 0.3) of each event type's
+    * daily value total — the classic trend-smoothing pass of a metrics
+    * pipeline. The recursion y_i = 0.7·y_{i−1} + 0.3·x_i (seeded with the
+    * first day) is evaluated as an EXACT left fold over the ordered prefix
+    * on BOTH engines (Spark `aggregate` HOF, DuckDB `list_reduce`, both
+    * seeded with the head element), so the sequence semantics — not an
+    * approximation of them — are what the hash gate checks.
+    *
+    * Scale: series are per-type CALENDAR series (bounded by days × types,
+    * not corpus size); the windowed prefix-list is O(n²) per series, fine
+    * for bounded calendars — an unbounded series would use a segmented-scan
+    * formulation instead. */
+  def qEwma(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("day_value"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("xs", collect_list(col("day_value")).over(w))
+      .withColumn("ewma", expr(
+        "aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), " +
+          "(acc, x) -> acc * 0.7 + 0.3 * x)"))
+      .select(col("event_type"), col("day"),
+        Cols.r2(col("day_value")).as("day_value"), Cols.r6(col("ewma")).as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  /** HLL sketch mergeability — THE property that makes approximate distinct
+    * counting distributed: per-(type, day) HLL sketches built independently
+    * (as a 1000-executor cluster would), merged with `hll_union_agg`, must
+    * estimate exactly what one direct pass estimates (register max-merge is
+    * lossless). Emits both estimates and the equality flag per event type.
+    * Oracle-omitted by declaration (sketch internals are engine-specific,
+    * like q_agg_approx); InsightsSpec pins merged == direct AND both within
+    * 5% of the exact distinct count. */
+  def qHllMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val direct = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("approx_direct"))
+    val perDay = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val merged = perDay.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("approx_merged"),
+        count(lit(1)).as("n_partials"))
+    direct.join(merged, "event_type")
+      .select(col("event_type"), col("approx_direct"), col("approx_merged"),
+        col("n_partials"),
+        (col("approx_direct") === col("approx_merged")).as("merge_lossless"))
+      .orderBy("event_type")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_retention" -> (qRetention _),
     "q_rfm"       -> (qRfm _),
     "q_anomaly"   -> (qAnomaly _),
     "q_bm25"      -> (qBm25 _),
     "q_skyline"   -> (qSkyline _),
-    "q_pagerank"  -> (qPagerank _))
+    "q_pagerank"  -> (qPagerank _),
+    "q_ewma"      -> (qEwma _),
+    "q_hll_merge" -> (qHllMerge _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    sum(value) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, day, day_value,
+        |    list(CAST(day_value AS DOUBLE)) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS xs
+        |  FROM daily)
+        |SELECT event_type, day,
+        |  floor(day_value*100.0 + 0.5)/100.0 AS day_value,
+        |  floor(list_reduce(xs, (a, x) -> a*0.7 + 0.3*x)*1000000.0 + 0.5)
+        |    /1000000.0 AS ewma
+        |FROM l ORDER BY event_type, day""".stripMargin,
     "q_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)

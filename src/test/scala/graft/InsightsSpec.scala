@@ -93,6 +93,39 @@ class InsightsSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("q_ewma matches a driver-side replay of the recursion") {
+    val daily = Tables.events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("dv"))
+      .collect().map(r => (r.getString(0), r.getAs[java.sql.Date](1), r.getDouble(2)))
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val ordered = rows.sortBy(_._2.toString).toSeq
+      var acc = ordered.head._3
+      ordered.zipWithIndex.map { case ((_, day, x), i) =>
+        if (i > 0) acc = acc * 0.7 + 0.3 * x
+        (t, day, math.floor(acc * 1e6 + 0.5) / 1e6)
+      }
+    }.toSeq.sortBy(r => (r._1, r._2.toString))
+    val got = Insights.qEwma(spark, d).collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date](1), r.getAs[Double]("ewma"))).toSeq
+    assert(got == expected)
+  }
+
+  test("q_hll_merge: per-day sketches merge losslessly and estimate within 5% of exact") {
+    val rows = Insights.qHllMerge(spark, d).collect()
+    assert(rows.nonEmpty)
+    val exact = Tables.events(spark, d).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("ex"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("merge_lossless"),
+        s"merged estimate must equal direct: $r")
+      assert(r.getAs[Long]("n_partials") > 1, s"need >1 partial to prove a merge: $r")
+      val (a, e) = (r.getAs[Long]("approx_direct"), exact(r.getString(0)))
+      assert(math.abs(a - e) <= math.max(1L, (e * 0.05).toLong), s"$a vs $e")
+    }
+  }
+
   test("q_pagerank matches a driver-side replay of the 5 power iterations") {
     val df = Insights.qPagerank(spark, d)
     // rebuild edges independently via SQL over the same fixtures
