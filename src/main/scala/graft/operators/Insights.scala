@@ -185,8 +185,10 @@ object Insights {
     * identical 5 iterations as unrolled CTEs (the q_ann_ivf k-means oracle
     * precedent). The edge build reduces the fact tables to a
     * node²-bounded edge list ONCE; each iteration joins ranks to edges and
-    * re-aggregates, localCheckpoint'ed per round like q_dedup_clusters so
-    * plan depth stays constant. */
+    * re-aggregates. Unlike q_dedup_clusters (whose data-dependent round
+    * count forces per-round localCheckpoint), the iteration count here is
+    * a FIXED 5 — plan depth is constant by construction, so the loop stays
+    * lazy and Catalyst plans the whole power series as one job. */
   def qPagerank(s: SparkSession, d: String): DataFrame = {
     val n = nation(s, d).select(col("n_nationkey"), col("n_name"))
     val e0 = lineitem(s, d)
@@ -212,7 +214,6 @@ object Insights {
         .withColumn("pr", lit(0.15) / col("n_nodes") +
           lit(0.85) * coalesce(col("contrib"), lit(0.0)))
         .select(col("node"), col("n_nodes"), col("pr"))
-        .localCheckpoint(true)
     }
     ranks.join(n, col("node") === col("n_nationkey"))
       .select(col("n_name"), Cols.r6(col("pr")).as("pagerank"))
