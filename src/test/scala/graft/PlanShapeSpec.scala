@@ -191,4 +191,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"),
       s"no single-partition rank window allowed in the feature build:\n$p")
   }
+
+  test("q_retention aggregates partial+final and never goes cartesian") {
+    val p = planOf(Insights.qRetention(spark, d))
+    assert(!p.contains("CartesianProduct"), p)
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 4, s"distinct + cohort aggs must combine map-side:\n$p")
+  }
+
+  test("q_bm25 broadcasts its bounded sides (df, corpus stats), top-20 via TakeOrdered") {
+    val p = planOf(Insights.qBm25(spark, d))
+    val bx = p.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(bx >= 2, s"query-term df and corpus stats must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must not globally sort:\n$p")
+  }
+
+  test("q_ewma runs on exactly one window (one shuffle past the daily agg)") {
+    val p = planOf(Insights.qEwma(spark, d))
+    val windows = p.linesIterator.count(_.matches("""\(\d+\) Window.*"""))
+    assert(windows == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_hll_merge builds sketches as partial+final ObjectHashAggregate (mergeable partials)") {
+    val p = planOf(Insights.qHllMerge(spark, d))
+    val objAggs = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(objAggs >= 2, s"HLL sketches must combine map-side:\n$p")
+  }
+
+  test("q_pagerank plans no cartesian product across its 5 iterations") {
+    val p = planOf(Insights.qPagerank(spark, d))
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
