@@ -274,6 +274,60 @@ object Insights {
       .orderBy("event_type")
   }
 
+  /** Rolling engagement: per calendar day, exact DAU and trailing-7-day
+    * active users (WAU-7) plus the DAU/WAU stickiness ratio. Each distinct
+    * (user, day) contributes to the 7 window days it participates in —
+    * explode ×7 then ONE distinct aggregate per window day; no
+    * self-join-per-offset, no window over the user stream. Days are
+    * clamped to the observed max so partial future windows don't appear.
+    *
+    * Scale: the explode multiplies the DISTINCT (user, day) stream (≪ raw
+    * events) by the window length; the per-day exact distinct is one
+    * shuffle. At 100 TB the same shape runs with hll partials
+    * (q_hll_merge) in place of the exact distinct. */
+  def qActiveUsers(s: SparkSession, d: String): DataFrame = {
+    val ud = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val mx = ud.agg(max(col("day")).as("mx"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+      .crossJoin(broadcast(mx))
+      .where(col("day") <= col("mx"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau7"))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    wau.join(dau, "day")
+      .select(col("day"), col("dau"), col("wau7"),
+        Cols.r6(col("dau").cast("double") / col("wau7")).as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** Winsorization (percentile clipping) per event type: values clipped to
+    * the type's own [p05, p95], reporting raw vs winsorized means and the
+    * clip count — the standard robust-mean cleaning pass before metric
+    * aggregation. One corpus aggregate for the cut points (exact
+    * interpolated percentile; swap approx_percentile at 100 TB, same API
+    * shape as q_percentile), broadcast back, one re-aggregate. */
+  def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val cuts = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.05)").as("p05"),
+        expr("percentile(value, 0.95)").as("p95"))
+    ev.join(broadcast(cuts), "event_type")
+      .withColumn("wv", when(col("value") < col("p05"), col("p05"))
+        .when(col("value") > col("p95"), col("p95"))
+        .otherwise(col("value")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.r6(first(col("p05"))).as("p05"),
+        Cols.r6(first(col("p95"))).as("p95"),
+        Cols.r6(avg(col("value"))).as("mean_raw"),
+        Cols.r6(avg(col("wv"))).as("mean_wins"),
+        sum(when(col("wv") =!= col("value"), 1L).otherwise(0L)).as("n_clipped"))
+      .orderBy("event_type")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_retention" -> (qRetention _),
     "q_rfm"       -> (qRfm _),
@@ -282,9 +336,42 @@ object Insights {
     "q_skyline"   -> (qSkyline _),
     "q_pagerank"  -> (qPagerank _),
     "q_ewma"      -> (qEwma _),
-    "q_hll_merge" -> (qHllMerge _))
+    "q_hll_merge" -> (qHllMerge _),
+    "q_active_users" -> (qActiveUsers _),
+    "q_winsorize" -> (qWinsorize _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |              CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |mx AS (SELECT max(day) AS mx FROM ud),
+        |c AS (SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS day2
+        |      FROM ud, unnest(range(0, 7)) r(i)),
+        |w AS (SELECT day2 AS day, CAST(count(DISTINCT user_id) AS BIGINT)
+        |        AS wau7
+        |      FROM c, mx WHERE day2 <= mx.mx GROUP BY 1),
+        |dd AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1)
+        |SELECT w.day, dd.dau, w.wau7,
+        |  floor((dd.dau*1.0/w.wau7)*1000000.0 + 0.5)/1000000.0 AS stickiness
+        |FROM w JOIN dd USING (day) ORDER BY day""".stripMargin,
+    "q_winsorize" ->
+      """WITH cuts AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS p05,
+        |    quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT e.event_type, e.value, c.p05, c.p95,
+        |        CASE WHEN e.value < c.p05 THEN c.p05
+        |             WHEN e.value > c.p95 THEN c.p95
+        |             ELSE e.value END AS wv
+        |      FROM events e JOIN cuts c USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  floor(min(p05)*1000000.0 + 0.5)/1000000.0 AS p05,
+        |  floor(min(p95)*1000000.0 + 0.5)/1000000.0 AS p95,
+        |  floor(avg(value)*1000000.0 + 0.5)/1000000.0 AS mean_raw,
+        |  floor(avg(wv)*1000000.0 + 0.5)/1000000.0 AS mean_wins,
+        |  CAST(sum(CASE WHEN wv <> value THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_ewma" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

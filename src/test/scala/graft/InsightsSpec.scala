@@ -126,6 +126,32 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("q_active_users: wau7 >= dau, stickiness in (0, 1], day-1 wau equals its dau") {
+    val rows = Insights.qActiveUsers(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau) = (r.getAs[Long]("dau"), r.getAs[Long]("wau7"))
+      assert(wau >= dau, r.toString)
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0 && st <= 1.0, r.toString)
+    }
+    // the very first observed day has no trailing history: wau7 == dau
+    val first = rows.minBy(_.getAs[java.sql.Date]("day").toString)
+    assert(first.getAs[Long]("wau7") == first.getAs[Long]("dau"), first.toString)
+  }
+
+  test("q_winsorize: clipped mean between p05 and p95, clip count matches tails") {
+    val rows = Insights.qWinsorize(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p05, p95) = (r.getAs[Double]("p05"), r.getAs[Double]("p95"))
+      val mw = r.getAs[Double]("mean_wins")
+      assert(mw >= p05 - 1e-9 && mw <= p95 + 1e-9, r.toString)
+      val clipFrac = r.getAs[Long]("n_clipped").toDouble / r.getAs[Long]("n")
+      assert(clipFrac > 0.0 && clipFrac <= 0.11, s"~10% should clip: $r")
+    }
+  }
+
   test("q_pagerank matches a driver-side replay of the 5 power iterations") {
     val df = Insights.qPagerank(spark, d)
     // rebuild edges independently via SQL over the same fixtures
