@@ -270,6 +270,64 @@ object Roundtrip {
       .orderBy("c_mktsegment")
   }
 
+  /** Z-order (Morton curve) clustered layout: events keyed by the 2-D
+    * point (x = user_id, y = day index), each dim min-max normalized onto
+    * an 8-bit grid — WITHOUT the normalization, the wider dimension's high
+    * bits own the top of the curve and the narrow dimension never
+    * clusters; scaling both dims to the same bit width is what makes the
+    * interleave symmetric (and is how production z-ordering works) — then
+    * bit-interleaved into a 16-bit z-value, SORTED by it and written to
+    * multi-file parquet: the layout that makes parquet min/max skipping
+    * work on BOTH dimensions at once (a single-column sort clusters only
+    * its own column; SourcesSinksSpec measures the per-file span
+    * contraction of each dim against an x-only sort). The declared query
+    * reads the clustered files back and aggregates per z-range bucket
+    * (zval div 256 = one cell of the 16×16 top-level grid): count +
+    * min/max of both dims, whose tight spans ARE the skipping guarantee,
+    * hash-checked against the oracle's replay of the identical
+    * normalize-and-interleave arithmetic from the raw table. */
+  def qZorder(s: SparkSession, d: String): DataFrame = {
+    val out = scratch(d, "events_zorder")
+    zPoints(events(s, d))
+      .orderBy("zval", "event_id")
+      .write.mode("overwrite").option("maxRecordsPerFile", "2000").parquet(out)
+    s.read.parquet(out)
+      .groupBy(expr("zval div 256").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .orderBy("zbucket")
+  }
+
+  /** (x, y, zval) projection of the events table — shared by the declared
+    * query and the spec's layout measurements. Normalization bounds ride a
+    * single-row broadcast (one extra corpus aggregate — the same stats a
+    * table's footer already knows at 100 TB). */
+  private[graft] def zPoints(ev: DataFrame): DataFrame = {
+    val base = ev.select(col("event_id"),
+      col("user_id").as("x"),
+      greatest(datediff(to_date(col("ts")), to_date(lit("2024-01-01"))), lit(0))
+        .cast("long").as("y"))
+    val mm = broadcast(base.agg(
+      min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("y")).as("ymin"), max(col("y")).as("ymax")))
+    val g = base.crossJoin(mm)
+      .withColumn("xg", expr("((x - xmin) * 256) div (xmax - xmin + 1)"))
+      .withColumn("yg", expr("((y - ymin) * 256) div (ymax - ymin + 1)"))
+    val z = (0 until 8).map(i =>
+      shiftleft(shiftright(col("xg"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("yg"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+      .reduce(_ + _)
+    g.withColumn("zval", z).select(col("event_id"), col("x"), col("y"), col("zval"))
+  }
+
+  /** The oracle's copy of the interleave — generated from the same loop so
+    * the 16 terms cannot drift from the Spark side. */
+  private def zTermsSql(x: String, y: String): String =
+    (0 until 8).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_csv_roundtrip"  -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
@@ -278,9 +336,25 @@ object Roundtrip {
     "q_vecbin_roundtrip" -> (qVecbinRoundtrip _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_partition_overwrite" -> (qPartitionOverwrite _),
-    "q_bucketed_join" -> (qBucketedJoin _))
+    "q_bucketed_join" -> (qBucketedJoin _),
+    "q_zorder" -> (qZorder _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_zorder" ->
+      s"""WITH b AS (SELECT event_id, user_id AS x,
+         |  GREATEST(date_diff('day', DATE '2024-01-01',
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE)), 0) AS y
+         |  FROM events),
+         |mm AS (SELECT min(x) AS xmin, max(x) AS xmax,
+         |         min(y) AS ymin, max(y) AS ymax FROM b),
+         |g AS (SELECT x, y,
+         |        ((x - xmin) * 256) // (xmax - xmin + 1) AS xg,
+         |        ((y - ymin) * 256) // (ymax - ymin + 1) AS yg
+         |      FROM b, mm),
+         |z AS (SELECT x, y, ${zTermsSql("xg", "yg")} AS zval FROM g)
+         |SELECT zval // 256 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin,
     "q_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -174,6 +174,40 @@ class SourcesSinksSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("z-order layout contracts per-file spans of BOTH dims; single-column sort only its own") {
+    import operators.Roundtrip
+    val pts = Roundtrip.zPoints(Tables.events(spark, sfDir("sf0.01")))
+      .select(col("x"), col("y"), col("zval"))
+    def spans(dir: String): (Double, Double, Long) = {
+      val perFile = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max(col("x")) - min(col("x"))).as("xs"),
+          (max(col("y")) - min(col("y"))).as("ys"))
+        .collect()
+      (perFile.map(_.getAs[Long]("xs")).sum.toDouble / perFile.length,
+        perFile.map(_.getAs[Long]("ys")).sum.toDouble / perFile.length,
+        perFile.length.toLong)
+    }
+    val (zDir, xDir) = (tmp() + "/z", tmp() + "/x")
+    pts.orderBy("zval").write.option("maxRecordsPerFile", "1000").parquet(zDir)
+    pts.orderBy("x", "y").write.option("maxRecordsPerFile", "1000").parquet(xDir)
+    val (gx, gy) = {
+      val r = pts.agg(max(col("x")) - min(col("x")),
+        max(col("y")) - min(col("y"))).collect()(0)
+      (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    }
+    val (zx, zy, zn) = spans(zDir)
+    val (xx, xy, xn) = spans(xDir)
+    assert(zn >= 4 && xn >= 4, s"need multiple files to measure ($zn, $xn)")
+    // z-order clusters BOTH dims: each file covers a fraction of each range
+    assert(zx <= 0.55 * gx, s"z-order x-span $zx vs global $gx")
+    assert(zy <= 0.55 * gy, s"z-order y-span $zy vs global $gy")
+    // the x-only sort clusters x even tighter but leaves y unclustered —
+    // that contrast is the reason z-order exists
+    assert(xx <= 0.55 * gx, s"x-sort x-span $xx vs global $gx")
+    assert(xy >= 0.9 * gy, s"x-sort should NOT cluster y: $xy vs $gy")
+  }
+
   test("src_text: line mode and wholetext mode") {
     val dir = tmp() + "/txt"
     Tables.documents(spark, sfDir("sf0.001"))
