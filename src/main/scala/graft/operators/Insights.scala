@@ -328,6 +328,40 @@ object Insights {
       .orderBy("event_type")
   }
 
+  /** Incremental aggregate maintenance: the don't-rescan-history pattern a
+    * daily 100 TB pipeline lives by. Yesterday's per-status STATE aggregate
+    * (orders before the cutoff = max date − 30 d) is merged with today's
+    * DELTA aggregate (count/sum add, min/max least/greatest) instead of
+    * recomputing over all history. The oracle is the INDEPENDENT single-pass
+    * recompute over everything — the hash match is the algebraic proof that
+    * merge(state, delta) == recompute, which is exactly the property that
+    * lets the real pipeline only scan the new partition. */
+  def qIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val cut = broadcast(o.agg(
+      date_sub(to_date(max(col("o_orderdate"))), 30).as("cut")))
+    val oc = o.crossJoin(cut)
+    def aggOf(df: DataFrame) = df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sp"),
+        min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mx"))
+    val state = aggOf(oc.where(to_date(col("o_orderdate")) < col("cut")))
+      .toDF("o_orderstatus", "n_s", "sp_s", "mn_s", "mx_s")
+    val delta = aggOf(oc.where(to_date(col("o_orderdate")) >= col("cut")))
+      .toDF("o_orderstatus", "n_d", "sp_d", "mn_d", "mx_d")
+    state.join(delta, Seq("o_orderstatus"), "full")
+      .select(col("o_orderstatus"),
+        (coalesce(col("n_s"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n_total"),
+        coalesce(col("n_s"), lit(0L)).as("n_state"),
+        coalesce(col("n_d"), lit(0L)).as("n_delta"),
+        Cols.r2(coalesce(col("sp_s"), lit(0.0)) + coalesce(col("sp_d"), lit(0.0)))
+          .as("total_price"),
+        Cols.epochUs(least(coalesce(col("mn_s"), col("mn_d")),
+          coalesce(col("mn_d"), col("mn_s")))).as("min_date_us"),
+        Cols.epochUs(greatest(coalesce(col("mx_s"), col("mx_d")),
+          coalesce(col("mx_d"), col("mx_s")))).as("max_date_us"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_retention" -> (qRetention _),
     "q_rfm"       -> (qRfm _),
@@ -338,9 +372,22 @@ object Insights {
     "q_ewma"      -> (qEwma _),
     "q_hll_merge" -> (qHllMerge _),
     "q_active_users" -> (qActiveUsers _),
-    "q_winsorize" -> (qWinsorize _))
+    "q_winsorize" -> (qWinsorize _),
+    "q_incremental_agg" -> (qIncrementalAgg _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_incremental_agg" ->
+      """WITH cut AS (SELECT CAST(max(o_orderdate) AS DATE) - 30 AS cut
+        |             FROM orders)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) < cut THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_state,
+        |  CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) >= cut THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_delta,
+        |  floor(sum(o_totalprice)*100.0 + 0.5)/100.0 AS total_price,
+        |  epoch_us(min(o_orderdate)) AS min_date_us,
+        |  epoch_us(max(o_orderdate)) AS max_date_us
+        |FROM orders, cut GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |              CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),

@@ -152,6 +152,18 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("q_incremental_agg: state + delta partitions are both non-trivial and sum to the total") {
+    val rows = Insights.qIncrementalAgg(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_state") + r.getAs[Long]("n_delta") ==
+        r.getAs[Long]("n_total"), r.toString)
+    }
+    // the cutoff must actually split history, or the merge proves nothing
+    assert(rows.map(_.getAs[Long]("n_state")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_delta")).sum > 0)
+  }
+
   test("q_pagerank matches a driver-side replay of the 5 power iterations") {
     val df = Insights.qPagerank(spark, d)
     // rebuild edges independently via SQL over the same fixtures
