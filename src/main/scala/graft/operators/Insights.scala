@@ -145,7 +145,7 @@ object Insights {
       .limit(20)
   }
 
-  private def paretoFront(df: DataFrame, partition: Seq[Column]): DataFrame = {
+  private[graft] def paretoFront(df: DataFrame, partition: Seq[Column]): DataFrame = {
     // 2D skyline in one sorted pass: order by (price asc, size desc,
     // partkey asc); a row survives iff its size strictly exceeds every
     // earlier row's (earlier = cheaper, or equal-price-bigger). Exact

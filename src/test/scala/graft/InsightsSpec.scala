@@ -85,6 +85,23 @@ class InsightsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("skyline dup-collapse and equal-price ties: synthetic front with duplicates") {
+    // (partkey, brand, price, size):
+    //  - 1 & 2 are exact duplicates on the front -> only min partkey (1) survives
+    //  - 3 shares price 10.0 with them but is smaller -> dominated
+    //  - 4 dominates 5 (cheaper AND larger)
+    //  - 6 is the cheap-small corner, on the front
+    import spark.implicits._
+    val df = Seq(
+      (1L, "B1", 10.0, 50), (2L, "B2", 10.0, 50), (3L, "B1", 10.0, 40),
+      (4L, "B2", 5.0, 30), (5L, "B1", 7.0, 20), (6L, "B1", 1.0, 10))
+      .toDF("p_partkey", "p_brand", "p_retailprice", "p_size")
+    val got = Insights.paretoFront(
+      Insights.paretoFront(df, Seq(col("p_brand"))), Seq.empty)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L, 6L))
+  }
+
   test("q_skyline plans windows only — no dominance join, no cartesian product") {
     val p = Insights.qSkyline(spark, d).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -109,6 +126,19 @@ class InsightsSpec extends SparkSpec {
     val got = Insights.qEwma(spark, d).collect()
       .map(r => (r.getString(0), r.getAs[java.sql.Date](1), r.getAs[Double]("ewma"))).toSeq
     assert(got == expected)
+  }
+
+  test("q_ewma stays inside each type's [min, max] day-value envelope (convexity)") {
+    val env = Tables.events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("dv"))
+      .groupBy("event_type").agg(min("dv").as("lo"), max("dv").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Insights.qEwma(spark, d).collect().foreach { r =>
+      val (lo, hi) = env(r.getString(0))
+      val e = r.getAs[Double]("ewma")
+      assert(e >= lo - 1e-6 && e <= hi + 1e-6, s"$r outside [$lo, $hi]")
+    }
   }
 
   test("q_hll_merge: per-day sketches merge losslessly and estimate within 5% of exact") {
