@@ -390,6 +390,33 @@ object CorpusFilters {
       .orderBy("doc_id")
   }
 
+  /** Overlapping-window document chunking — the preprocessing step every
+    * embedding/RAG pipeline runs before vectorization: 32-token chunks at
+    * stride 24 (8-token overlap so no phrase is split across a hard
+    * boundary; production sizes are 128/112 — the fixture's docs top out
+    * at 100 tokens, so the smaller window is what exercises multi-chunk
+    * docs here). Emits per chunk its index, 1-based token offset, length,
+    * and an md5 of the chunk text (the content signature both engines can
+    * agree on byte-for-byte). Chunk enumeration and slicing happen INSIDE
+    * the row (sequence → explode → slice): zero shuffles before the output
+    * sort, scan-speed at any corpus size. */
+  def qChunk(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        expr("1 + (greatest(n_tok - 32, 0L) + 23) div 24"))
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_idx"))
+      .withColumn("tok_start", lit(1L) + col("chunk_idx") * 24)
+      .withColumn("chunk_len",
+        least(lit(32L), col("n_tok") - col("tok_start") + 1))
+      .withColumn("chunk_md5",
+        md5(expr("array_join(slice(toks, tok_start, chunk_len), ' ')")))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+        col("chunk_len"), col("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_repetition"    -> (qRepetition _),
     "q_gopher_gate"   -> (qGopherGate _),
@@ -403,9 +430,26 @@ object CorpusFilters {
     "q_bigram_pmi"    -> (qBigramPmi _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_zipf"          -> (qZipf _),
+    "q_chunk"         -> (qChunk _),
     "q_corpus_pipeline" -> (qCorpusPipeline _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+        |             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |k AS (SELECT doc_id, toks, n_tok,
+        |        1 + (GREATEST(n_tok - 32, 0) + 23) // 24 AS n_chunks
+        |      FROM t),
+        |c AS (SELECT doc_id, toks, n_tok, CAST(i AS BIGINT) AS chunk_idx,
+        |        CAST(1 + 24*i AS BIGINT) AS tok_start
+        |      FROM k, unnest(range(0, n_chunks)) r(i))
+        |SELECT doc_id, chunk_idx, tok_start,
+        |  CAST(LEAST(32, n_tok - tok_start + 1) AS BIGINT) AS chunk_len,
+        |  md5(array_to_string(
+        |    toks[tok_start : tok_start + LEAST(32, n_tok - tok_start + 1) - 1],
+        |    ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_unigram_logprob" ->
       """WITH t AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok
         |           FROM documents),
