@@ -362,6 +362,26 @@ object Insights {
       .orderBy("o_orderstatus")
   }
 
+  /** Dense surrogate-key assignment — the warehouse-load step that gives
+    * every row a stable sequential id. A partition-less `row_number()`
+    * window would collapse the table into ONE task; instead the table is
+    * RANGE-SORTED (parallel shuffle) and ids come from `zipWithIndex`
+    * (two passes over partition counts — the [[TrainingData.vocab]]
+    * discipline). Partition order of a range-sorted RDD is the global
+    * order, so the ids are bit-identical to the oracle's
+    * `row_number() OVER (ORDER BY lang, doc_id) - 1`. */
+  def qSurrogateKey(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sorted = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("lang"), col("doc_id"))
+      .as[(Long, String, String)].rdd
+    s.createDataFrame(sorted.zipWithIndex().map { case ((id, lang, src), i) =>
+        (i, id, lang, src) })
+      .toDF("sk", "doc_id", "lang", "source")
+      .orderBy("sk")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_retention" -> (qRetention _),
     "q_rfm"       -> (qRfm _),
@@ -373,9 +393,15 @@ object Insights {
     "q_hll_merge" -> (qHllMerge _),
     "q_active_users" -> (qActiveUsers _),
     "q_winsorize" -> (qWinsorize _),
-    "q_incremental_agg" -> (qIncrementalAgg _))
+    "q_incremental_agg" -> (qIncrementalAgg _),
+    "q_surrogate_key" -> (qSurrogateKey _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_surrogate_key" ->
+      """SELECT CAST(row_number() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT)
+        |    AS sk,
+        |  doc_id, lang, source
+        |FROM documents ORDER BY sk""".stripMargin,
     "q_incremental_agg" ->
       """WITH cut AS (SELECT CAST(max(o_orderdate) AS DATE) - 30 AS cut
         |             FROM orders)
