@@ -88,6 +88,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("two-phase pareto front equals the quadratic dominance check on random points") {
+    val pts: Gen[List[(Double, Int)]] =
+      Gen.listOfN(60, Gen.zip(Gen.choose(0, 50).map(_ * 1.0), Gen.choose(0, 20)))
+    for (s <- seeds) {
+      val points = sample(pts, s).zipWithIndex
+        .map { case ((price, size), i) =>
+          (i.toLong, s"B${i % 4}", price, size) }
+      def dominated(p: (Long, String, Double, Int)) = points.exists { q =>
+        q._3 <= p._3 && q._4 >= p._4 && (q._3 < p._3 || q._4 > p._4)
+      }
+      val expected = points.filter(!dominated(_))
+        .groupBy(p => (p._3, p._4)).map(_._2.minBy(_._1)._1).toSet
+      val df = points.toDF("p_partkey", "p_brand", "p_retailprice", "p_size")
+      val got = operators.Insights.paretoFront(
+        operators.Insights.paretoFront(df, Seq(col("p_brand"))), Seq.empty)
+        .collect().map(_.getAs[Long]("p_partkey")).toSet
+      assert(got == expected, s"seed $s")
+    }
+  }
+
   test("session windows tile: per-user session row counts sum to event count") {
     for (s <- seeds) {
       val times = sample(Gen.listOfN(20, Gen.choose(0L, 5000L)), s)
