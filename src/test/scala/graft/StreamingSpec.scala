@@ -149,6 +149,41 @@ class StreamingSpec extends SparkSpec {
       s"each input row must be delivered exactly once, got ${seen.toList}")
   }
 
+  test("Trigger.AvailableNow drains pending files then stops itself (cron-batch mode)") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-avnow").toString
+    val in = dir + "/in"; val ckpt = dir + "/ckpt"
+    new java.io.File(in).mkdirs()
+    val schema = new StructType().add("event_id", LongType).add("value", DoubleType)
+    def addFile(rows: Seq[(Long, Double)]): Unit =
+      spark.createDataFrame(rows).toDF("event_id", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    def runOnce(): Unit = {
+      val q = Streams.fileIngest(spark, in, schema).writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val ids = b.select("event_id").as[Long].collect()
+          seen.synchronized { seen ++= ids }
+          ()
+        }.start()
+      // AvailableNow must terminate ON ITS OWN once the backlog is drained —
+      // that self-stop is what lets a cron job run the stream as a batch
+      assert(q.awaitTermination(120000), "query should self-terminate")
+    }
+    addFile(Seq((1L, 1.0), (2L, 2.0)))
+    addFile(Seq((3L, 3.0)))
+    runOnce()                                     // first scheduled run
+    assert(seen.sorted.toSeq == Seq(1L, 2L, 3L))
+    addFile(Seq((4L, 4.0)))                       // lands between runs
+    runOnce()                                     // next scheduled run
+    assert(seen.sorted.toSeq == (1L to 4L),
+      "second run must pick up exactly the files that arrived in between")
+  }
+
   test("stream-stream interval join attributes clicks within the 1h horizon") {
     implicit val sqlCtx = spark.sqlContext
     // modern event times on purpose: near-epoch (1970) timestamps trip the
