@@ -100,6 +100,25 @@ object Roundtrip {
     s.read.schema(partSchema).orc(out).orderBy("p_partkey")
   }
 
+  private val supplierSchema = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  /** supplier → XML (Spark 4's built-in xml source, one `<supplier>` row
+    * element per record) → explicit-schema read-back. Rounds out the text
+    * format matrix (CSV/JSON-lines/XML); doubles survive because the JVM's
+    * `Double.toString` is uniquely-identifying and the reader parses it
+    * back to the same bits. Like CSV, XML is record-framed text — fine for
+    * feeds and interchange, but a 100 TB corpus stores columnar. */
+  def qXmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = scratch(d, "supplier_xml")
+    supplier(s, d).write.mode("overwrite").option("rowTag", "supplier").xml(out)
+    s.read.schema(supplierSchema).option("rowTag", "supplier").xml(out)
+      .orderBy("s_suppkey")
+  }
+
   /** documents → hive-partitioned parquet (one directory per lang) →
     * read-back. The partition column leaves the data files and comes back
     * from directory names — the layout every 100 TB corpus uses so that
@@ -337,7 +356,8 @@ object Roundtrip {
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_partition_overwrite" -> (qPartitionOverwrite _),
     "q_bucketed_join" -> (qBucketedJoin _),
-    "q_zorder" -> (qZorder _))
+    "q_zorder" -> (qZorder _),
+    "q_xml_roundtrip" -> (qXmlRoundtrip _))
 
   val oracles: ListMap[String, String] = ListMap(
     "q_zorder" ->
@@ -358,6 +378,9 @@ object Roundtrip {
     "q_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_xml_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q_json_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  epoch_us(o_orderdate) AS o_date_us, o_orderpriority
