@@ -119,6 +119,28 @@ object Roundtrip {
       .orderBy("s_suppkey")
   }
 
+  /** supplier → JDBC (embedded Derby — the engine Spark already ships for
+    * its Hive metastore) → partitioned JDBC read-back. THE
+    * dimension-exchange path with operational databases: bounded reference
+    * tables go in and out over JDBC while bulk data stays columnar. The
+    * read side declares partitionColumn/bounds/numPartitions, so it plans
+    * as 4 parallel range-sliced scans — how a real dimension pull avoids a
+    * single-connection bottleneck. */
+  def qJdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val url = s"jdbc:derby:${scratch(d, "supplier_derby")};create=true"
+    val drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    supplier(s, d).write.mode("overwrite")
+      .format("jdbc").option("url", url).option("driver", drv)
+      .option("dbtable", "supplier").save()
+    s.read.format("jdbc").option("url", url).option("driver", drv)
+      .option("dbtable", "supplier")
+      .option("partitionColumn", "s_suppkey")
+      .option("lowerBound", "0").option("upperBound", "10000")
+      .option("numPartitions", "4")
+      .load()
+      .orderBy("s_suppkey")
+  }
+
   /** documents → hive-partitioned parquet (one directory per lang) →
     * read-back. The partition column leaves the data files and comes back
     * from directory names — the layout every 100 TB corpus uses so that
@@ -357,7 +379,8 @@ object Roundtrip {
     "q_partition_overwrite" -> (qPartitionOverwrite _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_zorder" -> (qZorder _),
-    "q_xml_roundtrip" -> (qXmlRoundtrip _))
+    "q_xml_roundtrip" -> (qXmlRoundtrip _),
+    "q_jdbc_roundtrip" -> (qJdbcRoundtrip _))
 
   val oracles: ListMap[String, String] = ListMap(
     "q_zorder" ->
@@ -379,6 +402,9 @@ object Roundtrip {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_xml_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q_jdbc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q_json_roundtrip" ->
