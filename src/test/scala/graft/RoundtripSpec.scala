@@ -58,6 +58,52 @@ class RoundtripSpec extends SparkSpec {
     }
   }
 
+  test("XML write→read escapes markup-significant characters losslessly") {
+    import spark.implicits._
+    // markup chars are XML's CSV-comma equivalent: they MUST entity-escape
+    val rows = Seq(
+      (0L, "plain", 1.5),
+      (1L, "angle <brackets> & ampersand", -0.0),
+      (2L, "entity-looking &amp; &lt; literal", 1e-300),
+      (3L, "unicode: üñïçødé — §", 0.30000000000000004),
+      (4L, "quote \" apostrophe '", 1234.5678901234567)
+    ).toDF("id", "s", "x")
+    val out = tmp() + "/xml"
+    rows.write.option("rowTag", "row").xml(out)
+    val back = spark.read.schema(schema).option("rowTag", "row").xml(out)
+      .orderBy("id").collect()
+    val orig = rows.orderBy("id").collect()
+    assert(back.length == orig.length)
+    back.zip(orig).foreach { case (b, o) =>
+      assert(b.getString(1) == o.getString(1),
+        s"row ${o.getLong(0)}: '${b.getString(1)}' != '${o.getString(1)}'")
+      assert(java.lang.Double.compare(b.getDouble(2), o.getDouble(2)) == 0
+        || (b.getDouble(2) == 0.0 && o.getDouble(2) == 0.0))
+    }
+  }
+
+  test("JDBC read pushes filters into the database scan") {
+    val db = tmp() + "/derbydb"
+    val url = s"jdbc:derby:$db;create=true"
+    val drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    Tables.supplier(spark, sfDir("sf0.001")).write.mode("overwrite")
+      .format("jdbc").option("url", url).option("driver", drv)
+      .option("dbtable", "supplier").save()
+    val filtered = spark.read.format("jdbc")
+      .option("url", url).option("driver", drv).option("dbtable", "supplier")
+      .load()
+      .where(col("s_suppkey") >= 5 && col("s_acctbal") > 0)
+    val plan = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.toLowerCase.contains("s_suppkey") &&
+      pushed.toLowerCase.contains("s_acctbal"),
+      s"JDBC predicates must run in the database, got: $pushed\n$plan")
+    assert(filtered.count() ==
+      Tables.supplier(spark, sfDir("sf0.001"))
+        .where(col("s_suppkey") >= 5 && col("s_acctbal") > 0).count())
+  }
+
   test("JSON write→read with explicit schema is lossless on adversarial rows") {
     val out = tmp() + "/json"
     nasty.write.json(out)
