@@ -29,7 +29,7 @@ object SparkEntry {
     Relational.queries ++ Windows.queries ++ Scalars.queries ++
       EventTime.queries ++ LlmPipeline.queries ++ TrainingData.queries ++
       Analytics.queries ++ Roundtrip.queries ++ CorpusFilters.queries ++
-      Insights.queries
+      Insights.queries ++ Hygiene.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +37,5 @@ object SparkEntry {
     Relational.oracles ++ Windows.oracles ++ Scalars.oracles ++
       EventTime.oracles ++ LlmPipeline.oracles ++ TrainingData.oracles ++
       Analytics.oracles ++ Roundtrip.oracles ++ CorpusFilters.oracles ++
-      Insights.oracles
+      Insights.oracles ++ Hygiene.oracles
 }
