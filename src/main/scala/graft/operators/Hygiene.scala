@@ -67,8 +67,57 @@ object Hygiene {
       .orderBy("doc_id")
   }
 
+  /** k-anonymity audit: generalize the customer quasi-identifier to
+    * (region, market segment, 1000-wide balance band) and report every
+    * equivalence class with its size and whether it meets k = 5 — the
+    * pre-release check a dataset publisher runs to find re-identifiable
+    * rows (classes below k are the ones to suppress or generalize
+    * further).
+    *
+    * Scale: two broadcast dimension hops (nation, region are bounded) and
+    * ONE map-side-combined aggregate — class rows leave the exchange, not
+    * customer rows; at 100 TB this is a scan + small shuffle. */
+  def qAnonymize(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .withColumn("bal_band",
+        (floor(col("c_acctbal") / 1000.0) * 1000).cast("long"))
+      .groupBy(col("r_name").as("region"),
+        col("c_mktsegment").as("segment"), col("bal_band"))
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("meets_k", col("class_size") >= 5)
+      .orderBy("region", "segment", "bal_band")
+
+  /** Blocked fuzzy record linkage (entity resolution): candidate pairs
+    * only within a (nation, market segment) block, matched at name edit
+    * distance ≤ 2. The block is what makes linkage scale: candidates are
+    * Σ block² instead of n², and the edit distance — the expensive kernel —
+    * runs on candidates only. Block keys are a recall/cost dial; a skewed
+    * block would get a salt or a sorted-neighborhood pass, same as
+    * q_join_salted.
+    *
+    * Both engines evaluate the same classic Levenshtein, so the match set
+    * is bit-identical by construction. */
+  def qRecordLinkage(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"))
+    c.toDF("a_key", "a_name", "nationkey", "segment")
+      .join(c.toDF("b_key", "b_name", "nationkey", "segment"),
+        Seq("nationkey", "segment"))
+      .where(col("a_key") < col("b_key"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .where(col("dist") <= 2)
+      .select(col("a_key"), col("b_key"), col("nationkey").cast("int"),
+        col("segment"), col("dist").cast("long"))
+      .orderBy("a_key", "b_key")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
-    "q_line_dedup" -> (qLineDedup _))
+    "q_line_dedup" -> (qLineDedup _),
+    "q_anonymize" -> (qAnonymize _),
+    "q_record_linkage" -> (qRecordLinkage _))
 
   val oracles: ListMap[String, String] = ListMap(
     "q_line_dedup" ->
@@ -84,5 +133,24 @@ object Hygiene {
         |  md5(coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_idx)
         |        FILTER (f.nd < 2), '')) AS clean_md5
         |FROM segs s JOIN freq f ON s.source = f.source AND s.seg = f.seg
-        |GROUP BY 1, 2, 3 ORDER BY s.doc_id""".stripMargin)
+        |GROUP BY 1, 2, 3 ORDER BY s.doc_id""".stripMargin,
+    "q_anonymize" ->
+      """SELECT r_name AS region, c_mktsegment AS segment,
+        |  CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS bal_band,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  (count(*) >= 5) AS meets_k
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2, 3 ORDER BY region, segment, bal_band""".stripMargin,
+    "q_record_linkage" ->
+      """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+        |  a.c_nationkey AS nationkey, a.c_mktsegment AS segment,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey
+        |  AND a.c_mktsegment = b.c_mktsegment
+        |  AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY a_key, b_key""".stripMargin)
 }
