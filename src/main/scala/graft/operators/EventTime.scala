@@ -167,6 +167,49 @@ object EventTime {
       .orderBy("user_a", "user_b")
   }
 
+  /** Resample to a fixed 1-hour grid with LINEAR INTERPOLATION of interior
+    * gaps (leading/trailing gaps carry the nearest known value) — the
+    * gap-fill pass a metrics/feature pipeline runs before any rolling
+    * computation, since EWMA/rolling stats are only meaningful on a
+    * complete grid. Each grid point reports whether it was observed or
+    * filled.
+    *
+    * Scale: the hourly aggregate map-side combines the event stream down
+    * to |types × hours| rows; the grid is generated in-row (sequence →
+    * explode, zero shuffle) from a single-row broadcast of the time
+    * bounds; the two interpolation windows run over the GRID (bounded by
+    * the time span, not the corpus), partitioned by type. */
+  def qResample(s: SparkSession, d: String): DataFrame = {
+    val obs = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(avg(col("value")).as("v"))
+    val bounds = obs.agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+    val grid = obs.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(mn, mx, interval 1 hour)")).as("hr"))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(obs, Seq("event_type", "hr"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pt", last(when(col("v").isNotNull, col("hr")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nt", first(when(col("v").isNotNull, col("hr")),
+        ignoreNulls = true).over(wNext))
+      .select(col("event_type"), Cols.epochUs(col("hr")).as("hr_us"),
+        Cols.r6(when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((Cols.epochUs(col("hr")) - Cols.epochUs(col("pt"))) * lit(1.0) /
+              (Cols.epochUs(col("nt")) - Cols.epochUs(col("pt")))))).as("value"),
+        col("v").isNotNull.as("observed"))
+      .orderBy("event_type", "hr_us")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_win_tumbling"      -> (qWinTumbling _),
     "q_win_sliding"       -> (qWinSliding _),
@@ -175,9 +218,40 @@ object EventTime {
     "q_late_data"         -> (qLateData _),
     "q_sessionize_funnel" -> (qSessionizeFunnel _),
     "q_range_bin"         -> (qRangeBin _),
-    "q_overlap_join"      -> (qOverlapJoin _))
+    "q_overlap_join"      -> (qOverlapJoin _),
+    "q_resample"          -> (qResample _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_resample" ->
+      """WITH obs AS (SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, avg(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM obs),
+        |grid AS (SELECT t.event_type, g.hr
+        |  FROM (SELECT DISTINCT event_type FROM obs) t, b,
+        |    unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) g(hr)),
+        |j AS (SELECT g.event_type, g.hr, o.v
+        |  FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.hr = o.hr),
+        |w AS (SELECT *,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr
+        |    ROWS UNBOUNDED PRECEDING) AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY hr ROWS UNBOUNDED PRECEDING) AS pt,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY hr
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM j)
+        |SELECT event_type, epoch_us(hr) AS hr_us,
+        |  floor((CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) * ((epoch_us(hr) - epoch_us(pt)) * 1.0
+        |      / (epoch_us(nt) - epoch_us(pt))) END) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS value,
+        |  (v IS NOT NULL) AS observed
+        |FROM w ORDER BY event_type, hr_us""".stripMargin,
     "q_win_tumbling" ->
       """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value FROM events)
         |SELECT us - us % 3600000000 AS start_us,
