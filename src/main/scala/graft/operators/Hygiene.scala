@@ -114,10 +114,45 @@ object Hygiene {
       .orderBy("a_key", "b_key")
   }
 
+  /** Cross-document long-substring duplication (the signal behind
+    * suffix-array dedup of training corpora): per document, how many of its
+    * distinct 30-char windows also occur verbatim in ANOTHER document, the
+    * duplicated fraction, and a flag at ≥ 50%. Exact-duplicate and
+    * copy-paste-contaminated docs light up at 1.0; organic text stays near
+    * 0.
+    *
+    * Scale: windows travel as 64-bit hashes from the one-pass
+    * [[graft.functions.ShingleHashes]] kernel (never strings — the shuffle
+    * carries 8 bytes per window and a within-corpus collision is
+    * ~|windows|²/2⁶⁴); the frequency pass is a map-side-combined aggregate;
+    * the join back keys on the hash and degrades broadcast → shuffle as
+    * the corpus grows. This is the hashed-window approximation of the
+    * suffix-array method — linear passes only, no suffix sort. */
+  def qSubstringDup(s: SparkSession, d: String): DataFrame = {
+    val shingles = graft.functions.ShingleHashes.shingles(s) _
+    // window table feeds the frequency pass AND the join back
+    val wins = TrainingData.cached("subWins", s, d) {
+      documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .where(length(col("text")) >= 30)
+        .select(col("doc_id"), explode(shingles(col("text"), 30)).as("h"))
+    }
+    val freq = wins.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+    wins.join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        count(when(col("nd") >= 2, lit(1))).as("n_dup"))
+      .withColumn("dup_frac",
+        graft.Cols.r6(col("n_dup").cast("double") / col("n_win")))
+      .withColumn("flagged", col("dup_frac") >= 0.5)
+      .orderBy("doc_id")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_line_dedup" -> (qLineDedup _),
     "q_anonymize" -> (qAnonymize _),
-    "q_record_linkage" -> (qRecordLinkage _))
+    "q_record_linkage" -> (qRecordLinkage _),
+    "q_substring_dup" -> (qSubstringDup _))
 
   val oracles: ListMap[String, String] = ListMap(
     "q_line_dedup" ->
@@ -152,5 +187,19 @@ object Hygiene {
         |  AND a.c_mktsegment = b.c_mktsegment
         |  AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
-        |ORDER BY a_key, b_key""".stripMargin)
+        |ORDER BY a_key, b_key""".stripMargin,
+    "q_substring_dup" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(text) - 28),
+        |      i -> substr(text, CAST(i AS INT), 30)))) AS win
+        |  FROM documents WHERE len(text) >= 30),
+        |f AS (SELECT win, count(DISTINCT doc_id) AS nd FROM w GROUP BY 1)
+        |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_win,
+        |  CAST(count(*) FILTER (f.nd >= 2) AS BIGINT) AS n_dup,
+        |  floor((count(*) FILTER (f.nd >= 2)) * 1.0 / count(*)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS dup_frac,
+        |  (floor((count(*) FILTER (f.nd >= 2)) * 1.0 / count(*)
+        |    * 1000000.0 + 0.5) / 1000000.0 >= 0.5) AS flagged
+        |FROM w JOIN f ON w.win = f.win
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
