@@ -188,6 +188,37 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Bloom-filter semi-join reduction: build a deterministic 16 KiB Bloom
+    * filter over the (already filtered) dimension keys, test every fact
+    * row BEFORE the join's shuffle, and let the exact join drop the rare
+    * false positives — so the result is identical to the plain join while
+    * ~96% of fact rows never enter the exchange. This is the explicit form
+    * of Spark's runtime bloom-filter rewrite, for when its heuristics
+    * (size thresholds, creation-side cost) miss; the probe is a native
+    * codegen'd expression ([[graft.functions.BloomMightContain]]) so the
+    * per-fact-row test stays inside the whole-stage loop.
+    *
+    * The join side carries a shuffle_hash hint to pin the
+    * demonstrated-at-scale shape (at 100 TB neither side broadcasts); the
+    * single-row Bloom build does broadcast — it is one 16 KiB row by
+    * construction. */
+  def qBloomJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 8000)
+      .select(col("c_custkey"), col("c_name"))
+    val bloom = dim.agg(
+      graft.functions.BloomFilter.bloomAgg(s)(col("c_custkey")).as("bf"))
+    val fact = orders(s, d)
+      .crossJoin(broadcast(bloom))
+      .where(graft.functions.BloomFilter.mightContain(s)(col("bf"), col("o_custkey")))
+      .select(col("o_custkey"), col("o_totalprice"))
+    fact.join(dim.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        Cols.r2(sum(col("o_totalprice"))).as("revenue"))
+      .orderBy("c_custkey")
+  }
+
   /** Explicit GROUPING SETS through the `spark.sql` entry path (every other
     * declared query uses the DataFrame API; this one exercises the SQL
     * front door end-to-end). `grouping()` flags disambiguate real NULL keys
@@ -431,6 +462,7 @@ object Relational {
     "q_join_range"     -> (qJoinRange _),
     "q_asof"           -> (qAsof _),
     "q_join_salted"    -> (qJoinSalted _),
+    "q_bloom_join"     -> (qBloomJoin _),
     "q_supplier"       -> (qSupplier _),
     "q_agg_pricing"    -> (qAggPricing _),
     "q_agg_distinct"   -> (qAggDistinct _),
@@ -451,6 +483,12 @@ object Relational {
     "q_intersect_all"  -> (qIntersectAll _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_bloom_join" ->
+      """SELECT c_custkey, c_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |  floor(sum(o_totalprice)*100.0 + 0.5)/100.0 AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 8000
+        |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin,
     "q_supplier" ->
       """WITH cost AS (
         |  SELECT l_partkey, l_suppkey,

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{BucketHistAgg, FloatVectorDot, MinHashAgg, PrefixByFreq, ShingleHashes, SignBands, SortedIntersectCount}
+import graft.functions.{BloomAgg, BloomFns, BucketHistAgg, FloatVectorDot, MinHashAgg, PrefixByFreq, ShingleHashes, SignBands, SortedIntersectCount}
 
 /** ScalaCheck laws for the hand-written native kernels, checked against
   * straightforward Scala models over random inputs (interpreted eval path —
@@ -69,6 +69,36 @@ class KernelLawsSpec extends AnyFunSuite {
         agg.merge(bx, by).toSeq == mergedModel &&
         agg.deserialize(agg.serialize(by)).toSeq == model(ys)
     })
+  }
+
+  test("BloomAgg: no false negatives, merge is OR, roundtrips, low FP rate") {
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    check(forAll(gen, gen) { (xs: List[Long], ys: List[Long]) =>
+      val agg = BloomAgg(BoundReference(0, LongType, nullable = false))
+      def fold(zs: List[Long]): Array[Long] =
+        zs.foldLeft(agg.createAggregationBuffer()) { (buf, x) =>
+          agg.update(buf, org.apache.spark.sql.catalyst.InternalRow(x))
+        }
+      val bx = fold(xs)
+      val by = fold(ys)
+      val merged = agg.merge(bx.clone(), by)
+      def bits(b: Array[Long]) = ArrayData.toArrayData(b)
+      // no false negatives, on the built side and after merge/serde
+      xs.forall(x => BloomFns.mightContain(bits(bx), x)) &&
+        (xs ++ ys).forall(x => BloomFns.mightContain(bits(merged), x)) &&
+        agg.deserialize(agg.serialize(bx)).toSeq == bx.toSeq &&
+        // determinism: rebuilding from the same input gives identical bits
+        fold(xs).toSeq == bx.toSeq
+    })
+    // false-positive rate at the designed load: ~10k keys in 2^17 bits / 5
+    // probes should misfire well under 1% on keys never inserted
+    val agg = BloomAgg(BoundReference(0, LongType, nullable = false))
+    val built = (1L to 10000L).foldLeft(agg.createAggregationBuffer()) {
+      (buf, x) => agg.update(buf, org.apache.spark.sql.catalyst.InternalRow(x))
+    }
+    val bitsArr = ArrayData.toArrayData(built)
+    val fp = (1000001L to 1010000L).count(BloomFns.mightContain(bitsArr, _))
+    assert(fp < 100, s"false-positive count too high: $fp / 10000")
   }
 
   test("FloatVectorDot == sequential double fold, symmetric") {

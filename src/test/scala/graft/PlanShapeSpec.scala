@@ -60,6 +60,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashAggs >= 2, s"expected partial+final HashAggregate, got:\n$p")
   }
 
+  test("q_bloom_join probes the Bloom filter BELOW the fact-side exchange") {
+    // executedPlan (pre-execution) has EnsureRequirements' exchanges;
+    // sparkPlan does not, so the below-the-exchange relation only exists
+    // here. Text-level: the probe node (pushed into the single-bloom-row
+    // broadcast join's condition) must print BELOW (deeper than, after)
+    // the fact side's hashpartitioning exchange.
+    val lines = Relational.qBloomJoin(spark, d)
+      .queryExecution.executedPlan.toString.linesIterator.toVector
+    def indent(l: String): Int = l.indexWhere(c => c.isLetter || c == '*')
+    assert(lines.exists(_.contains("ShuffledHashJoin")),
+      s"join must be shuffle-hash (the at-scale shape):\n${lines.mkString("\n")}")
+    val ex = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(o_custkey"))
+    val probe = lines.indexWhere(_.contains("graft_bloom_might_contain"))
+    assert(ex >= 0 && probe > ex && indent(lines(probe)) > indent(lines(ex)),
+      "bloom probe must filter fact rows before they shuffle:\n" +
+        lines.mkString("\n"))
+  }
+
   test("q_agg_pricing scan stays inside whole-stage codegen") {
     // AQE finalizes codegen spans only at execution: run, then inspect.
     val df = Relational.qAggPricing(spark, d)
