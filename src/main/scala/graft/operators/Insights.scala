@@ -382,6 +382,119 @@ object Insights {
       .orderBy("sk")
   }
 
+  /** Distinct (order, part) basket items — shared by the association-rule
+    * and co-purchase-graph operators. */
+  private def basketItems(s: SparkSession, d: String): DataFrame =
+    TrainingData.cached("basketItems", s, d) {
+      lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+    }
+
+  /** Co-purchased part pairs appearing in ≥ 2 shared orders — the edge
+    * list both market-basket metrics and the co-purchase graph read. The
+    * within-basket self-join is bounded by Σ basket² (baskets are order
+    * line counts, single digits at any corpus size), so pair generation is
+    * linear in orders — never a parts×parts product. */
+  private def basketPairs(s: SparkSession, d: String): DataFrame =
+    TrainingData.cached("basketPairs", s, d) {
+      val it = basketItems(s, d)
+      it.toDF("o", "pa")
+        .join(it.toDF("o", "pb"), "o")
+        .where(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2)
+    }
+
+  /** Market-basket association rules: top-20 co-purchased part pairs by
+    * LIFT (joint support over the product of item supports), min joint
+    * count 2. The first pass of a-priori, the shape recommendation
+    * candidates are mined with.
+    *
+    * Scale: item supports are one map-side-combined aggregate; the totals
+    * ride a single-row broadcast; the pair⋈support joins key on part ids
+    * (vocabulary-sized — stats-broadcast here, shuffle at scale); top-20
+    * via TakeOrderedAndProject, never a global sort. */
+  def qBasketPairs(s: SparkSession, d: String): DataFrame = {
+    val items = basketItems(s, d)
+    val supp = items.groupBy(col("p")).agg(count(lit(1)).as("cs"))
+    val n = items.agg(countDistinct(col("o")).as("n_orders"))
+    basketPairs(s, d)
+      .join(supp.toDF("pa", "ca"), "pa")
+      .join(supp.toDF("pb", "cb"), "pb")
+      .crossJoin(broadcast(n))
+      .withColumn("lift", Cols.r6(col("c").cast("double") * col("n_orders") /
+        (col("ca") * col("cb"))))
+      .select(col("pa"), col("pb"), col("c"), col("ca"), col("cb"), col("lift"))
+      .orderBy(col("lift").desc, col("pa").asc, col("pb").asc)
+      .limit(20)
+  }
+
+  /** Per-node triangle counts over the co-purchase graph ([[basketPairs]]
+    * edges): for every part in the graph, its degree and the number of
+    * triangles through it — the local clustering signal community
+    * detection starts from.
+    *
+    * Scale shape (Suri–Vassilvitskii): wedges are enumerated from each
+    * edge's SMALLER-(degree, id) endpoint, so a hub of degree Δ
+    * contributes wedges only through its low-degree neighbors — the
+    * classic skew bound that keeps MapReduce triangle counting feasible;
+    * wedge closure is one more equi-join against the oriented edge list,
+    * and per-corner counts are an explode + aggregate. The oracle is the
+    * independent unoriented 3-way self-join. */
+  def qTriangles(s: SparkSession, d: String): DataFrame = {
+    val und = basketPairs(s, d).select(col("pa"), col("pb"))
+    val deg = und.select(col("pa").as("v"), col("pb").as("w"))
+      .unionByName(und.select(col("pb").as("v"), col("pa").as("w")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient every edge from its smaller (degree, id) endpoint
+    val oriented = und
+      .join(deg.toDF("pa", "da"), "pa").join(deg.toDF("pb", "db"), "pb")
+      .select(
+        when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")),
+          struct(col("pa").as("src"), col("pb").as("dst")))
+          .otherwise(struct(col("pb").as("src"), col("pa").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val wedges = oriented.toDF("ctr", "x")
+      .join(oriented.toDF("ctr", "y"), "ctr")
+      .where(col("x") < col("y"))
+    // close each wedge: (x, y) must be an edge in EITHER orientation
+    val closing = oriented.select(col("src").as("x"), col("dst").as("y"))
+      .unionByName(oriented.select(col("dst").as("x"), col("src").as("y")))
+      .where(col("x") < col("y"))
+    val tris = wedges.join(closing, Seq("x", "y"))
+    val perNode = tris
+      .select(explode(array(col("ctr"), col("x"), col("y"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v").as("part"), col("deg").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("part")
+  }
+
+  /** Event-type transition matrix (first-order Markov): per user the event
+    * stream in (ts, event_id) order, counting each consecutive
+    * (from → to) hop, then P(to | from) per source type. The
+    * session-flow / next-action model product analytics fits.
+    *
+    * Scale: ONE window pass partitioned by user (per-user streams are
+    * bounded), one map-side-combined aggregate over a |types|² matrix,
+    * and the per-source totals ride the same vocabulary-sized aggregate —
+    * no corpus-sized sort anywhere. */
+  def qTransitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val hops = events(s, d)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(col("from_type"))
+    hops
+      .withColumn("p", Cols.r6(col("n").cast("double") /
+        sum(col("n")).over(tot)))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_retention" -> (qRetention _),
     "q_rfm"       -> (qRfm _),
@@ -394,9 +507,53 @@ object Insights {
     "q_active_users" -> (qActiveUsers _),
     "q_winsorize" -> (qWinsorize _),
     "q_incremental_agg" -> (qIncrementalAgg _),
-    "q_surrogate_key" -> (qSurrogateKey _))
+    "q_surrogate_key" -> (qSurrogateKey _),
+    "q_basket_pairs" -> (qBasketPairs _),
+    "q_triangles" -> (qTriangles _),
+    "q_transition_matrix" -> (qTransitionMatrix _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_basket_pairs" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT count(DISTINCT o) AS n_orders FROM it),
+        |supp AS (SELECT p, CAST(count(*) AS BIGINT) AS cs FROM it GROUP BY 1),
+        |pairs AS (SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS c
+        |  FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pa, pb, c, sa.cs AS ca, sb.cs AS cb,
+        |  floor((c * 1.0 * n_orders / (sa.cs * sb.cs)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS lift
+        |FROM pairs JOIN supp sa ON sa.p = pa JOIN supp sb ON sb.p = pb
+        |CROSS JOIN n
+        |ORDER BY lift DESC, pa ASC, pb ASC LIMIT 20""".stripMargin,
+    "q_triangles" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT a.p AS pa, b.p AS pb
+        |  FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT pa AS v FROM e UNION ALL SELECT pb FROM e) GROUP BY 1),
+        |tri AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+        |  FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+        |    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |corners AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri),
+        |t AS (SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM corners GROUP BY 1)
+        |SELECT deg.v AS part, degree,
+        |  coalesce(t.n_triangles, CAST(0 AS BIGINT)) AS n_triangles
+        |FROM deg LEFT JOIN t ON deg.v = t.v ORDER BY part""".stripMargin,
+    "q_transition_matrix" ->
+      """WITH h AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM h WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  floor((n * 1.0 / sum(n) OVER (PARTITION BY from_type))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q_surrogate_key" ->
       """SELECT CAST(row_number() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT)
         |    AS sk,
