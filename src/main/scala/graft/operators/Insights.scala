@@ -495,6 +495,57 @@ object Insights {
       .orderBy("from_type", "to_type")
   }
 
+  /** KMV (bottom-k) distinct-count sketch, k = 128, over user-day activity
+    * keys per event type, plus the merged ALL row — the deterministic
+    * counterpart to [[qHllMerge]]: bottom-k state is a pure function of
+    * the value SET (order/partitioning independent), so unlike HLL the
+    * sketch, its merge, AND the resulting estimate replay exactly in the
+    * DuckDB oracle (row_number over the same affine hash). Per scope:
+    * exact distinct, sketch size, the (k−1)·P/u_k estimate, and the
+    * relative error the k=128 sketch actually achieved.
+    *
+    * The hash is the MinHashAgg-style affine family over a compact
+    * (user, day) key — small-integer domain by fixture construction, so
+    * no overflow under ANSI on either engine; a 100 TB id space would
+    * swap in a 64-bit mixer (same kernel, different column expression).
+    *
+    * Scale: one map-side-combined pass builds every per-type sketch
+    * (bounded k-long state per group — the roll-up-able asset); the ALL
+    * row merges the per-type SKETCHES through the same kernel (k-min of
+    * sketch unions = k-min of the union — mergeability is the point);
+    * the exact countDistinct columns exist only as the verification
+    * baseline. */
+  def qKmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val K = 128
+    val P = 2147483647L
+    val bk = graft.functions.BottomKAgg.bottomK(s) _
+    val e = events(s, d).select(col("event_type"),
+      (col("user_id") * 131072L +
+        floor(Cols.epochUs(col("ts")) / lit(86400000000L))).as("key"))
+      // Knuth multiplicative scrambling: key·2654435761 spans ~2²³ multiples
+      // of P before the fold, so arithmetic-progression keys (user·2¹⁷+day)
+      // land uniformly; a small multiplier would fold too few segments and
+      // clump the bottom of the hash space (measured: 44% estimate error on
+      // the ALL row with a·key for a ≈ 3000, vs ≤ 11% ≈ 1.3σ here)
+      .withColumn("h", (col("key") * 2654435761L + 1409L) % P)
+    val perType = e.groupBy(col("event_type").as("scope"))
+      .agg(bk(col("h"), K).as("sk"), countDistinct(col("key")).as("exact"))
+    val allRow = perType.select(explode(col("sk")).as("h"))
+      .agg(bk(col("h"), K).as("sk"))
+      .crossJoin(broadcast(e.agg(countDistinct(col("key")).as("exact"))))
+      .select(lit("ALL").as("scope"), col("sk"), col("exact"))
+    val est = when(size(col("sk")) < K, size(col("sk")).cast("double"))
+      .otherwise(lit((K - 1).toDouble) * lit(P.toDouble) /
+        element_at(col("sk"), K).cast("double"))
+    perType.unionByName(allRow)
+      .withColumn("e", est)
+      .select(col("scope"), col("exact").as("exact_distinct"),
+        size(col("sk")).cast("long").as("sketch_size"),
+        Cols.r2(col("e")).as("est_distinct"),
+        Cols.r6(abs(col("e") - col("exact")) / col("exact")).as("rel_err"))
+      .orderBy("scope")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_retention" -> (qRetention _),
     "q_rfm"       -> (qRfm _),
@@ -510,9 +561,46 @@ object Insights {
     "q_surrogate_key" -> (qSurrogateKey _),
     "q_basket_pairs" -> (qBasketPairs _),
     "q_triangles" -> (qTriangles _),
-    "q_transition_matrix" -> (qTransitionMatrix _))
+    "q_transition_matrix" -> (qTransitionMatrix _),
+    "q_kmv_distinct" -> (qKmvDistinct _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_kmv_distinct" ->
+      """WITH e AS (SELECT event_type,
+        |    user_id * 131072 +
+        |      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS key
+        |  FROM events),
+        |hh AS (SELECT DISTINCT event_type,
+        |         (key*2654435761 + 1409) % 2147483647 AS h
+        |       FROM e),
+        |r AS (SELECT event_type, h,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+        |        count(*) OVER (PARTITION BY event_type) AS nd
+        |      FROM hh),
+        |ex AS (SELECT event_type, count(DISTINCT key) AS exact FROM e GROUP BY 1),
+        |sk AS (SELECT event_type, max(CASE WHEN rk = 128 THEN h END) AS u_k,
+        |         CAST(least(max(nd), 128) AS BIGINT) AS sketch_size,
+        |         max(nd) AS nd
+        |       FROM r GROUP BY 1),
+        |per AS (SELECT sk.event_type AS scope, ex.exact, sk.sketch_size,
+        |          CASE WHEN sk.nd < 128 THEN CAST(sk.nd AS DOUBLE)
+        |               ELSE 127.0 * 2147483647.0 / u_k END AS e
+        |        FROM sk JOIN ex ON sk.event_type = ex.event_type),
+        |uh AS (SELECT DISTINCT h FROM r WHERE rk <= 128),
+        |ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rk,
+        |         count(*) OVER () AS nd FROM uh),
+        |uall AS (SELECT 'ALL' AS scope,
+        |           (SELECT count(DISTINCT key) FROM e) AS exact,
+        |           CAST(least(max(nd), 128) AS BIGINT) AS sketch_size,
+        |           CASE WHEN max(nd) < 128 THEN CAST(max(nd) AS DOUBLE)
+        |                ELSE 127.0 * 2147483647.0
+        |                  / max(CASE WHEN rk = 128 THEN h END) END AS e
+        |         FROM ur),
+        |u AS (SELECT * FROM per UNION ALL SELECT * FROM uall)
+        |SELECT scope, exact AS exact_distinct, sketch_size,
+        |  floor(e * 100.0 + 0.5) / 100.0 AS est_distinct,
+        |  floor((abs(e - exact) / exact) * 1000000.0 + 0.5) / 1000000.0 AS rel_err
+        |FROM u ORDER BY scope""".stripMargin,
     "q_basket_pairs" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |n AS (SELECT count(DISTINCT o) AS n_orders FROM it),

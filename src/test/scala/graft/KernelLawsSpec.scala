@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{BloomAgg, BloomFns, BucketHistAgg, FloatVectorDot, MinHashAgg, PrefixByFreq, ShingleHashes, SignBands, SortedIntersectCount}
+import graft.functions.{BloomAgg, BloomFns, BottomKAgg, BucketHistAgg, FloatVectorDot, MinHashAgg, PrefixByFreq, ShingleHashes, SignBands, SortedIntersectCount}
 
 /** ScalaCheck laws for the hand-written native kernels, checked against
   * straightforward Scala models over random inputs (interpreted eval path —
@@ -68,6 +68,28 @@ class KernelLawsSpec extends AnyFunSuite {
       fold(xs).toSeq == model(xs) &&
         agg.merge(bx, by).toSeq == mergedModel &&
         agg.deserialize(agg.serialize(by)).toSeq == model(ys)
+    })
+  }
+
+  test("BottomKAgg == sorted distinct take(k); permutation-invariant; merge law") {
+    val gen = Gen.listOf(Gen.chooseNum(-10000L, 10000L))
+    val kGen = Gen.chooseNum(1, 16)
+    check(forAll(gen, gen, kGen) { (xs: List[Long], ys: List[Long], k: Int) =>
+      val agg = BottomKAgg(BoundReference(0, LongType, nullable = false), k)
+      def fold(zs: List[Long]): BottomKAgg.Buf =
+        zs.foldLeft(agg.createAggregationBuffer()) { (buf, x) =>
+          agg.update(buf, org.apache.spark.sql.catalyst.InternalRow(x))
+        }
+      def model(zs: List[Long]): Seq[Long] = zs.distinct.sorted.take(k)
+      def out(b: BottomKAgg.Buf): Seq[Long] = b.a.take(b.n).toSeq
+      out(fold(xs)) == model(xs) &&
+        // pure function of the SET: any permutation folds identically
+        out(fold(scala.util.Random.javaRandomToRandom(
+          new java.util.Random(42)).shuffle(xs))) == model(xs) &&
+        // merge law: k-min of union == k-min of merged sketches
+        out(agg.merge(fold(xs), fold(ys))) == model(xs ++ ys) &&
+        // serde roundtrip preserves the sketch
+        out(agg.deserialize(agg.serialize(fold(ys)))) == model(ys)
     })
   }
 
