@@ -417,6 +417,25 @@ object CorpusFilters {
         col("chunk_len"), col("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Deterministic train/valid/test split (80/10/10) with per-(split, lang)
+    * stats — the leakage-free dataset versioning step before training.
+    * Membership is a pure function of doc_id (the q_sample_stratified
+    * multiplicative hash), so the split replays identically run-to-run,
+    * engine-to-engine, and under corpus growth (a doc never migrates
+    * between splits when new docs arrive — the property random splits
+    * lose). Zero shuffles before the stats aggregate. */
+  def qDatasetSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bucket", (col("doc_id") * lit(2654435761L)) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("split", "lang")
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_repetition"    -> (qRepetition _),
     "q_gopher_gate"   -> (qGopherGate _),
@@ -431,9 +450,21 @@ object CorpusFilters {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_zipf"          -> (qZipf _),
     "q_chunk"         -> (qChunk _),
-    "q_corpus_pipeline" -> (qCorpusPipeline _))
+    "q_corpus_pipeline" -> (qCorpusPipeline _),
+    "q_dataset_split" -> (qDatasetSplit _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_dataset_split" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    (doc_id * 2654435761) % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+        |  lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM t GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     "q_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
         |             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok

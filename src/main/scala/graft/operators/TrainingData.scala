@@ -445,6 +445,102 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup — the shape a DAILY ingest actually runs: the new
+    * batch (docs with doc_id % 10 == 2, ~10% of the corpus at any SF) is
+    * checked against the HISTORY (everything else) without ever comparing
+    * history to itself. Exact tier: content-hash semi-join against the
+    * history hash set. Near tier: MinHash band join of new-batch
+    * signatures against the history band index, verified at estimated
+    * Jaccard ≥ 0.75 from the carried signatures — signatures over
+    * CHAR-5-GRAM shingle ids, not word ids: this corpus draws every doc
+    * from a ~31-word vocabulary, so word-SET Jaccard between unrelated
+    * docs is ~0.85 and word-level minhash flags everything (measured:
+    * 50/50 docs at 8/8 matching lanes); the shingle space is thousands
+    * wide and separates the real near-dup twins (J ≈ 0.99) from the
+    * unrelated mass (J ≈ 0.3). Per new-batch doc: both flags and a
+    * status.
+    *
+    * Scale: this is why dedup assets are materialized — at 100 TB the
+    * history band index and hash set already exist (built once, the
+    * qDedupMinhash/qDedupExact jobs), so the daily cost is
+    * O(batch × bands) shuffle against pre-bucketed history, linear in the
+    * BATCH, not the corpus. Band rows carry the signature, so no
+    * candidate→signature re-join. */
+  def qIncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val isNew = col("doc_id") % 10 === 2
+    val hashes = documents(s, d).select(col("doc_id"), col("lang"),
+      isNew.as("is_new"), sha2(lower(trim(col("text"))), 256).as("h"))
+    val histH = hashes.where(!col("is_new")).select(col("h")).distinct()
+      .withColumn("ex", lit(true))
+    val exact = hashes.where(col("is_new"))
+      .join(histH, Seq("h"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("ex"), lit(false)).as("exact_dup"))
+    // distinct char-5-gram STRINGS per doc (strings, not rolling hashes:
+    // the dictionary ids must replay in the oracle) joined to a dense
+    // shingle dictionary built with the vocab zipWithIndex discipline
+    val docSh = cached("docShStrings", s, d) {
+      documents(s, d).where(length(col("text")) >= 5)
+        .select(col("doc_id"), col("lang"), explode(array_distinct(expr(
+          "transform(sequence(1, length(text) - 4), " +
+            "i -> substring(text, i, 5))"))).as("sh"))
+    }
+    val shVocab = cached("shVocab", s, d) {
+      import s.implicits._
+      val sorted = docSh.select(col("sh")).distinct()
+        .orderBy(col("sh")).as[String].rdd
+      s.createDataFrame(sorted.zipWithIndex().map { case (t, i) => (t, i + 1L) })
+        .toDF("sh", "sh_id")
+    }
+    val tv = docSh.join(shVocab, "sh")
+    val sig = graft.functions.MinHashAgg.minhashSig(s) _
+    val mh = tv.groupBy(col("doc_id"), col("lang"))
+      .agg(sig(col("sh_id")).as("sig"))
+    val bands = mh.select(col("doc_id"), col("lang"),
+      explode(array(
+        struct(lit(0).as("band"), col("sig")(0).as("x0"), col("sig")(1).as("x1"),
+          col("sig")(2).as("x2"), col("sig")(3).as("x3")),
+        struct(lit(1).as("band"), col("sig")(4).as("x0"), col("sig")(5).as("x1"),
+          col("sig")(6).as("x2"), col("sig")(7).as("x3")))).as("b"),
+      col("sig"))
+      .select((Seq(col("doc_id"), col("lang"), col("b.band").as("band")) ++
+        (0 until 4).map(i => col(s"b.x$i").as(s"x$i")) :+ col("sig")): _*)
+    // candidate gate: the batch probes the history band index (at scale a
+    // pre-materialized asset) — a pair is a candidate iff some band's 4
+    // lanes all match; candidates then get the EXACT shingle-Jaccard
+    // verify at 0.8 (8 estimate lanes are a candidate generator, not a
+    // verdict: at J_background ≈ 0.3 an est >= 0.75 rule misfires ~1% of
+    // cross pairs, which flagged 44/50 docs on this corpus — the exact
+    // verify keeps only the true twins)
+    val cand = bands.where(col("doc_id") % 10 === 2)
+      .toDF("doc_id", "lang", "band", "x0", "x1", "x2", "x3", "siga")
+      .join(bands.where(col("doc_id") % 10 =!= 2)
+        .toDF("b_id", "lang", "band", "x0", "x1", "x2", "x3", "sigb"),
+        Seq("lang", "band", "x0", "x1", "x2", "x3"))
+      .select(col("doc_id"), col("b_id")).distinct()
+    val arr = cached("incrShArr", s, d) {
+      val shingles = graft.functions.ShingleHashes.shingles(s) _
+      documents(s, d).where(length(col("text")) >= 5)
+        .select(col("doc_id"), shingles(col("text"), 5).as("shs"))
+    }
+    val interCount = graft.functions.SortedIntersectCount.interCount(s) _
+    val near = cand
+      .join(arr.toDF("doc_id", "sha"), "doc_id")
+      .join(arr.toDF("b_id", "shb"), "b_id")
+      .withColumn("c", interCount(col("sha"), col("shb")))
+      .where(col("c").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("c")).cast("double") >= 0.8)
+      .select(col("doc_id")).distinct()
+      .withColumn("nr", lit(true))
+    exact.join(near, Seq("doc_id"), "left")
+      .withColumn("near_dup", coalesce(col("nr"), lit(false)))
+      .select(col("doc_id"), col("lang"), col("exact_dup"), col("near_dup"),
+        when(col("exact_dup"), "exact_dup")
+          .when(col("near_dup"), "near_dup")
+          .otherwise("new").as("status"))
+      .orderBy("doc_id")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -456,7 +552,8 @@ object TrainingData {
     "q_binary_meta"   -> (qBinaryMeta _),
     "q_media_decode"  -> (qMediaDecode _),
     "q_media_frames"  -> (qMediaFrames _),
-    "q_media_resize"  -> (qMediaResize _))
+    "q_media_resize"  -> (qMediaResize _),
+    "q_incremental_dedup" -> (qIncrementalDedup _))
 
   private val minhashCols = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
     s"min(($a*tok_id + $b) % 2147483647) AS h$i"
@@ -541,6 +638,41 @@ object TrainingData {
         | + (CASE WHEN ma.h6 = mb.h6 THEN 1 ELSE 0 END) + (CASE WHEN ma.h7 = mb.h7 THEN 1 ELSE 0 END)
         |  ) / 8.0 >= 0.75
         |ORDER BY a_id, b_id""").stripMargin,
+    "q_incremental_dedup" ->
+      (s"""WITH t AS (SELECT doc_id, lang,
+        |    unnest(list_distinct(list_transform(range(1, len(text) - 3),
+        |      i -> substr(text, CAST(i AS INT), 5)))) AS sh
+        |  FROM documents WHERE len(text) >= 5),
+        |v AS (SELECT sh, CAST(row_number() OVER (ORDER BY sh) AS BIGINT) AS tok_id
+        |      FROM (SELECT DISTINCT sh FROM t)),
+        |tv AS (SELECT t.doc_id, t.lang, v.tok_id FROM t JOIN v ON t.sh = v.sh),
+        |mh AS (SELECT doc_id, lang, $minhashCols FROM tv GROUP BY 1, 2),
+        |hx AS (SELECT doc_id, lang, doc_id % 10 = 2 AS is_new,
+        |         sha256(lower(trim(text))) AS h FROM documents),
+        |hh AS (SELECT DISTINCT h FROM hx WHERE NOT is_new),
+        |ex AS (SELECT n.doc_id, n.lang, (hh.h IS NOT NULL) AS exact_dup
+        |       FROM hx n LEFT JOIN hh ON n.h = hh.h WHERE n.is_new),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM mh a JOIN mh b ON a.lang = b.lang
+        |    AND a.doc_id % 10 = 2 AND b.doc_id % 10 <> 2
+        |    AND ((a.h0 = b.h0 AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3)
+        |      OR (a.h4 = b.h4 AND a.h5 = b.h5 AND a.h6 = b.h6 AND a.h7 = b.h7))),
+        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+        |jc AS (SELECT c.a_id, c.b_id, count(*) AS cnt
+        |  FROM cand c JOIN t ta ON ta.doc_id = c.a_id
+        |    JOIN t tb ON tb.doc_id = c.b_id AND tb.sh = ta.sh
+        |  GROUP BY 1, 2),
+        |nearset AS (SELECT DISTINCT jc.a_id AS doc_id
+        |  FROM jc JOIN sz sa ON sa.doc_id = jc.a_id
+        |    JOIN sz sb ON sb.doc_id = jc.b_id
+        |  WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= 0.8)
+        |SELECT ex.doc_id, ex.lang, ex.exact_dup,
+        |  (nearset.doc_id IS NOT NULL) AS near_dup,
+        |  CASE WHEN ex.exact_dup THEN 'exact_dup'
+        |       WHEN nearset.doc_id IS NOT NULL THEN 'near_dup'
+        |       ELSE 'new' END AS status
+        |FROM ex LEFT JOIN nearset ON ex.doc_id = nearset.doc_id
+        |ORDER BY ex.doc_id""").stripMargin,
     "q_dedup_simhash" ->
       """WITH t AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text,' '))) AS tok
         |           FROM documents),
