@@ -79,6 +79,36 @@ class PlanShapeSpec extends SparkSpec {
         lines.mkString("\n"))
   }
 
+  test("hygiene/analytics ops keep distributable shapes (no cartesian, no corpus window)") {
+    // line dedup: rebuild via per-doc aggregate + in-row array_sort — never
+    // a corpus-wide window sort, never a cartesian
+    val pLine = planOf(Hygiene.qLineDedup(spark, d))
+    assert(!pLine.contains("Window"), "line dedup must not window-sort the corpus")
+    assert(!pLine.contains("CartesianProduct"))
+    // record linkage: block keys keep the pair join equi; the bounded
+    // levenshtein kernel is in the plan
+    val pLink = planOf(Hygiene.qRecordLinkage(spark, d))
+    assert(!pLink.contains("CartesianProduct") && !pLink.contains("BroadcastNestedLoopJoin"),
+      "blocked linkage must stay an equi-join")
+    assert(pLink.contains("levenshtein"), pLink.take(400))
+    // incremental dedup: candidates go through the exact codegen'd verify
+    val pIncr = planOf(TrainingData.qIncrementalDedup(spark, d))
+    assert(pIncr.contains("sorted_intersect_count"),
+      "near tier must verify candidates with the exact intersect kernel")
+    assert(!pIncr.contains("CartesianProduct"))
+    // basket pairs: top-20 via per-partition heaps, not a global sort
+    val pBasket = planOf(Insights.qBasketPairs(spark, d))
+    assert(pBasket.contains("TakeOrderedAndProject"), pBasket.take(400))
+    // triangles: wedge + closure joins stay equi
+    val pTri = planOf(Insights.qTriangles(spark, d))
+    assert(!pTri.contains("CartesianProduct") && !pTri.contains("BroadcastNestedLoopJoin"))
+    // kmv: the bottom-k typed imperative aggregate runs as partial+final
+    // ObjectHashAggregate (mergeable partials — the distributable shape)
+    val pKmv = planOf(Insights.qKmvDistinct(spark, d))
+    assert(pKmv.contains("bottom_k") && pKmv.contains("ObjectHashAggregate"),
+      pKmv.take(400))
+  }
+
   test("q_agg_pricing scan stays inside whole-stage codegen") {
     // AQE finalizes codegen spans only at execution: run, then inspect.
     val df = Relational.qAggPricing(spark, d)
