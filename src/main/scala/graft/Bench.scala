@@ -30,7 +30,8 @@ object Bench {
     // TrainingData/LlmPipeline/CorpusFilters.
     val warmQs = Seq("q_token_count", "q_tfidf", "q_dedup_near",
       "q_dedup_ngram", "q_contamination", "q_mix_weights", "q_ann_ivf",
-      "q_range_bin", "q_line_dedup", "q_substring_dup", "q_basket_pairs")
+      "q_range_bin", "q_line_dedup", "q_substring_dup", "q_basket_pairs",
+      "q_incremental_dedup")
     val w0 = System.nanoTime()
     warmQs.foreach { q =>
       try SparkEntry.queries(q)(spark, sfDir).count()

@@ -135,6 +135,45 @@ class OperatorEdgeSpec extends SparkSpec {
       100000099L -> 30.0), rows)
   }
 
+  test("line dedup rebuilds the all-boilerplate doc to the empty string") {
+    val dir = Files.createTempDirectory("graft-ld").toString
+    // docs 1+2 share segment "a b c d e" in source s1 → boilerplate (nd=2);
+    // doc 1 is NOTHING BUT that segment twice → empty rebuild; doc 3 untouched
+    Seq(
+      (1L, "a b c d e a b c d e", "en", "s1", 19L),
+      (2L, "a b c d e x y z w v", "en", "s1", 19L),
+      (3L, "p q r s t u v w x y", "en", "s1", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = operators.Hygiene.qLineDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getString(5)))
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.toSeq == Seq(
+      (1L, 2L, 0L, m("")),
+      (2L, 2L, 1L, m("x y z w v")),
+      (3L, 2L, 2L, m("p q r s t u v w x y"))), rows.toSeq)
+  }
+
+  test("resample interpolates interior gaps and carries values at the edges") {
+    val dir = Files.createTempDirectory("graft-rs").toString
+    // type m: hours 0 and 2 observed (1.0, 3.0) → hour 1 interpolates to 2.0
+    // type n: only hour 1 observed (5.0) → hours 0 and 2 carry 5.0
+    Seq(
+      (1L, ts(10), 1L, "m", 1.0, "{}"),
+      (2L, ts(130), 1L, "m", 3.0, "{}"),
+      (3L, ts(70), 2L, "n", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = operators.EventTime.qResample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val hr = 3600000000L
+    assert(rows.toSeq == Seq(
+      ("m", 0L, 1.0, true), ("m", hr, 2.0, false), ("m", 2 * hr, 3.0, true),
+      ("n", 0L, 5.0, false), ("n", hr, 5.0, true), ("n", 2 * hr, 5.0, false)),
+      rows.toSeq)
+  }
+
   test("r2/r6 rounding matches the shared floor formula at half boundaries") {
     val row = Seq((2.675, 0.0000005)).toDF("a", "b")
       .select(Cols.r2(col("a")), Cols.r6(col("b"))).head()
