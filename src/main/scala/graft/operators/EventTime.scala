@@ -210,6 +210,47 @@ object EventTime {
       .orderBy("event_type", "hr_us")
   }
 
+  /** Batch last-touch click attribution — the declared twin of the
+    * streaming stream-stream interval join
+    * ([[graft.streaming.Streams.attributeClicks]]): every purchase is
+    * attributed to the SAME USER's latest click at-or-before it, if that
+    * click is within the 1-hour attribution horizon. The latest click
+    * overall is always the closest, so "latest overall, then check the
+    * horizon" equals "latest within the horizon" — which is what lets the
+    * as-of union trick below replace a range join entirely.
+    *
+    * Scale: clicks and purchases union into ONE stream, shuffle once on
+    * user_id, and a running ignore-nulls `last` over (ts, tag, id) order
+    * carries the newest click onto each purchase row — the q_asof
+    * discipline; no per-pair join ever materializes, so cost is linear in
+    * events at any scale (the oracle is the independent range-join +
+    * rank formulation). */
+  def qAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("user_id"),
+      Cols.epochUs(col("ts")).as("us"), col("event_type"))
+    val tagged = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("us"), lit(0).as("tag"), col("event_id"))
+      .unionByName(ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), lit(1).as("tag"), col("event_id")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("lc_id", last(when(col("tag") === 0, col("event_id")),
+        ignoreNulls = true).over(w))
+      .withColumn("lc_us", last(when(col("tag") === 0, col("us")),
+        ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .withColumn("attributed", col("lc_us").isNotNull &&
+        col("us") - col("lc_us") <= HourUs)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"),
+        when(col("attributed"), col("lc_id")).as("click_id"),
+        when(col("attributed"), col("us") - col("lc_us")).as("lag_us"),
+        col("attributed"))
+      .orderBy("purchase_id")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_win_tumbling"      -> (qWinTumbling _),
     "q_win_sliding"       -> (qWinSliding _),
@@ -219,9 +260,27 @@ object EventTime {
     "q_sessionize_funnel" -> (qSessionizeFunnel _),
     "q_range_bin"         -> (qRangeBin _),
     "q_overlap_join"      -> (qOverlapJoin _),
-    "q_resample"          -> (qResample _))
+    "q_resample"          -> (qResample _),
+    "q_attribution"       -> (qAttribution _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_attribution" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, us FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, us AS cus FROM e
+        |      WHERE event_type = 'click'),
+        |r AS (SELECT p.purchase_id, c.click_id, c.cus,
+        |        row_number() OVER (PARTITION BY p.purchase_id
+        |          ORDER BY c.cus DESC, c.click_id DESC) AS rn
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |        AND c.cus <= p.us AND c.cus >= p.us - 3600000000),
+        |b AS (SELECT * FROM r WHERE rn = 1)
+        |SELECT p.purchase_id, p.user_id, p.us AS purchase_us, b.click_id,
+        |  p.us - b.cus AS lag_us, (b.click_id IS NOT NULL) AS attributed
+        |FROM p LEFT JOIN b ON p.purchase_id = b.purchase_id
+        |ORDER BY p.purchase_id""".stripMargin,
     "q_resample" ->
       """WITH obs AS (SELECT event_type,
         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, avg(value) AS v
