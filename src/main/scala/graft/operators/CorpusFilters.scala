@@ -417,6 +417,55 @@ object CorpusFilters {
         col("chunk_len"), col("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Bigram-LM quality score — the tier above [[qUnigramLogprob]] on the
+    * KenLM ladder (the published CCNet filter is a 5-gram LM; conditional
+    * bigrams already capture the word-ORDER signal unigrams cannot): per
+    * doc the mean log P(w_i | w_{i−1}) under the corpus's own add-1
+    * smoothed per-language bigram model, and a bottom-decile flag within
+    * its language.
+    *
+    * Scale: the model is two map-side-combined aggregates (bigram counts
+    * + prev-marginals, both vocabulary²-BOUNDED — far below corpus size
+    * by Heaps' law); the vocab-size table rides a |langs|-row broadcast;
+    * scoring is one corpus-sized join on (lang, prev, cur) that degrades
+    * broadcast → shuffle as the model outgrows the threshold, then one
+    * per-doc re-aggregate — the q_unigram_logprob shape with a wider
+    * model key. */
+  def qBigramLogprob(s: SparkSession, d: String): DataFrame = {
+    // bigram stream feeds the model AND the scoring pass — persist once
+    val big = TrainingData.cached("biGrams", s, d) {
+      documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) AS prev, element_at(toks, i + 1) AS cur))"))
+          .as("g"))
+        .select(col("doc_id"), col("lang"),
+          col("g.prev").as("prev"), col("g.cur").as("cur"))
+    }
+    val cnt = big.groupBy(col("lang"), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c2"))
+    val marg = cnt.groupBy(col("lang"), col("prev")).agg(sum(col("c2")).as("c1"))
+    val vs = TrainingData.docToks(s, d).select(col("lang"), col("tok")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("v"))
+    val model = cnt.join(marg, Seq("lang", "prev"))
+      .join(broadcast(vs), "lang")
+      .select(col("lang"), col("prev"), col("cur"),
+        log((col("c2") + 1).cast("double") / (col("c1") + col("v"))).as("logp"))
+    val scored = big.join(model, Seq("lang", "prev", "cur"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        Cols.r6(avg(col("logp"))).as("mean_logp"))
+    val thresh = scored.groupBy(col("lang"))
+      .agg(Cols.r6(expr("percentile(mean_logp, 0.1)")).as("p10"))
+    scored.join(broadcast(thresh), "lang")
+      .withColumn("low_quality", col("mean_logp") < col("p10"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("mean_logp"),
+        col("p10"), col("low_quality"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/valid/test split (80/10/10) with per-(split, lang)
     * stats — the leakage-free dataset versioning step before training.
     * Membership is a pure function of doc_id (the q_sample_stratified
@@ -451,9 +500,36 @@ object CorpusFilters {
     "q_zipf"          -> (qZipf _),
     "q_chunk"         -> (qChunk _),
     "q_corpus_pipeline" -> (qCorpusPipeline _),
-    "q_dataset_split" -> (qDatasetSplit _))
+    "q_dataset_split" -> (qDatasetSplit _),
+    "q_bigram_logprob" -> (qBigramLogprob _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, lang, toks[i] AS prev, toks[i+1] AS cur
+        |      FROM t, unnest(range(1, len(toks))) r(i) WHERE len(toks) >= 2),
+        |cnt AS (SELECT lang, prev, cur, count(*) AS c2 FROM g GROUP BY 1, 2, 3),
+        |marg AS (SELECT lang, prev, sum(c2) AS c1 FROM cnt GROUP BY 1, 2),
+        |vs AS (SELECT lang, count(DISTINCT tok) AS v FROM (
+        |    SELECT lang, unnest(list_distinct(string_split(text,' '))) AS tok
+        |    FROM documents) GROUP BY 1),
+        |m AS (SELECT cnt.lang, prev, cur,
+        |        ln((c2 + 1) * 1.0 / (c1 + v)) AS logp
+        |      FROM cnt JOIN marg USING (lang, prev)
+        |        JOIN vs ON cnt.lang = vs.lang),
+        |sc AS (SELECT g.doc_id, g.lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         floor(avg(m.logp)*1000000.0 + 0.5)/1000000.0 AS mean_logp
+        |       FROM g JOIN m ON g.lang = m.lang AND g.prev = m.prev
+        |         AND g.cur = m.cur
+        |       GROUP BY 1, 2),
+        |th AS (SELECT lang,
+        |         floor(quantile_cont(mean_logp, 0.1)*1000000.0 + 0.5)/1000000.0
+        |           AS p10
+        |       FROM sc GROUP BY 1)
+        |SELECT sc.doc_id, sc.lang, sc.n_bigrams, sc.mean_logp, th.p10,
+        |  (sc.mean_logp < th.p10) AS low_quality
+        |FROM sc JOIN th ON sc.lang = th.lang ORDER BY sc.doc_id""".stripMargin,
     "q_dataset_split" ->
       """WITH t AS (SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
