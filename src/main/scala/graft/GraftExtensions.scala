@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVectorDot, MinHashAgg, SortedIntersectCount}
+import graft.functions.{BloomAgg, BloomMightContain, BottomKAgg, FloatVectorDot, MinHashAgg, SortedIntersectCount}
 
 /** Canonical integration point: sessions built with
   * `spark.sql.extensions=graft.GraftExtensions` get the native expressions
@@ -30,5 +30,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => MinHashAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => BloomAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "graft_bloom_might_contain"),
+      (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bottom_k"),
+      new ExpressionInfo(classOf[BottomKAgg].getName, "bottom_k"),
+      (exprs: Seq[Expression]) => BottomKAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -30,6 +30,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.head === (1 to 3).map(x => (2971L * x + 1409L) % 2147483647L).min)
   }
 
+  test("bloom agg + probe resolve from SQL via the session extension") {
+    val r = spark.sql(
+      """WITH b AS (SELECT graft_bloom_agg(x) AS bf FROM VALUES (10L), (20L) AS t(x))
+        |SELECT graft_bloom_might_contain(bf, 10L) AS hit,
+        |       graft_bloom_might_contain(bf, 12345678L) AS miss FROM b"""
+        .stripMargin).head()
+    assert(r.getBoolean(0))
+    assert(!r.getBoolean(1)) // 1-in-~2^30 FP chance at this load, fixed hashes
+  }
+
+  test("bottom_k aggregate resolves from SQL via the session extension") {
+    val r = spark.sql(
+      "SELECT bottom_k(x, 2) AS sk FROM VALUES (5L), (1L), (9L), (1L) AS t(x)")
+      .head().getSeq[Long](0)
+    assert(r == Seq(1L, 5L))
+  }
+
   test("extension functions are codegen-compatible in a real pipeline") {
     import spark.implicits._
     val df = Seq((Seq(1L, 2L, 7L), Seq(2L, 7L, 9L))).toDF("a", "b")
