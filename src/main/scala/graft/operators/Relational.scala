@@ -238,6 +238,25 @@ object Relational {
         |""".stripMargin)
   }
 
+  /** Disjunctive EXISTS through the SQL front door — the one join variant
+    * the rest of the suite never produces: `EXISTS(...) OR <local pred>`
+    * cannot plan as a LeftSemi (a row failing the subquery may still
+    * qualify via the disjunct), so Catalyst plans an EXISTENCE join that
+    * carries the match bit as a column into the surviving Filter. Pinned
+    * in PlanShapeSpec; same physics as a semi join at scale (hash on the
+    * correlation key, no row duplication). */
+  def qExistsOr(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders")
+    customer(s, d).createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |              WHERE c_custkey = o_custkey AND c_acctbal > 9000)
+        |   OR o_totalprice > 450000
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Recursive CTE through the SQL front door (`WITH RECURSIVE`, Spark 4's
     * iterative union execution): every customer walks the synthetic
     * binary-tree hierarchy parent(k) = k div 2 up to the root, emitting its
@@ -471,6 +490,7 @@ object Relational {
     "q_rollup"         -> (qRollup _),
     "q_grouping_sets"  -> (qGroupingSets _),
     "q_recursive"      -> (qRecursive _),
+    "q_exists_or"      -> (qExistsOr _),
     "q_cube"           -> (qCube _),
     "q_having"         -> (qHaving _),
     "q_sort"           -> (qSort _),
@@ -483,6 +503,13 @@ object Relational {
     "q_intersect_all"  -> (qIntersectAll _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_exists_or" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |              WHERE c_custkey = o_custkey AND c_acctbal > 9000)
+        |   OR o_totalprice > 450000
+        |ORDER BY o_orderkey""".stripMargin,
     "q_bloom_join" ->
       """SELECT c_custkey, c_name, CAST(count(*) AS BIGINT) AS n_orders,
         |  floor(sum(o_totalprice)*100.0 + 0.5)/100.0 AS revenue

@@ -109,6 +109,12 @@ class PlanShapeSpec extends SparkSpec {
       pKmv.take(400))
   }
 
+  test("q_exists_or plans an existence join (not a semi, not a row-duplicating inner)") {
+    val p = planOf(Relational.qExistsOr(spark, d))
+    assert(p.contains("ExistenceJoin"),
+      s"EXISTS OR <pred> must carry the match bit, not filter rows:\n${p.take(600)}")
+  }
+
   test("q_agg_pricing scan stays inside whole-stage codegen") {
     // AQE finalizes codegen spans only at execution: run, then inspect.
     val df = Relational.qAggPricing(spark, d)
