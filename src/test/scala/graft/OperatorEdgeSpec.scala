@@ -174,6 +174,30 @@ class OperatorEdgeSpec extends SparkSpec {
       rows.toSeq)
   }
 
+  test("attribution: horizon is inclusive, latest click wins, no-click stays new") {
+    val dir = Files.createTempDirectory("graft-at").toString
+    Seq(
+      (1L, ts(0), 1L, "click", 0.0, "{}"),
+      (2L, ts(60), 1L, "purchase", 1.0, "{}"),   // exactly 1h after → attributed
+      (3L, ts(122), 1L, "purchase", 1.0, "{}"),  // 2h02m after the only click → new
+      (4L, ts(10), 2L, "click", 0.0, "{}"),
+      (5L, ts(20), 2L, "click", 0.0, "{}"),
+      (6L, ts(25), 2L, "purchase", 1.0, "{}"),   // latest click (id 5) wins
+      (7L, ts(5), 3L, "purchase", 1.0, "{}"))    // user 3 never clicked
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = operators.EventTime.qAttribution(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getBoolean(5)))
+    assert(rows.toSeq == Seq(
+      (2L, 1L, 3600000000L, true),
+      (3L, -1L, -1L, false),
+      (6L, 5L, 300000000L, true),
+      (7L, -1L, -1L, false)), rows.toSeq)
+  }
+
   test("r2/r6 rounding matches the shared floor formula at half boundaries") {
     val row = Seq((2.675, 0.0000005)).toDF("a", "b")
       .select(Cols.r2(col("a")), Cols.r6(col("b"))).head()
