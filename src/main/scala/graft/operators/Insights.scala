@@ -446,14 +446,19 @@ object Insights {
     val deg = und.select(col("pa").as("v"), col("pb").as("w"))
       .unionByName(und.select(col("pb").as("v"), col("pa").as("w")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    // orient every edge from its smaller (degree, id) endpoint
-    val oriented = und
-      .join(deg.toDF("pa", "da"), "pa").join(deg.toDF("pb", "db"), "pb")
-      .select(
-        when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")),
-          struct(col("pa").as("src"), col("pb").as("dst")))
-          .otherwise(struct(col("pb").as("src"), col("pa").as("dst"))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // orient every edge from its smaller (degree, id) endpoint; the
+    // oriented edge list feeds FOUR join sides below (two wedge, two
+    // closure) — persist it once, exactly the asset a production triangle
+    // job materializes (without it the orientation join replays 4×)
+    val oriented = TrainingData.cached("orientedEdges", s, d) {
+      und
+        .join(deg.toDF("pa", "da"), "pa").join(deg.toDF("pb", "db"), "pb")
+        .select(
+          when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")),
+            struct(col("pa").as("src"), col("pb").as("dst")))
+            .otherwise(struct(col("pb").as("src"), col("pa").as("dst"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    }
     val wedges = oriented.toDF("ctr", "x")
       .join(oriented.toDF("ctr", "y"), "ctr")
       .where(col("x") < col("y"))

@@ -494,8 +494,12 @@ object TrainingData {
     }
     val tv = docSh.join(shVocab, "sh")
     val sig = graft.functions.MinHashAgg.minhashSig(s) _
-    val mh = tv.groupBy(col("doc_id"), col("lang"))
-      .agg(sig(col("sh_id")).as("sig"))
+    // |docs| rows; referenced by BOTH band-join sides — persist so the
+    // shingle-stream aggregate runs once, not once per side
+    val mh = cached("incrMh", s, d) {
+      tv.groupBy(col("doc_id"), col("lang"))
+        .agg(sig(col("sh_id")).as("sig"))
+    }
     val bands = mh.select(col("doc_id"), col("lang"),
       explode(array(
         struct(lit(0).as("band"), col("sig")(0).as("x0"), col("sig")(1).as("x1"),
