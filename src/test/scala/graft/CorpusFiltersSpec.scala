@@ -12,6 +12,17 @@ class CorpusFiltersSpec extends SparkSpec {
 
   private val d = sfDir("sf0.001")
 
+  test("dataset split partitions the corpus: counts sum to total, ids disjoint") {
+    val rows = operators.CorpusFilters.qDatasetSplit(spark, d).collect()
+    val total = graft.Tables.documents(spark, d).count()
+    assert(rows.map(_.getLong(2)).sum == total,
+      "every doc lands in exactly one split")
+    val bySplit = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    // 80/10/10 target: train dominates, both holdouts non-empty
+    assert(bySplit("train") > bySplit("valid") && bySplit("valid") > 0
+      && bySplit("test") > 0, bySplit.toMap.toString)
+  }
+
   test("repetition longest-equal-run fold equals the explode+groupBy max") {
     import spark.implicits._
     val docs = Seq(

@@ -230,4 +230,33 @@ class InsightsSpec extends SparkSpec {
     val mass = got.map(_._2).sum
     assert(mass > 0.15 && mass <= 1.0 + 1e-6, s"mass $mass")
   }
+
+  test("transition matrix rows are probability distributions") {
+    val rows = operators.Insights.qTransitionMatrix(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (from, hops) =>
+      val pSum = hops.map(_._3).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"$from sums to $pSum")
+    }
+    // hop conservation: total hops = total events - one per user
+    val ev = graft.Tables.events(spark, d)
+    val expectHops = ev.count() -
+      ev.select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == expectHops)
+  }
+
+  test("kmv per-type sketches merge into the ALL sketch losslessly") {
+    val rows = operators.Insights.qKmvDistinct(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    val all = rows.find(_._1 == "ALL").get
+    val perType = rows.filter(_._1 != "ALL")
+    // union exact >= any per-type exact; the merged sketch is full whenever
+    // any per-type sketch is full
+    assert(perType.forall(_._2 <= all._2))
+    if (perType.exists(_._3 == 128L)) assert(all._3 == 128L)
+    // k=128 => sigma ~ 1/sqrt(127) ~ 8.9%; allow 5 sigma on every scope
+    rows.foreach { case (scope, _, _, relErr) =>
+      assert(relErr < 0.45, s"$scope rel_err $relErr")
+    }
+  }
 }
