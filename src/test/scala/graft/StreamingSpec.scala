@@ -30,6 +30,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tumbling twin equals the batch operator on the real fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    // the ENTIRE sf0.001 event fixture through MemoryStream in three
+    // micro-batches must aggregate to exactly what the declared batch
+    // operator computes in one shot — the twin-consistency guarantee the
+    // streaming tier advertises
+    val d = sfDir("sf0.001")
+    val ev = graft.Tables.events(spark, d)
+      .select(col("ts"), col("event_type"))
+      .as[(Timestamp, String)].collect()
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Streams.tumblingCounts(in.toDF.toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("twin_tumbling")
+      .outputMode("complete").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 3)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("twin_tumbling")
+        .select(unix_micros(col("start")).as("start_us"), col("event_type"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = operators.EventTime.qWinTumbling(spark, d)
+        .select(col("start_us"), col("event_type"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"streaming/batch diverge on ${streamed.size} vs ${batch.size} windows")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes repeated event_ids") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp)]
