@@ -476,6 +476,44 @@ object Insights {
       .orderBy("part")
   }
 
+  /** Hop-bounded BFS (shortest hop distance) over the co-purchase graph
+    * from its smallest part id — completes the graph tier
+    * (degree/triangles/PageRank/connected-components) with the PATH
+    * primitive. Frontier discipline: each round expands ONLY last round's
+    * newly-visited nodes (frontier ⋈ edges, distinct, anti-join against
+    * visited), so per-round work is frontier×degree, never
+    * visited×degree; rounds are bounded by the hop cap (8);
+    * localCheckpoint truncates the per-round lineage exactly like the
+    * q_dedup_clusters Pregel loop. At 100 TB the visited anti-join is the
+    * shape to watch — it shuffles on node id and can carry a Bloom
+    * pre-filter (q_bloom_join's kernel) once the visited set dwarfs the
+    * frontier. The oracle replays the same reach with a hop-bounded
+    * recursive CTE. */
+  def qBfs(s: SparkSession, d: String): DataFrame = {
+    val und = basketPairs(s, d).select(col("pa"), col("pb"))
+    val edges = und.select(col("pa").as("a"), col("pb").as("b"))
+      .unionByName(und.select(col("pb").as("a"), col("pa").as("b")))
+      .localCheckpoint(true)
+    // one bounded scalar (the deterministic source node), not a data pull
+    val src = und.agg(min(col("pa"))).head().getLong(0)
+    var visited = s.range(1)
+      .select(lit(src).as("node"), lit(0L).as("dist")).localCheckpoint(true)
+    var frontier = visited
+    var hop = 0L
+    while (hop < 8 && !frontier.isEmpty) {
+      hop += 1
+      val next = frontier.join(edges, frontier("node") === edges("a"))
+        .select(col("b").as("node")).distinct()
+        .join(visited.select(col("node").as("v")),
+          col("node") === col("v"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    visited.select(col("node").as("part"), col("dist")).orderBy("part")
+  }
+
   /** Event-type transition matrix (first-order Markov): per user the event
     * stream in (ts, event_id) order, counting each consecutive
     * (from → to) hop, then P(to | from) per source type. The
@@ -567,9 +605,26 @@ object Insights {
     "q_basket_pairs" -> (qBasketPairs _),
     "q_triangles" -> (qTriangles _),
     "q_transition_matrix" -> (qTransitionMatrix _),
-    "q_kmv_distinct" -> (qKmvDistinct _))
+    "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_bfs" -> (qBfs _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_bfs" ->
+      """WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT a.p AS pa, b.p AS pb
+        |  FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ee AS (SELECT pa AS a, pb AS b FROM e
+        |  UNION ALL SELECT pb, pa FROM e),
+        |src AS (SELECT min(pa) AS s FROM e),
+        |walk(node, dist) AS (
+        |  SELECT s, 0 FROM src
+        |  UNION
+        |  SELECT ee.b, walk.dist + 1 FROM walk JOIN ee ON ee.a = walk.node
+        |  WHERE walk.dist < 8)
+        |SELECT node AS part, CAST(min(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_kmv_distinct" ->
       """WITH e AS (SELECT event_type,
         |    user_id * 131072 +
