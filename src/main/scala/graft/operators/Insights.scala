@@ -488,7 +488,14 @@ object Insights {
     * shape to watch — it shuffles on node id and can carry a Bloom
     * pre-filter (q_bloom_join's kernel) once the visited set dwarfs the
     * frontier. The oracle replays the same reach with a hop-bounded
-    * recursive CTE. */
+    * recursive CTE.
+    *
+    * Fixture note: the co-purchase graph's density is SF-dependent (pair
+    * counts grow linearly with orders while the part-pair space grows
+    * quadratically with parts), so the gate SF (0.01: avg degree ≈ 3.4)
+    * sits ABOVE the percolation threshold — a 1 830-node giant component,
+    * 8 hops deep — while sf0.1 (avg degree ≈ 0.36) fragments into tiny
+    * components; both reaches hash-match the oracle. */
   def qBfs(s: SparkSession, d: String): DataFrame = {
     val und = basketPairs(s, d).select(col("pa"), col("pb"))
     val edges = und.select(col("pa").as("a"), col("pb").as("b"))
