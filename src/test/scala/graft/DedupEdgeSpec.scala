@@ -33,6 +33,28 @@ class DedupEdgeSpec extends SparkSpec {
     dir
   }
 
+  test("q_incremental_dedup: exact tier fires, precedence over near, short docs safe") {
+    // the shipped fixture has NO exact dup crossing the batch boundary, so
+    // the exact tier is only provable on a hand-built corpus
+    val dir = Files.createTempDirectory("graft-incr").toString
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "patient crane waits beside the riverbank watching silver fish"
+    Seq(
+      (5L, base, "en", "web", base.length.toLong),                // history
+      (7L, "federated systems aggregate updates across devices", "en", "web", 50L),
+      (12L, base, "en", "web", base.length.toLong),               // batch: copy of 5
+      (22L, "completely unrelated content about database engines", "en", "web", 51L),
+      (42L, "tiny", "en", "web", 4L))                             // batch: < 5 chars
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = operators.TrainingData.qIncrementalDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3), r.getString(4)))
+    assert(rows.toSeq == Seq(
+      (12L, true, true, "exact_dup"), // identical shingles ⇒ near too; exact wins
+      (22L, false, false, "new"),
+      (42L, false, false, "new")), rows.toSeq)
+  }
+
   test("q_dedup_ngram: exact duplicates pair at jac=1.0, language-blocked") {
     val rows = LlmPipeline.qDedupNgram(spark, mini)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
