@@ -198,6 +198,20 @@ class OperatorEdgeSpec extends SparkSpec {
       (7L, -1L, -1L, false)), rows.toSeq)
   }
 
+  test("kmv: groups below k are exact (estimate == distinct, rel_err 0)") {
+    // the shipped fixture's scopes all exceed k=128 distinct keys, so the
+    // sketch-is-the-whole-set branch only proves out on a mini corpus
+    val rows = operators.Insights.qKmvDistinct(spark, mini).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (scope, exact, size, est, relErr) =>
+      assert(size == exact, s"$scope: sketch must hold the whole set")
+      assert(est == exact.toDouble && relErr == 0.0,
+        s"$scope: below-k estimate must be exact, got $est / $relErr")
+    }
+  }
+
   test("r2/r6 rounding matches the shared floor formula at half boundaries") {
     val row = Seq((2.675, 0.0000005)).toDF("a", "b")
       .select(Cols.r2(col("a")), Cols.r6(col("b"))).head()
