@@ -198,6 +198,30 @@ class OperatorEdgeSpec extends SparkSpec {
       (7L, -1L, -1L, false)), rows.toSeq)
   }
 
+  test("bfs: chain distances, threshold-filtered edges, other components unreached") {
+    val dir = Files.createTempDirectory("graft-bfs").toString
+    // baskets → co-purchase edges need >= 2 shared orders:
+    //   A-B (orders 1,2), B-C (orders 3,4) → chain A-B-C
+    //   C-D co-occurs ONCE (order 5) → below threshold, no edge
+    //   E-F (orders 6,7) → separate component, unreachable from A
+    val baskets = Seq(
+      1L -> Seq(100L, 200L), 2L -> Seq(100L, 200L),
+      3L -> Seq(200L, 300L), 4L -> Seq(200L, 300L),
+      5L -> Seq(300L, 400L),
+      6L -> Seq(500L, 600L), 7L -> Seq(500L, 600L))
+    baskets.flatMap { case (o, parts) =>
+      parts.zipWithIndex.map { case (p, i) =>
+        (o, p, 1L, i + 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts(0))
+      }
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val rows = operators.Insights.qBfs(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.toSeq == Seq(100L -> 0L, 200L -> 1L, 300L -> 2L), rows.toSeq)
+  }
+
   test("kmv: groups below k are exact (estimate == distinct, rel_err 0)") {
     // the shipped fixture's scopes all exceed k=128 distinct keys, so the
     // sketch-is-the-whole-set branch only proves out on a mini corpus
