@@ -501,8 +501,13 @@ object Insights {
     val edges = und.select(col("pa").as("a"), col("pb").as("b"))
       .unionByName(und.select(col("pb").as("a"), col("pa").as("b")))
       .localCheckpoint(true)
-    // one bounded scalar (the deterministic source node), not a data pull
-    val src = und.agg(min(col("pa"))).head().getLong(0)
+    // one bounded scalar (the deterministic source node), not a data pull;
+    // an edgeless graph (possible at tiny SFs / filtered corpora) has no
+    // source and yields the empty reach rather than an NPE
+    val srcRow = und.agg(min(col("pa"))).head()
+    if (srcRow.isNullAt(0))
+      return s.range(0).select(col("id").as("part"), col("id").as("dist"))
+    val src = srcRow.getLong(0)
     var visited = s.range(1)
       .select(lit(src).as("node"), lit(0L).as("dist")).localCheckpoint(true)
     var frontier = visited

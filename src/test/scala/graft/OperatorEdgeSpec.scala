@@ -220,6 +220,15 @@ class OperatorEdgeSpec extends SparkSpec {
     val rows = operators.Insights.qBfs(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(rows.toSeq == Seq(100L -> 0L, 200L -> 1L, 300L -> 2L), rows.toSeq)
+    // an edgeless graph (every pair co-occurs once) yields the empty reach
+    val dir2 = Files.createTempDirectory("graft-bfs-empty").toString
+    Seq((1L, 100L, 1L, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts(0)),
+      (1L, 200L, 1L, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", ts(0)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir2/lineitem.parquet")
+    assert(operators.Insights.qBfs(spark, dir2).count() == 0)
   }
 
   test("kmv: groups below k are exact (estimate == distinct, rel_err 0)") {
