@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Opt-in range-join binning (spark.graft.rangeJoin.binWidth) — rewrites
     // pure interval-point joins away from BroadcastNestedLoopJoin.
     ext.injectOptimizerRule(_ => new graft.plans.BinnedRangeJoinRule)
+    // Grouped top-k: plans graft.plans.TopKPerKey logical nodes as
+    // partial→final bounded-heap passes (map-side k-reduction the window
+    // formulation cannot do).
+    ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((
       FunctionIdentifier("vec_dot_f"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot_f"),

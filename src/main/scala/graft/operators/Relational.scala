@@ -438,6 +438,27 @@ object Relational {
       .orderBy("l_orderkey", "rn")
   }
 
+  /** Grouped top-k through the NATIVE operator ([[graft.plans.TopKPerKey]]
+    * — logical node + injected planner strategy + partial/final heap
+    * execs): same result set as [[qTopkGroup]]'s window formulation, but
+    * the heavy lifting is bounded per-key heaps that reduce map-side and
+    * ship ≤ k rows per (key, partition) into the exchange — the window
+    * must sort EVERY row of every group. The rank column is re-derived
+    * afterwards by a window over the ≤ k survivors per key (k-bounded
+    * input, negligible). PlanShapeSpec pins partial-below-exchange. */
+  def qTopkGroupNative(s: SparkSession, d: String): DataFrame = {
+    val projected = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), revenue.as("rev"))
+    val top = graft.plans.TopKPerKey.of(s, projected,
+      Seq("l_orderkey"), Seq("rev" -> false, "l_linenumber" -> true), 2)
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("rev").desc, col("l_linenumber").asc)
+    top.withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Cols.r2(col("rev")).as("revenue"), col("rn"))
+      .orderBy("l_orderkey", "rn")
+  }
+
   // ---- §2.7 set operations -------------------------------------------------
 
   private def highBal(s: SparkSession, d: String): DataFrame =
@@ -496,6 +517,7 @@ object Relational {
     "q_sort"           -> (qSort _),
     "q_topk"           -> (qTopk _),
     "q_topk_group"     -> (qTopkGroup _),
+    "q_topk_group_native" -> (qTopkGroupNative _),
     "q_union"          -> (qUnion _),
     "q_intersect"      -> (qIntersect _),
     "q_except"         -> (qExcept _),
@@ -679,6 +701,14 @@ object Relational {
         |FROM lineitem GROUP BY l_partkey
         |ORDER BY part_revenue DESC, l_partkey ASC LIMIT 20""".stripMargin,
     "q_topk_group" ->
+      """SELECT l_orderkey, l_linenumber,
+        | floor((l_extendedprice*(1-l_discount))*100.0 + 0.5)/100.0 AS revenue,
+        | CAST(row_number() OVER (PARTITION BY l_orderkey
+        |   ORDER BY l_extendedprice*(1-l_discount) DESC, l_linenumber ASC) AS BIGINT) AS rn
+        |FROM lineitem
+        |QUALIFY rn <= 2
+        |ORDER BY l_orderkey, rn""".stripMargin,
+    "q_topk_group_native" ->
       """SELECT l_orderkey, l_linenumber,
         | floor((l_extendedprice*(1-l_discount))*100.0 + 0.5)/100.0 AS revenue,
         | CAST(row_number() OVER (PARTITION BY l_orderkey

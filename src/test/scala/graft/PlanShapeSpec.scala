@@ -115,6 +115,21 @@ class PlanShapeSpec extends SparkSpec {
       s"EXISTS OR <pred> must carry the match bit, not filter rows:\n${p.take(600)}")
   }
 
+  test("q_topk_group_native: partial heaps below the key exchange, final above") {
+    val lines = Relational.qTopkGroupNative(spark, d)
+      .queryExecution.executedPlan.toString.linesIterator.toVector
+    val fin = lines.indexWhere(_.contains("TopKPerKeyFinal"))
+    val ex = lines.indexWhere(_.contains("Exchange hashpartitioning(l_orderkey"))
+    val part = lines.indexWhere(_.contains("TopKPerKeyPartial"))
+    assert(fin >= 0 && ex > fin && part > ex,
+      "expected Final → Exchange → Partial (map-side k-reduction before " +
+        s"the shuffle):\n${lines.mkString("\n")}")
+    // and the native result equals the window formulation row-for-row
+    val native = Relational.qTopkGroupNative(spark, d).collect().toSeq
+    val window = Relational.qTopkGroup(spark, d).collect().toSeq
+    assert(native == window)
+  }
+
   test("q_agg_pricing scan stays inside whole-stage codegen") {
     // AQE finalizes codegen spans only at execution: run, then inspect.
     val df = Relational.qAggPricing(spark, d)
