@@ -108,6 +108,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKPerKey == window row_number model on random data with nulls") {
+    import org.apache.spark.sql.expressions.Window
+    val rowGen = Gen.listOfN(60, for {
+      k <- Gen.option(Gen.choose(0L, 4L))      // null keys form their own group
+      v <- Gen.option(Gen.choose(0L, 20L))     // null order values too
+      id <- Gen.choose(0L, 1000000L)
+    } yield (k, v, id))
+    for (s <- seeds; k <- Seq(1, 2, 5)) {
+      val data = sample(rowGen, s).zipWithIndex
+        .map { case ((key, v, _), i) => (key, v, i.toLong) } // unique tiebreak
+      val df = data.toDF("key", "v", "id")
+      val native = graft.plans.TopKPerKey
+        .of(spark, df, Seq("key"), Seq("v" -> false, "id" -> true), k)
+        .collect().map(r => (r.get(0), r.get(1), r.getLong(2))).toSet
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("v").desc, col("id").asc)
+      val model = df.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k).drop("rn")
+        .collect().map(r => (r.get(0), r.get(1), r.getLong(2))).toSet
+      assert(native == model, s"seed $s k $k")
+    }
+  }
+
   test("session windows tile: per-user session row counts sum to event count") {
     for (s <- seeds) {
       val times = sample(Gen.listOfN(20, Gen.choose(0L, 5000L)), s)
