@@ -33,6 +33,14 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * EnsureRequirements place the exchange. Ties at the k boundary must be
   * broken by a total `order` (include a unique column), same determinism
   * rule as every ranking query in SURVEY §2.
+  *
+  * Memory profile (stated, not hidden): each task holds k rows per
+  * distinct key of its partition — the HashAggregate profile WITHOUT the
+  * spill path Spark's own aggregates have. At pathological per-partition
+  * key cardinality a production version would spill sorted runs like
+  * ObjectHashAggregate; within this repo's contract the operator is used
+  * where k·|keys| per partition is bounded (and the window alternative
+  * holds the same rows PLUS the sort buffer).
   */
 case class TopKPerKey(
     groupKeys: Seq[Expression],
