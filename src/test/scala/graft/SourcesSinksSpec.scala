@@ -96,6 +96,29 @@ class SourcesSinksSpec extends SparkSpec {
     } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
 
+  test("batch incremental pickup: modifiedAfter reads only files newer than the cursor") {
+    // the batch half of incremental ingestion (the streaming half is
+    // Streams.fileIngest): a daily job keeps a timestamp cursor and
+    // re-reads only files that appeared since — no file log needed
+    val dir = java.nio.file.Files.createTempDirectory("graft-modafter").toString
+    val src = Tables.customer(spark, sfDir("sf0.001"))
+    src.limit(3).write.parquet(s"$dir/batch=1")
+    // cursor between the two writes; FS mtime granularity needs real gap
+    Thread.sleep(1500)
+    val cursor = java.time.Instant.now()
+      .truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+    Thread.sleep(1500)
+    src.limit(5).write.parquet(s"$dir/batch=2")
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val incremental = spark.read
+      .option("modifiedAfter", fmt.format(cursor))
+      .option("basePath", dir).parquet(s"$dir/batch=*")
+    assert(incremental.count() == 5, "only the post-cursor batch is read")
+    val full = spark.read.option("basePath", dir).parquet(s"$dir/batch=*")
+    assert(full.count() == 8, "without the cursor both batches are read")
+  }
+
   test("parquet codec control: zstd and snappy both roundtrip losslessly") {
     // the 100 TB knob a lake operator actually turns — zstd for cold
     // storage density, snappy for hot-path scan speed; either way the
