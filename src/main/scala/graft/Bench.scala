@@ -40,13 +40,26 @@ object Bench {
     val warmup = (System.nanoTime() - w0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) dt else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"queries":$qs,"sf":"$sfDir"}""")
+    def obj(kvs: Iterable[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"queries":${obj(results)},"sf":"$sfDir"}""")
+    // Compact summary printed LAST: artifact collectors that keep only the
+    // tail of stdout (the driver stores 2000 chars) must still see the
+    // totals, the slowest queries, the dedup-family done-criteria queries
+    // and any failures — r4's full-JSON-only output lost all of those to
+    // the truncation window.
+    val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(15)
+    val watch = Seq("q_dedup_ngram", "q_dedup_embed")
+      .flatMap(q => results.get(q).map(q -> _))
+    val failures = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"summary","total":$total,"warmup_sec":$warmup,"n_queries":${results.size},"slowest":${obj(slowest)},"watch":${obj(watch)},"failures":$failures}""")
     graft.operators.TrainingData.unpersistAll()
     spark.stop()
   }

@@ -47,6 +47,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bottom_k"),
       new ExpressionInfo(classOf[BottomKAgg].getName, "bottom_k"),
       (exprs: Seq[Expression]) => BottomKAgg(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+        graft.functions.FnArgs.literalInt(exprs(1), "bottom_k", "k"))))
   }
 }

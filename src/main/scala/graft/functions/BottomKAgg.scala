@@ -115,7 +115,7 @@ object BottomKAgg {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => BottomKAgg(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+        FnArgs.literalInt(exprs(1), name, "k")), "scala_udf")
 
   /** Aggregate column: sorted k smallest distinct values of a bigint col. */
   def bottomK(spark: SparkSession)(v: Column, k: Int): Column = {

@@ -111,7 +111,7 @@ object BucketHistAgg {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => BucketHistAgg(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+        FnArgs.literalInt(exprs(1), name, "bits")), "scala_udf")
 
   /** Aggregate column: `2^bits`-bucket histogram of a grouped
     * array<bigint> column's elements. */

@@ -121,7 +121,7 @@ object PrefixByFreq {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => PrefixByFreq(exprs.head, exprs(1),
-        exprs(2).eval().asInstanceOf[Number].doubleValue()), "scala_udf")
+        FnArgs.literalDouble(exprs(2), name, "theta")), "scala_udf")
 
   /** Rarest-first prefix of a shingle array under a fixed frequency sketch.
     * `freqs.length` must be a power of two. */

@@ -92,7 +92,7 @@ object ShingleHashes {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => ShingleHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+        FnArgs.literalInt(exprs(1), name, "n")), "scala_udf")
 
   /** Sorted distinct hashes of all n-char shingles of a string column. */
   def shingles(spark: SparkSession)(text: Column, n: Int): Column = {

@@ -99,8 +99,8 @@ object SignBands {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => SignBands(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+        FnArgs.literalInt(exprs(1), name, "nBands"),
+        FnArgs.literalInt(exprs(2), name, "width")), "scala_udf")
 
   /** Packed sign-bit band values of a float-vector column. */
   def bands(spark: SparkSession)(v: Column, nBands: Int, width: Int): Column = {

@@ -468,14 +468,24 @@ object CorpusFilters {
 
   /** Deterministic train/valid/test split (80/10/10) with per-(split, lang)
     * stats — the leakage-free dataset versioning step before training.
-    * Membership is a pure function of doc_id (the q_sample_stratified
-    * multiplicative hash), so the split replays identically run-to-run,
-    * engine-to-engine, and under corpus growth (a doc never migrates
-    * between splits when new docs arrive — the property random splits
-    * lose). Zero shuffles before the stats aggregate. */
-  def qDatasetSplit(s: SparkSession, d: String): DataFrame =
+    * Membership is a pure function of doc_id, so the split replays
+    * identically run-to-run, engine-to-engine, and under corpus growth (a
+    * doc never migrates between splits when new docs arrive — the property
+    * random splits lose). Zero shuffles before the stats aggregate.
+    *
+    * The bucket hash is xorshift → modular multiply → xorshift, replayed
+    * verbatim in the oracle: the xorshift rounds make the bucket depend on
+    * doc_id's HIGH bits (a bare `id·c % 100` with c coprime to 100 is just
+    * a permutation of `id % 100` — same-residue docs would co-locate in a
+    * split forever), and every intermediate stays < 2⁶⁰ (the 28-bit
+    * modulus times the 32-bit constant), so no long overflow under ANSI
+    * for any doc_id — `id·2654435761` alone overflows past id ≈ 3.4·10⁹. */
+  def qDatasetSplit(s: SparkSession, d: String): DataFrame = {
+    val h0 = col("doc_id").bitwiseXOR(shiftrightunsigned(col("doc_id"), 33))
+    val h1 = pmod(h0, lit(268435399L)) * lit(2654435761L)
+    val h2 = h1.bitwiseXOR(shiftrightunsigned(h1, 29))
     documents(s, d)
-      .withColumn("bucket", (col("doc_id") * lit(2654435761L)) % 100)
+      .withColumn("bucket", h2 % 100)
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "valid").otherwise("test"))
@@ -484,6 +494,7 @@ object CorpusFilters {
         sum(size(split(col("text"), " "))).as("n_tokens"),
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
       .orderBy("split", "lang")
+  }
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_repetition"    -> (qRepetition _),
@@ -531,10 +542,13 @@ object CorpusFilters {
         |  (sc.mean_logp < th.p10) AS low_quality
         |FROM sc JOIN th ON sc.lang = th.lang ORDER BY sc.doc_id""".stripMargin,
     "q_dataset_split" ->
-      """WITH t AS (SELECT doc_id, lang,
+      """WITH h AS (SELECT doc_id, lang, text,
+        |    xor(doc_id, doc_id >> 33) % 268435399 * 2654435761 AS hm
+        |  FROM documents),
+        |t AS (SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-        |    (doc_id * 2654435761) % 100 AS bucket
-        |  FROM documents)
+        |    xor(hm, hm >> 29) % 100 AS bucket
+        |  FROM h)
         |SELECT CASE WHEN bucket < 80 THEN 'train'
         |            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
         |  lang, CAST(count(*) AS BIGINT) AS n_docs,

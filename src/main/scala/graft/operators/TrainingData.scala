@@ -450,9 +450,9 @@ object TrainingData {
     * checked against the HISTORY (everything else) without ever comparing
     * history to itself. Exact tier: content-hash semi-join against the
     * history hash set. Near tier: MinHash band join of new-batch
-    * signatures against the history band index, verified at estimated
-    * Jaccard ≥ 0.75 from the carried signatures — signatures over
-    * CHAR-5-GRAM shingle ids, not word ids: this corpus draws every doc
+    * signatures against the history band index generates candidates,
+    * each verified with an EXACT shingle-Jaccard ≥ 0.8 check — signatures
+    * over CHAR-5-GRAM shingle ids, not word ids: this corpus draws every doc
     * from a ~31-word vocabulary, so word-SET Jaccard between unrelated
     * docs is ~0.85 and word-level minhash flags everything (measured:
     * 50/50 docs at 8/8 matching lanes); the shingle space is thousands
@@ -464,8 +464,10 @@ object TrainingData {
     * history band index and hash set already exist (built once, the
     * qDedupMinhash/qDedupExact jobs), so the daily cost is
     * O(batch × bands) shuffle against pre-bucketed history, linear in the
-    * BATCH, not the corpus. Band rows carry the signature, so no
-    * candidate→signature re-join. */
+    * BATCH, not the corpus. Candidates from the band probe then get an
+    * EXACT shingle-Jaccard verify at 0.8 via a re-join on the (cacheable)
+    * shingle-array table — the sketch generates candidates, never the
+    * verdict. */
   def qIncrementalDedup(s: SparkSession, d: String): DataFrame = {
     val isNew = col("doc_id") % 10 === 2
     val hashes = documents(s, d).select(col("doc_id"), col("lang"),
@@ -505,21 +507,21 @@ object TrainingData {
         struct(lit(0).as("band"), col("sig")(0).as("x0"), col("sig")(1).as("x1"),
           col("sig")(2).as("x2"), col("sig")(3).as("x3")),
         struct(lit(1).as("band"), col("sig")(4).as("x0"), col("sig")(5).as("x1"),
-          col("sig")(6).as("x2"), col("sig")(7).as("x3")))).as("b"),
-      col("sig"))
+          col("sig")(6).as("x2"), col("sig")(7).as("x3")))).as("b"))
       .select((Seq(col("doc_id"), col("lang"), col("b.band").as("band")) ++
-        (0 until 4).map(i => col(s"b.x$i").as(s"x$i")) :+ col("sig")): _*)
+        (0 until 4).map(i => col(s"b.x$i").as(s"x$i"))): _*)
     // candidate gate: the batch probes the history band index (at scale a
     // pre-materialized asset) — a pair is a candidate iff some band's 4
     // lanes all match; candidates then get the EXACT shingle-Jaccard
     // verify at 0.8 (8 estimate lanes are a candidate generator, not a
     // verdict: at J_background ≈ 0.3 an est >= 0.75 rule misfires ~1% of
     // cross pairs, which flagged 44/50 docs on this corpus — the exact
-    // verify keeps only the true twins)
+    // verify keeps only the true twins). Band rows carry ONLY the 4 band
+    // lanes: the verify never reads the signature, so shipping the other
+    // 4 lanes through the join would be dead weight.
     val cand = bands.where(col("doc_id") % 10 === 2)
-      .toDF("doc_id", "lang", "band", "x0", "x1", "x2", "x3", "siga")
       .join(bands.where(col("doc_id") % 10 =!= 2)
-        .toDF("b_id", "lang", "band", "x0", "x1", "x2", "x3", "sigb"),
+        .toDF("b_id", "lang", "band", "x0", "x1", "x2", "x3"),
         Seq("lang", "band", "x0", "x1", "x2", "x3"))
       .select(col("doc_id"), col("b_id")).distinct()
     val arr = cached("incrShArr", s, d) {

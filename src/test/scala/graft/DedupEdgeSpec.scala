@@ -85,4 +85,56 @@ class DedupEdgeSpec extends SparkSpec {
     assert(survivor.length === 1 && survivor.head.getLong(0) === 2L,
       "lowest doc_id survives the triple")
   }
+
+  test("sign-LSH banding on short (<64-dim) vectors: kernel == guarded; " +
+       "an unguarded recompute would silently drop pairs") {
+    // 3-dim vectors: band 0 covers dims 1–3 + 5 missing, bands 1–7 are all
+    // missing dims. The kernel (and a guarded composed formulation) packs a
+    // missing dim to bit 0, so every vector gets bv=0 on bands 1–7 and all
+    // pairs become candidates there. An UNGUARDED when(...)-without-
+    // otherwise recompute yields NULL band values on those bands — the band
+    // join and the lowest-band dedup predicate both swallow the NULLs and
+    // valid pairs vanish (r4 verdict item 4; this pin keeps the guard).
+    import org.apache.spark.sql.Column
+    val vecs = Seq(
+      (1L, Seq(1f, -1f, 1f)),
+      (2L, Seq(1f, -1f, 1f)),   // same signs as 1 → band-0 match too
+      (3L, Seq(-1f, 1f, -1f)))  // opposite signs → band 0 differs
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    def pairsWith(bandsCol: Column): Set[(Long, Long)] = {
+      val banded = vecs.select(col("vec_id"), bandsCol.as("bvs"))
+        .select(col("vec_id"), col("bvs"),
+          posexplode(col("bvs")).as(Seq("bi", "bv")))
+      val lowerBandMatches = (0 until 7)
+        .map(t => col("bi") > t &&
+          element_at(col("bva"), t + 1) === element_at(col("bvb"), t + 1))
+        .reduce(_ || _)
+      banded.toDF("a_id", "bva", "bi", "bv")
+        .join(banded.toDF("b_id", "bvb", "bi", "bv"), Seq("bi", "bv"))
+        .where(col("a_id") < col("b_id"))
+        .where(!lowerBandMatches)
+        .select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def composed(guarded: Boolean): Column = array((0 until 8).map { t =>
+      (0 until 8).map { i =>
+        val bit = when(try_element_at(col("embedding"), lit(8 * t + i + 1)) > 0f,
+          lit(1L << i))
+        if (guarded) bit.otherwise(lit(0L)) else bit
+      }.reduce(_ + _)
+    }: _*)
+    val kernel = pairsWith(
+      graft.functions.SignBands.bands(spark)(col("embedding"), 8, 8))
+    val guarded = pairsWith(composed(guarded = true))
+    val unguarded = pairsWith(composed(guarded = false))
+    // every pair shares the all-missing bands ⇒ all 3 pairs, each once
+    assert(kernel === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(guarded === kernel, "kernel must equal the guarded formulation")
+    // 3-dim vectors have missing dims in EVERY band, so the unguarded
+    // recompute nulls every band value and every pair silently vanishes —
+    // the divergence the kernel guard prevents
+    assert(unguarded === Set.empty,
+      "unguarded formulation must demonstrate the null-drop divergence")
+  }
 }

@@ -24,15 +24,40 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
-  test("q_rfm: scores in 1..4, quartiles balanced to within one row, segment is the score concat") {
+  test("q_rfm: scores in 1..4, monotone in the metric, match driver-side cut points") {
     val rows = Insights.qRfm(spark, d).collect()
     assert(rows.length > 0)
-    for (c <- Seq("r_score", "f_score", "m_score")) {
-      val scores = rows.map(_.getAs[Long](c))
-      assert(scores.forall(v => v >= 1 && v <= 4), s"$c out of range")
-      val counts = scores.groupBy(identity).view.mapValues(_.length).values
-      assert(counts.max - counts.min <= 1, s"$c buckets unbalanced: $counts")
+    // recompute the cut points independently (exact linear-interpolation
+    // percentile over the collected metric, r6-rounded like the operator)
+    def cutPoints(xs: Array[Double]): Seq[Double] = {
+      val s = xs.sorted
+      Seq(0.25, 0.5, 0.75).map { q =>
+        val pos = q * (s.length - 1)
+        val lo = s(pos.toInt)
+        val hi = s(math.min(pos.toInt + 1, s.length - 1))
+        val v = lo + (hi - lo) * (pos - pos.toInt)
+        math.floor(v * 1e6 + 0.5) / 1e6
+      }
     }
+    def check(metricCol: String, scoreCol: String, asc: Boolean): Unit = {
+      val metric = rows.map(r => r.getAs[Any](metricCol) match {
+        case l: Long => l.toDouble
+        case x: Double => x
+      })
+      val cuts = cutPoints(metric)
+      rows.zip(metric).foreach { case (r, m) =>
+        val above = cuts.count(m > _).toLong
+        val expected = if (asc) 1L + above else 4L - above
+        assert(r.getAs[Long](scoreCol) == expected,
+          s"$scoreCol mismatch at $metricCol=$m cuts=$cuts: $r")
+      }
+      // every score level is populated on this fixture
+      assert(rows.map(_.getAs[Long](scoreCol)).distinct.sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L), s"$scoreCol levels")
+    }
+    check("recency_days", "r_score", asc = true)
+    check("frequency", "f_score", asc = false)
+    check("monetary", "m_score", asc = false)
     rows.foreach { r =>
       val seg = s"${r.getAs[Long]("r_score")}${r.getAs[Long]("f_score")}${r.getAs[Long]("m_score")}"
       assert(r.getAs[String]("segment") == seg, r.toString)

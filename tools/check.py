@@ -13,25 +13,60 @@ Reads <outDir>/<name> parquet (Spark output) and runs <outDir>/oracle_sql.json
   - cell-by-cell exact values (dates/timestamps normalized to isoformat).
 Exit code = number of failing queries.
 """
-import sys, json, glob, os, re
+import sys, json, glob, os
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def canon_type(t):
     """Canonicalize representation-only arrow differences (large_* offsets,
-    timestamp unit/zone, date width) while keeping the logical type strict."""
-    s = str(t)
-    # type-name positions only — never struct FIELD names that start large_
-    s = re.sub(r"\blarge_(string|binary|utf8|list)", r"\1", s)
-    s = re.sub(r"timestamp\[[^\]]*\]", "timestamp", s)
-    s = re.sub(r"date(32|64)(\[[^\]]*\])?", "date", s)
-    # keep scale strict but drop precision: engines widen sum/avg decimal
-    # precision differently (Spark decimal(25,2) vs DuckDB decimal(38,2))
-    # while the driver's value hash (normalize -> float) treats them equal
-    s = re.sub(r"decimal\d*\(\s*\d+\s*,\s*(\d+)\s*\)", r"decimal(\1)", s)
-    return s
+    timestamp unit/zone, date width, decimal PRECISION — engines widen
+    sum/avg precision differently while the driver's value hash normalizes
+    to float) while keeping the logical type strict (decimal != int64 !=
+    double; decimal SCALE strict). Walks the type structurally so struct
+    FIELD NAMES are never rewritten — a field literally named
+    "large_string" survives (the old regex canonicalizer rewrote it)."""
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_decimal(t):
+        return f"decimal(scale={t.scale})"
+    if pa.types.is_large_list(t) or pa.types.is_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_map(t):
+        return f"map<{canon_type(t.key_type)}, {canon_type(t.item_type)}>"
+    if pa.types.is_struct(t):
+        return "struct<" + ", ".join(
+            f"{t.field(i).name}: {canon_type(t.field(i).type)}"
+            for i in range(t.num_fields)) + ">"
+    return str(t)
+
+def selftest():
+    # decimal: precision widens freely, scale stays strict
+    assert canon_type(pa.decimal128(25, 2)) == canon_type(pa.decimal128(38, 2))
+    assert canon_type(pa.decimal128(38, 2)) != canon_type(pa.decimal128(38, 3))
+    assert canon_type(pa.decimal128(38, 2)) != canon_type(pa.int64())
+    # large_* offsets are representation-only
+    assert canon_type(pa.large_string()) == canon_type(pa.string())
+    assert canon_type(pa.large_list(pa.int64())) == canon_type(pa.list_(pa.int64()))
+    # struct FIELD names are data, not types: never rewritten
+    assert canon_type(pa.struct([("large_string", pa.int64())])) == \
+        "struct<large_string: int64>"
+    assert canon_type(pa.struct([("large_string", pa.large_string())])) == \
+        canon_type(pa.struct([("large_string", pa.string())]))
+    assert canon_type(pa.struct([("large_stringy", pa.int64())])) == \
+        "struct<large_stringy: int64>"
+    # timestamp unit/zone and date width are representation-only
+    assert canon_type(pa.timestamp("us")) == canon_type(pa.timestamp("ns", tz="UTC"))
+    assert canon_type(pa.date32()) == canon_type(pa.date64())
+    print("selftest OK")
 
 def normalize(v):
     import datetime, decimal, math
@@ -46,6 +81,9 @@ def normalize(v):
     return v
 
 def main():
+    if "--selftest" in sys.argv:
+        selftest()
+        sys.exit(0)
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
