@@ -131,6 +131,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKPerKey under a forced tiny spill budget: spills fire, result still equals the window model") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // 5000 distinct keys across 3 partitions with a 100-row budget: both the
+    // partial and the final pass blow the budget repeatedly, so the result
+    // is assembled from merged spill runs, not the resident map.
+    val df = (0 until 20000)
+      .map(i => ((i % 5000).toLong, (i / 5000).toLong, i.toLong))
+      .toDF("key", "v", "id").repartition(3)
+    spark.conf.set(graft.plans.TopKPerKeyExec.BudgetConfKey, "100")
+    try {
+      val native = graft.plans.TopKPerKey
+        .of(spark, df, Seq("key"), Seq("v" -> false, "id" -> true), 2)
+      val got = native.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("v").desc, col("id").asc)
+      val model = df.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2).drop("rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == model)
+      // walk INTO adaptive query stages (leaf nodes to plain collect)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      def allExecs(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: allExecs(a.executedPlan)
+        case q: QueryStageExec => p +: allExecs(q.plan)
+        case _ => p +: p.children.flatMap(allExecs)
+      }
+      val spills = allExecs(native.queryExecution.executedPlan).collect {
+        case e: graft.plans.TopKPerKeyExec => e.metrics("spilledRuns").value
+      }.sum
+      assert(spills > 0, "the tiny budget must actually force spill runs")
+    } finally spark.conf.unset(graft.plans.TopKPerKeyExec.BudgetConfKey)
+  }
+
   test("session windows tile: per-user session row counts sum to event count") {
     for (s <- seeds) {
       val times = sample(Gen.listOfN(20, Gen.choose(0L, 5000L)), s)
