@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Opt-in range-join binning (spark.graft.rangeJoin.binWidth) — rewrites
     // pure interval-point joins away from BroadcastNestedLoopJoin.
     ext.injectOptimizerRule(_ => new graft.plans.BinnedRangeJoinRule)
+    // Opt-in automatic Bloom semi-join reduction
+    // (spark.graft.bloomJoin.enabled) — plants a deterministic Bloom build
+    // + probe around joins Spark's own runtime-filter heuristics skip.
+    ext.injectOptimizerRule(_ => new graft.plans.AutoBloomJoinRule)
     // Grouped top-k: plans graft.plans.TopKPerKey logical nodes as
     // partial→final bounded-heap passes (map-side k-reduction the window
     // formulation cannot do).
