@@ -195,16 +195,44 @@ object LlmPipeline {
       .select(col("lang"), least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id")).distinct()
     val interCount = graft.functions.SortedIntersectCount.interCount(s) _
-    // The verify stage fetches each side's shingle ARRAY by doc_id — with NO
-    // join hint, like dfreq above. At this SF the optimizer broadcasts the
-    // array table from size stats, so the candidate stream never shuffles
-    // (the r2 merge-hinted plan shuffled the pairs TWICE, the second time
-    // with a ~1.6 KB array already attached — measured 3× slower than the
-    // stats-picked plan). Past the broadcast threshold the same query
-    // degrades to shuffle sort-merge joins on the doc keys — the only plan
-    // that still works when the array table is corpus-sized.
-    val arr = docsSh.select(col("doc_id"), col("shs"))
-    cand
+    // The verify stage fetches each side's shingle ARRAY by doc_id — with
+    // NO join hint, like dfreq above. At this SF the optimizer broadcasts
+    // the array table from size stats, so the candidate stream never
+    // shuffles (the r2 merge-hinted plan shuffled the pairs TWICE, the
+    // second time with a ~1.6 KB array already attached — measured 3×
+    // slower than the stats-picked plan). Past the broadcast threshold the
+    // same query degrades to shuffle sort-merge joins on the doc keys —
+    // the only plan that still works when the array table is corpus-sized.
+    // In THAT regime the dominant cost is shuffling + sorting the corpus-
+    // sized array table twice, yet only docs appearing in some candidate
+    // pair are ever fetched: a 16 KiB Bloom of the candidate doc-ids
+    // prunes the array table MAP-SIDE, below its exchange (no false
+    // negatives ⇒ identical results by construction; an empty candidate
+    // set builds an all-zero filter that rejects every row — correct).
+    // Building the Bloom gives the candidate set a second consumer, so it
+    // is localCheckpoint'ed — computed once, eagerly, inside this query's
+    // own measured time (unlike the shared cached() corpus-snapshot
+    // assets, candidates are this query's private work; reliability trade
+    // as in the qDedupClusters Pregel loop). The conf toggles the
+    // reduction for A/B measurement (tools/NgramAb); default on.
+    val useBloom =
+      s.conf.get("spark.graft.ngram.verifyBloom", "true").toBoolean
+    val (pairs, arr) =
+      if (!useBloom) (cand, docsSh.select(col("doc_id"), col("shs")))
+      else {
+        val p = cand.localCheckpoint(true)
+        val candIds = p.select(col("a_id").as("id"))
+          .unionByName(p.select(col("b_id").as("id")))
+        val bloom = candIds.agg(
+          graft.functions.BloomFilter.bloomAgg(s)(col("id")).as("bf"))
+        val a = docsSh.select(col("doc_id"), col("shs"))
+          .crossJoin(broadcast(bloom))
+          .where(graft.functions.BloomFilter
+            .mightContain(s)(col("bf"), col("doc_id")))
+          .select(col("doc_id"), col("shs"))
+        (p, a)
+      }
+    pairs
       .join(arr.toDF("a_id", "sha"), "a_id")
       .join(arr.toDF("b_id", "shb"), "b_id")
       .withColumn("c", interCount(col("sha"), col("shb")))

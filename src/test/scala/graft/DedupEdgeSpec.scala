@@ -62,6 +62,23 @@ class DedupEdgeSpec extends SparkSpec {
       "only the same-language exact-dup pair qualifies; short/empty docs drop out")
   }
 
+  test("q_dedup_ngram: verify-join Bloom reduction changes no rows (A/B parity)") {
+    // the Bloom probe on the shingle-array side has no false negatives, so
+    // the plans with and without it must agree row-for-row — the same
+    // parity tools/NgramAb measures for time on the shard corpora
+    def run(): Seq[(Long, Long, String, Double)] =
+      LlmPipeline.qDedupNgram(spark, sfDir("sf0.001")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .toSeq
+    spark.conf.set("spark.graft.ngram.verifyBloom", "false")
+    val without = try run() finally
+      spark.conf.set("spark.graft.ngram.verifyBloom", "true")
+    val withBloom = run()
+    spark.conf.unset("spark.graft.ngram.verifyBloom")
+    assert(withBloom === without)
+    assert(withBloom.nonEmpty, "fixture must exercise the verify join")
+  }
+
   test("q_dedup_embed: identical vectors pair at cos=1.0; orthogonal never candidates") {
     val rows = LlmPipeline.qDedupEmbed(spark, mini)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

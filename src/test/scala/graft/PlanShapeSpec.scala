@@ -156,6 +156,11 @@ class PlanShapeSpec extends SparkSpec {
     val pNgram = planOf(LlmPipeline.qDedupNgram(spark, d))
     assert(pNgram.contains("sorted_intersect_count"),
       "native intersect kernel missing from plan")
+    // verify-join reduction: the candidate-id Bloom probe must sit on the
+    // shingle-array side, pruning the corpus-sized table map-side (below
+    // its exchange) once the verify joins are in the shuffle regime
+    assert(pNgram.contains("graft_bloom_might_contain"),
+      "candidate-id bloom probe missing from the ngram verify")
   }
 
   test("q_ann_ivf reads one persisted assignment table on both join sides") {
