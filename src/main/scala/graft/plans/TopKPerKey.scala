@@ -202,7 +202,8 @@ private final class TopKHeapPass(
   }
 
   private def spill(): Unit = {
-    val file = File.createTempFile("graft-topk-spill-", ".run")
+    val file = File.createTempFile("graft-topk-spill-", ".run",
+      TopKHeapPass.spillDir())
     val out = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(file), 1 << 16))
     var rows = 0L
@@ -264,6 +265,27 @@ private final class TopKHeapPass(
   }
 
   private def cleanup(): Unit = runs.foreach { f => f.delete(); () }
+}
+
+private object TopKHeapPass {
+  /** Spill into the executor's configured scratch disks (`spark.local.dir`),
+    * like Spark's own spilling operators — on a real cluster those are the
+    * provisioned fast volumes and are reaped with the application, while
+    * `java.io.tmpdir` is usually the root disk. Multiple dirs are spread
+    * across tasks by partition id (one task's runs are sequential IO, so
+    * per-task locality beats per-file round-robin). Falls back to tmpdir
+    * when no Spark env or dir exists (plain unit tests). */
+  private lazy val localDirs: Array[File] = {
+    val conf = Option(org.apache.spark.SparkEnv.get).map(_.conf)
+    val dirs = conf.flatMap(_.getOption("spark.local.dir")).toArray
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map(new File(_)).filter(_.isDirectory)
+    if (dirs.nonEmpty) dirs
+    else Array(new File(System.getProperty("java.io.tmpdir")))
+  }
+
+  def spillDir(): File =
+    localDirs(math.floorMod(TaskContext.getPartitionId(), localDirs.length))
 }
 
 /** Sequential reader of one spill run: (keyBytes, row) records in the run's
