@@ -467,7 +467,10 @@ object TrainingData {
     * BATCH, not the corpus. Candidates from the band probe then get an
     * EXACT shingle-Jaccard verify at 0.8 via a re-join on the (cacheable)
     * shingle-array table — the sketch generates candidates, never the
-    * verdict. */
+    * verdict. The candidate stream is batch-bounded, so the verify's
+    * array-fetch side broadcasts it; if a batch ever outgrows the
+    * broadcast threshold, the candidate-id Bloom reduction used by
+    * [[LlmPipeline.qDedupNgram]]'s verify applies verbatim here. */
   def qIncrementalDedup(s: SparkSession, d: String): DataFrame = {
     val isNew = col("doc_id") % 10 === 2
     val hashes = documents(s, d).select(col("doc_id"), col("lang"),
