@@ -213,19 +213,34 @@ object LlmPipeline {
     // is localCheckpoint'ed — computed once, eagerly, inside this query's
     // own measured time (unlike the shared cached() corpus-snapshot
     // assets, candidates are this query's private work; reliability trade
-    // as in the qDedupClusters Pregel loop). The conf toggles the
-    // reduction for A/B measurement (tools/NgramAb); default on.
-    val useBloom =
-      s.conf.get("spark.graft.ngram.verifyBloom", "true").toBoolean
+    // as in the qDedupClusters Pregel loop).
+    //
+    // STATS GATE: while the array table's optimizer estimate fits the
+    // broadcast threshold, the verify joins broadcast it and the probe is
+    // pure overhead (measured +2–4 s on the ×2 shard corpus) — so the
+    // default applies the reduction only past the threshold, the same size
+    // heuristic Spark's own runtime-filter rewrite uses. A mis-estimate
+    // costs only time, never rows. Conf: "false" = never, "force" =
+    // always (tests/A-B), anything else = stats-gated auto.
+    val arrBase = docsSh.select(col("doc_id"), col("shs"))
+    val bloomOn =
+      s.conf.get("spark.graft.ngram.verifyBloom", "true").toLowerCase match {
+        case "false" => false
+        case "force" => true
+        case _ =>
+          val thresh = s.sessionState.conf.autoBroadcastJoinThreshold
+          thresh < 0 ||
+            arrBase.queryExecution.optimizedPlan.stats.sizeInBytes > thresh
+      }
     val (pairs, arr) =
-      if (!useBloom) (cand, docsSh.select(col("doc_id"), col("shs")))
+      if (!bloomOn) (cand, arrBase)
       else {
         val p = cand.localCheckpoint(true)
         val candIds = p.select(col("a_id").as("id"))
           .unionByName(p.select(col("b_id").as("id")))
         val bloom = candIds.agg(
           graft.functions.BloomFilter.bloomAgg(s)(col("id")).as("bf"))
-        val a = docsSh.select(col("doc_id"), col("shs"))
+        val a = arrBase
           .crossJoin(broadcast(bloom))
           .where(graft.functions.BloomFilter
             .mightContain(s)(col("bf"), col("doc_id")))

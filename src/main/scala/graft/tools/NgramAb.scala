@@ -39,7 +39,7 @@ object NgramAb {
     LlmPipeline.qDedupNgram(spark, dir).count()
 
     (1 to reps).foreach { rep =>
-      Seq("false", "true").foreach { flag =>
+      Seq("false", "force").foreach { flag =>
         spark.conf.set("spark.graft.ngram.verifyBloom", flag)
         val t0 = System.nanoTime()
         val rows = LlmPipeline.qDedupNgram(spark, dir).count()

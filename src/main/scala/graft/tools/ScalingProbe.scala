@@ -47,6 +47,10 @@ object ScalingProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B hook for probe-side experiments (e.g. GRAFT_NGRAM_BLOOM=false
+    // isolates whether a cross-query anomaly follows the ngram plan change)
+    sys.env.get("GRAFT_NGRAM_BLOOM")
+      .foreach(v => spark.conf.set("spark.graft.ngram.verifyBloom", v))
 
     val factors = Seq(1, 2, 4)
     factors.foreach(f => buildShards(spark, sfDir, s"$work/x$f", f))

@@ -72,9 +72,9 @@ class DedupEdgeSpec extends SparkSpec {
         .toSeq
     spark.conf.set("spark.graft.ngram.verifyBloom", "false")
     val without = try run() finally
-      spark.conf.set("spark.graft.ngram.verifyBloom", "true")
-    val withBloom = run()
-    spark.conf.unset("spark.graft.ngram.verifyBloom")
+      spark.conf.set("spark.graft.ngram.verifyBloom", "force")
+    val withBloom = try run() finally
+      spark.conf.unset("spark.graft.ngram.verifyBloom")
     assert(withBloom === without)
     assert(withBloom.nonEmpty, "fixture must exercise the verify join")
   }

@@ -158,9 +158,16 @@ class PlanShapeSpec extends SparkSpec {
       "native intersect kernel missing from plan")
     // verify-join reduction: the candidate-id Bloom probe must sit on the
     // shingle-array side, pruning the corpus-sized table map-side (below
-    // its exchange) once the verify joins are in the shuffle regime
-    assert(pNgram.contains("graft_bloom_might_contain"),
-      "candidate-id bloom probe missing from the ngram verify")
+    // its exchange) once the verify joins are in the shuffle regime; the
+    // sf0.001 fixture is under the stats gate's broadcast threshold, so
+    // pin the shape under "force" and the gate's skip under auto
+    spark.conf.set("spark.graft.ngram.verifyBloom", "force")
+    val pForced = try planOf(LlmPipeline.qDedupNgram(spark, d)) finally
+      spark.conf.unset("spark.graft.ngram.verifyBloom")
+    assert(pForced.contains("graft_bloom_might_contain"),
+      "candidate-id bloom probe missing from the forced ngram verify")
+    assert(!pNgram.contains("graft_bloom_might_contain"),
+      "stats gate must skip the probe while the array table broadcasts")
   }
 
   test("q_ann_ivf reads one persisted assignment table on both join sides") {
