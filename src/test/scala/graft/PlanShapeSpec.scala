@@ -168,6 +168,13 @@ class PlanShapeSpec extends SparkSpec {
       "candidate-id bloom probe missing from the forced ngram verify")
     assert(!pNgram.contains("graft_bloom_might_contain"),
       "stats gate must skip the probe while the array table broadcasts")
+    // the gate's ON direction: with broadcasting disabled every verify
+    // join is in the shuffle regime, so auto must plant the probe
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val pNoBc = try planOf(LlmPipeline.qDedupNgram(spark, d)) finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(pNoBc.contains("graft_bloom_might_contain"),
+      "stats gate must apply the probe once the array table cannot broadcast")
   }
 
   test("q_ann_ivf reads one persisted assignment table on both join sides") {
