@@ -27,7 +27,9 @@ import graft.SparkEntry
   * cost a long-lived service pays), and output rows. One JSON line each to
   * stdout; the curve is recorded in BASELINE.md.
   *
-  * Usage: runMain graft.tools.ScalingProbe [sfDir] [workDir]
+  * Usage: runMain graft.tools.ScalingProbe [sfDir] [workDir] [factors]
+  * where `factors` is a comma-separated growth list (default "1,2,4";
+  * e.g. "1,2,4,8" extends the curve a further octave).
   */
 object ScalingProbe {
 
@@ -52,7 +54,9 @@ object ScalingProbe {
     sys.env.get("GRAFT_NGRAM_BLOOM")
       .foreach(v => spark.conf.set("spark.graft.ngram.verifyBloom", v))
 
-    val factors = Seq(1, 2, 4)
+    val factors =
+      if (args.length > 2) args(2).split(",").toSeq.map(_.trim.toInt)
+      else Seq(1, 2, 4)
     factors.foreach(f => buildShards(spark, sfDir, s"$work/x$f", f))
     // JVM/codegen warm-up so x1 cold isn't charged session init
     spark.range(1000).selectExpr("sum(id)").collect()
