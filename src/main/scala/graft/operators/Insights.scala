@@ -618,7 +618,10 @@ object Insights {
       .select(col("scope"), col("exact").as("exact_distinct"),
         size(col("sk")).cast("long").as("sketch_size"),
         Cols.r2(col("e")).as("est_distinct"),
-        Cols.r6(abs(col("e") - col("exact")) / col("exact")).as("rel_err"))
+        // an empty scope (the ALL row of an empty feed) has exact = est = 0;
+        // its relative error is 0 by definition, not a division by zero
+        Cols.r6(when(col("exact") === 0, lit(0.0))
+          .otherwise(abs(col("e") - col("exact")) / col("exact"))).as("rel_err"))
       .orderBy("scope")
   }
 

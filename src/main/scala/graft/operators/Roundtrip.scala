@@ -157,9 +157,17 @@ object Roundtrip {
   }
 
   /** The read side of [[qPartitionedRoundtrip]] — separated so the spec can
-    * pin partition pruning on a lang predicate over the same layout. */
+    * pin partition pruning on a lang predicate over the same layout. The
+    * schema is passed EXPLICITLY (derived from the source projection the
+    * write side used): at 100 TB that skips the footer-sampling pass, and
+    * it keeps the read total when the written frame had zero rows — a
+    * partitioned write of no rows produces no files, and schema inference
+    * over no files throws. Partition pruning on `lang` is unaffected
+    * (named partition columns still come from directory discovery). */
   private[graft] def partitionedRead(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(scratch(d, "documents_bylang"))
+    s.read.schema(documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang")).schema)
+      .parquet(scratch(d, "documents_bylang"))
 
   /** embeddings → `.vecbin` (the custom DSv2 fixed-width binary vector
     * format, [[graft.sources.VecBinSource]]) → read-back. The query emits
@@ -215,6 +223,15 @@ object Roundtrip {
     events(s, d).select(col("event_id"), col("user_id"), col("value"),
       date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
 
+  /** The lake's read schema, stated explicitly for the same two reasons as
+    * [[partitionedRead]] (no footer sampling at scale; total on an empty
+    * lake). `event_date` is DATE — exactly what partition-dir discovery
+    * infers from the yyyy-MM-dd directory values, so the explicit schema
+    * changes nothing on a populated lake. */
+  private def lakeSchema(s: SparkSession, d: String): StructType =
+    StructType(eventsByDate(s, d).schema.map(f =>
+      if (f.name == "event_date") f.copy(dataType = DateType) else f))
+
   /** Step 1: the initial date-partitioned lake write, deliberately
     * FRAGMENTED (8-way repartition → up to 8 small files per partition,
     * the daily-ingest debris every real lake accumulates). Returns the
@@ -248,7 +265,7 @@ object Roundtrip {
     * it in place. Untouched partitions' files are never rewritten. */
   private[graft] def evolveCompact(s: SparkSession, d: String): Unit = {
     val out = scratch(d, "events_bydate")
-    s.read.parquet(out)
+    s.read.schema(lakeSchema(s, d)).parquet(out)
       .where(col("event_date") === EvolveDay)
       .repartition(1)
       .write.mode("overwrite")
@@ -269,9 +286,9 @@ object Roundtrip {
     val out = evolveInitial(s, d)
     evolveRewrite(s, d)
     evolveCompact(s, d)
-    // Partition-dir discovery infers event_date as DATE; cast back to the
-    // written string form so the output schema matches the oracle's VARCHAR.
-    s.read.parquet(out)
+    // event_date is DATE in the lake schema; cast back to the written
+    // string form so the output schema matches the oracle's VARCHAR.
+    s.read.schema(lakeSchema(s, d)).parquet(out)
       .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"))
       .agg(count(lit(1)).as("n"), graft.Cols.r2(sum(col("value"))).as("sum_value"))
       .orderBy("event_date")
