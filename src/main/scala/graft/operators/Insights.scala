@@ -261,9 +261,14 @@ object Insights {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
       .withColumn("xs", collect_list(col("day_value")).over(w))
+      // the CASE guard keeps the fold total when xs is EMPTY — collect_list
+      // skips nulls, so a day whose value sum is null (every event that day
+      // carried a null measure) yields size(xs)−1 = −1, which ANSI slice
+      // rejects; the guarded ewma is null for exactly those rows
       .withColumn("ewma", expr(
-        "aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), " +
-          "(acc, x) -> acc * 0.7 + 0.3 * x)"))
+        "CASE WHEN size(xs) >= 1 THEN " +
+          "aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), " +
+          "(acc, x) -> acc * 0.7 + 0.3 * x) END"))
       .select(col("event_type"), col("day"),
         Cols.r2(col("day_value")).as("day_value"), Cols.r6(col("ewma")).as("ewma"))
       .orderBy("event_type", "day")

@@ -280,6 +280,10 @@ object LlmPipeline {
       .select(col("vec_id"), col("embedding"),
         sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"),
         graft.functions.SignBands.bands(s)(col("embedding"), 8, 8).as("bvs"))
+      // a zero-norm (empty/degenerate) or NaN-element vector has no cosine
+      // direction — exclude it from the dedup universe up front rather than
+      // divide by zero per candidate pair (no-op on any well-formed corpus)
+      .where(!isnan(col("nrm")) && col("nrm") > 0)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bvs"),
         posexplode(col("bvs")).as(Seq("bi", "bv")))
     // A pair agreeing on k bands would surface k times; keep it only at its
@@ -374,12 +378,16 @@ object LlmPipeline {
     val e = embeddings(s, d)
     val probe = broadcast(e.where(col("vec_id") === 0)
       .select(col("embedding").as("probe_emb")))
+    // den guard as in TrainingData.cosCol: zero-norm or NaN-element
+    // vectors yield null similarity (which a desc sort ranks last), not an
+    // ANSI division error or a NaN that would win the top-k
+    val den = sqrt(fdot(col("embedding"), col("embedding"))) *
+      sqrt(fdot(col("probe_emb"), col("probe_emb")))
     e.where(col("vec_id") =!= 0)
       .crossJoin(probe)
       .select(col("vec_id"), col("label"),
-        Cols.r6(fdot(col("embedding"), col("probe_emb")) /
-          (sqrt(fdot(col("embedding"), col("embedding")))
-            * sqrt(fdot(col("probe_emb"), col("probe_emb"))))).as("cos_sim"))
+        Cols.r6(when(!isnan(den) && den > 0,
+          fdot(col("embedding"), col("probe_emb")) / den)).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -400,7 +408,11 @@ object LlmPipeline {
     val b = e.toDF("b_id", "label", "vb", "nb")
     a.join(b, Seq("label"))
       .where(col("a_id") < col("b_id"))
-      .withColumn("cos_sim", fdot(col("va"), col("vb")) / (col("na") * col("nb")))
+      // den guard as in TrainingData.cosCol: a zero-norm or NaN-element
+      // vector has no cosine; null falls out of the >= 0.25 filter
+      .withColumn("cos_sim", when(
+        !isnan(col("na") * col("nb")) && col("na") * col("nb") > 0,
+        fdot(col("va"), col("vb")) / (col("na") * col("nb"))))
       .where(col("cos_sim") >= 0.25)
       .select(col("a_id"), col("b_id"), col("label"),
         Cols.r6(col("cos_sim")).as("cos_sim"))
@@ -416,11 +428,14 @@ object LlmPipeline {
         col("embedding").as("probe_emb")))
     val cands = e.where(col("vec_id") >= 10)
     val fdot = graft.functions.FloatVectorDot.dotF(s) _
+    // den guard as in TrainingData.cosCol: null similarity (not a division
+    // error, not a top-ranked NaN) for zero-norm or NaN-element vectors
+    val den = sqrt(fdot(col("embedding"), col("embedding"))) *
+      sqrt(fdot(col("probe_emb"), col("probe_emb")))
     val scored = cands.crossJoin(probes)
       .select(col("probe_id"), col("true_label"), col("vec_id"), col("label"),
-        Cols.r6(fdot(col("embedding"), col("probe_emb")) /
-          (sqrt(fdot(col("embedding"), col("embedding")))
-            * sqrt(fdot(col("probe_emb"), col("probe_emb"))))).as("cos_sim"))
+        Cols.r6(when(!isnan(den) && den > 0,
+          fdot(col("embedding"), col("probe_emb")) / den)).as("cos_sim"))
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     val votes = scored.withColumn("rn", row_number().over(wTop))

@@ -96,7 +96,10 @@ object Scalars {
     embeddings(s, d).select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("n"),
-        Cols.r6(element_at(col("embedding"), 1).cast("double")).as("e1"),
+        // guarded: ANSI element_at throws on an empty array (a corrupt
+        // zero-length payload); a missing first element is null, not a crash
+        Cols.r6(when(size(col("embedding")) >= 1,
+          element_at(col("embedding"), 1)).cast("double")).as("e1"),
         Cols.r6(array_max(col("embedding")).cast("double")).as("mx"),
         Cols.r6(l2Norm(v)).as("nrm"),
         Cols.r6(arraySum(toDouble(slice(col("embedding"), 1, 3)))).as("head3_sum"))

@@ -266,7 +266,12 @@ object TrainingData {
 
   private def cosCol(s: SparkSession)(a: Column, b: Column): Column = {
     val fdot = graft.functions.FloatVectorDot.dotF(s) _
-    fdot(a, b) / (sqrt(fdot(a, a)) * sqrt(fdot(b, b)))
+    // cosine is undefined for a zero-norm (empty/degenerate) vector: yield
+    // null there instead of an ANSI division-by-zero; a NaN-element vector
+    // also nulls out (NaN compares largest in Spark, so `den > 0` alone
+    // would pass it through and the NaN similarity would WIN a top-k sort)
+    val den = sqrt(fdot(a, a)) * sqrt(fdot(b, b))
+    when(!isnan(den) && den > 0, fdot(a, b) / den)
   }
 
   /** k-means init: the vectors at `vec_id` strides (row `j·(n div k)` for
@@ -403,7 +408,12 @@ object TrainingData {
       .mapPartitions { rows =>
         val dec = new StubDecoder // per-partition init, amortized
         rows.map { case (id, text) =>
-          dec.decode(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // a null payload decodes as a zero-length asset (0 frames), the
+          // same contract a real decoder needs for a corrupt/missing blob
+          val bytes =
+            if (text == null) Array.emptyByteArray
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          dec.decode(id, bytes)
         }
       }
       .toDF()
