@@ -180,11 +180,11 @@ object Roundtrip {
     val out = scratch(d, "embeddings_vecbin")
     val fmt = "graft.sources.VecBinSource"
     embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
-      // the format is fixed-width (dim=64 default) and its writer REJECTS
-      // nonconforming vectors loudly — the right format contract; the
-      // job-side move is to dead-letter corrupt rows before the write
-      // (no-op on a well-formed corpus)
-      .where(size(col("embedding")) === 64)
+      // the format is fixed-width and its writer REJECTS nonconforming
+      // vectors loudly — the right format contract; the job-side move is to
+      // dead-letter corrupt rows before the write (no-op on a well-formed
+      // corpus). Width comes from the format's own constant, not a copy.
+      .where(size(col("embedding")) === graft.sources.VecBin.DefaultDim)
       .write.format(fmt).mode("overwrite").save(out)
     val fdot = graft.functions.FloatVectorDot.dotF(s) _
     s.read.format(fmt).load(out)

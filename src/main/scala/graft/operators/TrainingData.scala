@@ -288,12 +288,22 @@ object TrainingData {
   /** One Lloyd update: assign every vector to its nearest centroid by
     * (r6-rounded) cosine — groupBy argmin via `min(struct(−ccos, cid))`,
     * a partial-aggregating shape, NOT a window sort — then per-(cluster,
-    * position) means. Label-free (pinned). */
+    * position) means. Label-free (pinned). A null cosine (zero-norm or
+    * NaN-element vector, see [[cosCol]]) coalesces to +∞ so it LOSES the
+    * min-struct argmin — struct ordering ranks null FIRST in a min, the
+    * opposite of the desc-sort sites, and an unguarded degenerate vector
+    * would win every assignment and fold NaN into the centroid means. */
   private[graft] def ivfStep(s: SparkSession, d: String, centDf: DataFrame): DataFrame =
     embeddings(s, d).crossJoin(broadcast(centDf))
       .withColumn("ccos", Cols.r6(cosCol(s)(col("embedding"), col("cvec"))))
+      // a degenerate (zero-norm/NaN) vector has null ccos against every
+      // centroid: drop those rows so it contributes NOTHING to the means —
+      // one NaN embedding folded into a centroid would null that
+      // centroid's cosine against every vector next iteration
+      .where(col("ccos").isNotNull)
       .groupBy(col("vec_id"))
-      .agg(min(struct((-col("ccos")).as("negc"), col("cid").as("cid"))).as("m"),
+      .agg(min(struct(coalesce(-col("ccos"), lit(Double.PositiveInfinity))
+          .as("negc"), col("cid").as("cid"))).as("m"),
         first(col("embedding")).as("embedding"))
       .select(col("m.cid").as("cluster"),
         posexplode(toDouble(col("embedding"))).as(Seq("pos", "v")))
@@ -340,7 +350,8 @@ object TrainingData {
       e.crossJoin(broadcast(centDf))
         .withColumn("ccos", Cols.r6(cos(col("embedding"), col("cvec"))))
         .groupBy(col("vec_id"))
-        .agg(min(struct((-col("ccos")).as("negc"), col("cid").as("cid"))).as("m"),
+        .agg(min(struct(coalesce(-col("ccos"), lit(Double.PositiveInfinity))
+            .as("negc"), col("cid").as("cid"))).as("m"),
           first(col("label")).as("label"), first(col("embedding")).as("embedding"))
         .select(col("vec_id"), col("label"), col("embedding"),
           col("m.cid").cast("long").as("cluster"))
@@ -408,8 +419,9 @@ object TrainingData {
       .mapPartitions { rows =>
         val dec = new StubDecoder // per-partition init, amortized
         rows.map { case (id, text) =>
-          // a null payload decodes as a zero-length asset (0 frames), the
-          // same contract a real decoder needs for a corrupt/missing blob
+          // a null payload decodes like a zero-BYTE asset (the stub's
+          // 1 + len % 30 formula gives a minimal 1-frame result) — the
+          // contract is "never NPE on a missing blob", not "zero frames"
           val bytes =
             if (text == null) Array.emptyByteArray
             else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)

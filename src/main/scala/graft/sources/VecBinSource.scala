@@ -68,6 +68,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 object VecBin {
   val Magic = 0x47564231 // "GVB1"
+  /** The format's default vector width — the single source for the writer's
+    * fixed record layout and job-side conformance filters. */
+  val DefaultDim = 64
   val Version = 1
   val FooterLen = 40
 
@@ -80,7 +83,7 @@ object VecBin {
       nullable = false)))
 
   def dimOf(opts: CaseInsensitiveStringMap): Int = {
-    val d = opts.getInt("dim", 64)
+    val d = opts.getInt("dim", DefaultDim)
     require(d > 0 && d <= (1 << 16), s"unreasonable vecbin dim $d")
     d
   }

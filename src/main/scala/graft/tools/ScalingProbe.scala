@@ -58,9 +58,10 @@ object ScalingProbe {
       if (args.length > 2) args(2).split(",").toSeq.map(_.trim.toInt)
       else Seq(1, 2, 4)
     factors.foreach(f => buildShards(spark, sfDir, s"$work/x$f", f))
-    // JVM/codegen warm-up so x1 cold isn't charged session init
+    // JVM/codegen warm-up so the first factor's cold isn't charged session
+    // init (warm against the first BUILT shard — the factor list may omit 1)
     spark.range(1000).selectExpr("sum(id)").collect()
-    SparkEntry.queries("q_dedup_exact")(spark, s"$work/x1").count()
+    SparkEntry.queries("q_dedup_exact")(spark, s"$work/x${factors.head}").count()
 
     factors.foreach { f =>
       val dir = s"$work/x$f"
