@@ -239,4 +239,43 @@ class StreamingSpec extends SparkSpec {
         s"only the within-1h click on a known impression attributes, got $got")
     } finally q.stop()
   }
+  test("streaming twins are total on dirty rows (null ts / type / user)") {
+    // a production stream carries the same damage the batch dirty corpus
+    // does; the twins must process the micro-batch, not kill the query —
+    // null event-time rows have no window and are dropped by the
+    // aggregation, null keys group/dedup as their own bucket
+    implicit val sqlCtx = spark.sqlContext
+    val inT = MemoryStream[(Timestamp, String)]
+    val qT = Streams.tumblingCounts(inT.toDF.toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("dirty_tumbling")
+      .outputMode("complete").start()
+    try {
+      inT.addData((ts(1), "view"), (null, "view"), (ts(5), null),
+        (null, null), (ts(70), ""))
+      qT.processAllAvailable()
+      val n = spark.table("dirty_tumbling")
+        .agg(sum(col("n"))).collect()(0).getLong(0)
+      assert(n >= 3, s"clean-ts rows must still aggregate, got $n")
+    } finally qT.stop()
+
+    val inS = MemoryStream[(Timestamp, java.lang.Long)]
+    val qS = Streams.sessionCounts(inS.toDF.toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("dirty_sessions")
+      .outputMode("complete").start()
+    try {
+      inS.addData((ts(1), 1L), (null, 1L), (ts(5), null))
+      qS.processAllAvailable()
+      assert(spark.table("dirty_sessions").collect().nonEmpty)
+    } finally qS.stop()
+
+    val inD = MemoryStream[(Timestamp, java.lang.Long)]
+    val qD = Streams.dedupEvents(inD.toDF.toDF("ts", "event_id"))
+      .writeStream.format("memory").queryName("dirty_dedup")
+      .outputMode("append").start()
+    try {
+      inD.addData((ts(1), 1L), (ts(2), null), (ts(3), null), (ts(4), 1L))
+      qD.processAllAvailable()
+      assert(spark.table("dirty_dedup").collect().nonEmpty)
+    } finally qD.stop()
+  }
 }
