@@ -31,4 +31,21 @@ object Cols {
 
   /** Ratio rounding (6 decimals) — same shared-formula trick as [[r2]]. */
   def r6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+  /** Deterministic sampling/split bucket in [0, m): xorshift → modular
+    * multiply → xorshift over a non-negative key, replayed verbatim in the
+    * oracles (DuckDB `xor`/`>>`/`%`). The xorshift rounds make the bucket
+    * depend on the key's HIGH bits — a bare `key·c % m` with c coprime to m
+    * is just a permutation of `key % m`, so same-residue keys would share a
+    * bucket forever and any id-assignment structure mod m biases the
+    * sample. Every intermediate stays < 2⁶⁰ (28-bit modulus × 32-bit
+    * constant), so no long overflow under ANSI for any key —
+    * `key·2654435761` alone overflows past key ≈ 3.4·10⁹, i.e. exactly at
+    * the corpus sizes the samplers exist for. */
+  def mixBucket(key: Column, m: Int): Column = {
+    val h0 = key.bitwiseXOR(shiftrightunsigned(key, 33))
+    val h1 = pmod(h0, lit(268435399L)) * lit(2654435761L)
+    val h2 = h1.bitwiseXOR(shiftrightunsigned(h1, 29))
+    h2 % m
+  }
 }

