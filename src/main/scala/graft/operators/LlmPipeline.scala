@@ -183,14 +183,21 @@ object LlmPipeline {
     // nudge keeps a double-rounded 2θ/(1+θ)·n that lands an ulp ABOVE an
     // exact integer from shortening the safe prefix by one (longer is
     // always safe, shorter is not).
-    val alpha = ceil(lit(theta / (1 + theta)) * (col("na") + col("nb")))
+    // alpha gets the same 1e-9 ceil nudge as aShort below: fl(0.8/1.8)
+    // rounds ABOVE 4/9, so for na+nb ∈ {63, 117, 126, …} the unnudged
+    // ceil overestimates the required overlap by one and the position
+    // filter would drop genuinely qualifying pairs (e.g. a perfect
+    // 28-in-35 subset at J = 0.8 exactly); erring low only admits an
+    // extra candidate for the exact verify to discard
+    val alpha =
+      ceil(lit(theta / (1 + theta)) * (col("na") + col("nb")) - lit(1e-9))
     val aShort = col("ra") <=
       col("na") - ceil(lit(2 * theta / (1 + theta)) * col("na") - lit(1e-9)) + 1
     val cand = prefix.toDF("a_id", "lang", "sh", "na", "ra").where(aShort)
       .join(prefix.toDF("b_id", "lang", "sh", "nb", "rb"), Seq("lang", "sh"))
       .where((col("na") < col("nb")
           || (col("na") === col("nb") && col("a_id") < col("b_id")))
-        && col("nb") * lit(theta) <= col("na") && col("na") * lit(theta) <= col("nb")
+        && col("nb") * lit(theta) <= col("na")
         && lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >= alpha)
       .select(col("lang"), least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id")).distinct()
@@ -224,9 +231,12 @@ object LlmPipeline {
     // always (tests/A-B), anything else = stats-gated auto.
     val arrBase = docsSh.select(col("doc_id"), col("shs"))
     val bloomOn =
-      s.conf.get("spark.graft.ngram.verifyBloom", "true").toLowerCase match {
+      s.conf.get("spark.graft.ngram.verifyBloom", "auto").toLowerCase match {
         case "false" => false
-        case "force" => true
+        // "true" is accepted as force: a boolean-intuition caller setting
+        // it must not silently land in the stats-gated branch and A/B two
+        // identical plans
+        case "force" | "true" => true
         case _ =>
           val thresh = s.sessionState.conf.autoBroadcastJoinThreshold
           thresh < 0 ||
@@ -374,20 +384,17 @@ object LlmPipeline {
   /** Top-10 cosine neighbors of probe vec_id=0 (brute force, broadcast probe;
     * TakeOrderedAndProject keeps only k rows per partition). */
   def qSimTopk(s: SparkSession, d: String): DataFrame = {
-    val fdot = graft.functions.FloatVectorDot.dotF(s) _
     val e = embeddings(s, d)
     val probe = broadcast(e.where(col("vec_id") === 0)
       .select(col("embedding").as("probe_emb")))
-    // den guard as in TrainingData.cosCol: zero-norm or NaN-element
-    // vectors yield null similarity (which a desc sort ranks last), not an
-    // ANSI division error or a NaN that would win the top-k
-    val den = sqrt(fdot(col("embedding"), col("embedding"))) *
-      sqrt(fdot(col("probe_emb"), col("probe_emb")))
+    // the SHARED null-guarded cosine (TrainingData.cosCol): zero-norm or
+    // NaN-element vectors yield null similarity (which a desc sort ranks
+    // last), not an ANSI division error or a NaN that would win the top-k
     e.where(col("vec_id") =!= 0)
       .crossJoin(probe)
       .select(col("vec_id"), col("label"),
-        Cols.r6(when(!isnan(den) && den > 0,
-          fdot(col("embedding"), col("probe_emb")) / den)).as("cos_sim"))
+        Cols.r6(TrainingData.cosCol(s)(col("embedding"), col("probe_emb")))
+          .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -427,15 +434,12 @@ object LlmPipeline {
       .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
         col("embedding").as("probe_emb")))
     val cands = e.where(col("vec_id") >= 10)
-    val fdot = graft.functions.FloatVectorDot.dotF(s) _
-    // den guard as in TrainingData.cosCol: null similarity (not a division
+    // the SHARED null-guarded cosine: null similarity (not a division
     // error, not a top-ranked NaN) for zero-norm or NaN-element vectors
-    val den = sqrt(fdot(col("embedding"), col("embedding"))) *
-      sqrt(fdot(col("probe_emb"), col("probe_emb")))
     val scored = cands.crossJoin(probes)
       .select(col("probe_id"), col("true_label"), col("vec_id"), col("label"),
-        Cols.r6(when(!isnan(den) && den > 0,
-          fdot(col("embedding"), col("probe_emb")) / den)).as("cos_sim"))
+        Cols.r6(TrainingData.cosCol(s)(col("embedding"), col("probe_emb")))
+          .as("cos_sim"))
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     val votes = scored.withColumn("rn", row_number().over(wTop))
@@ -529,11 +533,19 @@ object LlmPipeline {
     "q_tfidf"        -> (qTfidf _),
     "q_multimodal"   -> (qMultimodal _))
 
+  // the SQL twin of [[TrainingData.cosCol]]'s null guard: a zero-norm or
+  // NaN-element vector yields NULL cosine on both engines (DuckDB ranks
+  // NaN above every number, so an unguarded NaN would win a top-k there
+  // exactly as it would in Spark)
   private val cosSql =
-    """list_sum(list_transform(list_zip(%s, %s),
-      | p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-      | / (sqrt(list_sum(list_transform(%s, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-      |    * sqrt(list_sum(list_transform(%s, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"""
+    """(CASE WHEN NOT isnan(sqrt(list_sum(list_transform(%3$s, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      |    * sqrt(list_sum(list_transform(%4$s, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+      |  AND sqrt(list_sum(list_transform(%3$s, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      |    * sqrt(list_sum(list_transform(%4$s, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) > 0
+      | THEN list_sum(list_transform(list_zip(%1$s, %2$s),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(%3$s, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(%4$s, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) END)"""
       .stripMargin.replaceAll("\n", "")
 
   val oracles: ListMap[String, String] = ListMap(
@@ -603,9 +615,17 @@ object LlmPipeline {
         val bv = (0 until 8)
           .map(i => s"(CASE WHEN embedding[${8 * t + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
           .mkString(" + ")
-        s"SELECT vec_id, embedding, $t AS bi, $bv AS bv FROM embeddings"
+        s"SELECT vec_id, embedding, $t AS bi, $bv AS bv FROM okv"
       }.mkString("\nUNION ALL\n")
-      s"""WITH banded AS ($bandSelects),
+      // okv mirrors the Spark-side exclusion of zero-norm/NaN vectors from
+      // the dedup universe (qDedupEmbed's nrm filter)
+      s"""WITH nr AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |okv AS (SELECT vec_id, embedding FROM nr
+        |        WHERE nrm > 0 AND NOT isnan(nrm)),
+        |banded AS ($bandSelects),
         |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
         |           a.embedding AS ea, b.embedding AS eb
         |         FROM banded a JOIN banded b ON a.bi = b.bi AND a.bv = b.bv

@@ -264,7 +264,7 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
-  private def cosCol(s: SparkSession)(a: Column, b: Column): Column = {
+  private[operators] def cosCol(s: SparkSession)(a: Column, b: Column): Column = {
     val fdot = graft.functions.FloatVectorDot.dotF(s) _
     // cosine is undefined for a zero-norm (empty/degenerate) vector: yield
     // null there instead of an ANSI division-by-zero; a NaN-element vector
@@ -592,11 +592,18 @@ object TrainingData {
 
   /** DuckDB cosine between a float-list column and a double-list column,
     * r6-rounded — the exact arithmetic of `Cols.r6(cosCol(...))`. */
-  private def duckCos(v: String, c: String): String =
-    s"""floor((list_sum(list_transform(list_zip($v, $c),
+  /** SQL twin of [[cosCol]] including its null guard: zero-norm or
+    * NaN-element vectors cosine to NULL on both engines (DuckDB, like
+    * Spark, ranks NaN above every number — unguarded it would WIN the
+    * argmax/top-k). */
+  private def duckCos(v: String, c: String): String = {
+    def sq(x: String) =
+      s"sqrt(list_sum(list_transform($x, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    s"""(CASE WHEN NOT isnan(${sq(v)} * ${sq(c)}) AND ${sq(v)} * ${sq(c)} > 0
+       | THEN floor((list_sum(list_transform(list_zip($v, $c),
        |     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-       |   / (sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-       |      * sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))))*1000000.0 + 0.5)/1000000.0""".stripMargin
+       |   / (${sq(v)} * ${sq(c)}))*1000000.0 + 0.5)/1000000.0 END)""".stripMargin
+  }
 
   /** The [[qAnnIvf]] oracle: the SAME deterministic k-means, its
     * [[IvfIters]] Lloyd iterations UNROLLED as chained CTEs (assignment by
@@ -611,7 +618,8 @@ object TrainingData {
          |  FROM embeddings CROSS JOIN c${i - 1}),
          |a$i AS (SELECT vec_id, embedding, cid AS cluster FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY ccos DESC, cid ASC) AS rn FROM s$i) WHERE rn = 1),
+         |    ORDER BY ccos DESC, cid ASC) AS rn
+         |  FROM s$i WHERE ccos IS NOT NULL) WHERE rn = 1),
          |m$i AS (SELECT cluster AS cid, list(cv ORDER BY pos) AS cvec FROM (
          |  SELECT cluster, pos, avg(ev) AS cv FROM (
          |    SELECT cluster, unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS ev,
@@ -769,28 +777,33 @@ object TrainingData {
     "q_ann_ivf" -> ivfOracle,
     "q_media_frames" ->
       """WITH b AS (SELECT doc_id,
-        |    1 + CAST(octet_length(encode(text)) AS BIGINT) % 30 AS n_frames
+        |    1 + CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) % 30
+        |      AS n_frames
         |  FROM documents)
         |SELECT doc_id, f AS frame_idx, f*40000 AS frame_us, n_frames
         |FROM (SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS f FROM b)
         |WHERE f % 5 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
     "q_media_decode" ->
-      """WITH b AS (SELECT doc_id,
+      """WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        |b AS (SELECT doc_id,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |    CAST(list_sum(list_transform(range(1, len(text)+1),
-        |      i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum
-        |  FROM documents)
+        |    CAST(coalesce(list_sum(list_transform(range(1, len(text)+1),
+        |      i -> ord(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT)
+        |      AS byte_sum
+        |  FROM t)
         |SELECT doc_id, n_bytes, byte_sum,
         |  64 + byte_sum % 192 AS width,
         |  64 + (byte_sum*31 + n_bytes) % 192 AS height,
         |  1 + n_bytes % 30 AS n_frames
         |FROM b ORDER BY doc_id""".stripMargin,
     "q_media_resize" ->
-      """WITH b AS (SELECT doc_id,
+      """WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        |b AS (SELECT doc_id,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |    CAST(list_sum(list_transform(range(1, len(text)+1),
-        |      i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum
-        |  FROM documents),
+        |    CAST(coalesce(list_sum(list_transform(range(1, len(text)+1),
+        |      i -> ord(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT)
+        |      AS byte_sum
+        |  FROM t),
         |dec AS (SELECT doc_id,
         |    64 + byte_sum % 192 AS width,
         |    64 + (byte_sum*31 + n_bytes) % 192 AS height

@@ -154,4 +154,35 @@ class DedupEdgeSpec extends SparkSpec {
     assert(unguarded === Set.empty,
       "unguarded formulation must demonstrate the null-drop divergence")
   }
+  test("q_dedup_ngram: exact J=0.8 subset pair at na+nb=63 survives the alpha bound") {
+    // fl(0.8/1.8) rounds ABOVE 4/9, so without the 1e-9 ceil nudge the
+    // overlap bound alpha overshoots the exact integer at na+nb = 63
+    // (ceil(28.000000000000004) = 29 > 28) and this perfect-subset pair —
+    // J exactly 0.8, overlap exactly 28 — is dropped by the position
+    // filter while the exact-verify oracle keeps it
+    val dir = java.nio.file.Files.createTempDirectory("graft-alpha").toString
+    val a = "abcdefghijklmnopqrstuvwxyz012345"            // 32 chars -> 28 shingles
+    val b = a + "6789ABC"                                  // 39 chars -> 35, superset
+    Seq(
+      (1L, a, "en", "web", a.length.toLong),
+      (2L, b, "en", "web", b.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = LlmPipeline.qDedupNgram(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.toSeq == Seq((1L, 2L, 0.8)), rows.toSeq)
+  }
+
+  test("qDedupNear completeness precondition holds on the fixture corpus") {
+    // the deletion-signature shortcut is COMPLETE (catches every J >= 0.95
+    // pair) only while token-set unions stay under 40, i.e. while
+    // 0.05 * |union| < 2 forces |symdiff| <= 1; the fixture vocabulary
+    // bounds every union, so pin it loudly rather than let a fixture/vocab
+    // change silently cost recall
+    val nv = Tables.documents(spark, sfDir("sf0.001"))
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0).distinct().count()
+    assert(nv < 40, s"fixture vocabulary grew to $nv >= 40: qDedupNear's " +
+      "deletion-signature completeness argument no longer covers it")
+  }
 }
