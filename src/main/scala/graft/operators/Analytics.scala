@@ -270,7 +270,8 @@ object Analytics {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stats_moments" ->
       """WITH e AS (SELECT event_type, value,
-        |  CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events)
+        |  CAST(CASE WHEN json_valid(props) THEN
+        |    json_extract_string(props, '$.k') END AS DOUBLE) AS k FROM events)
         |SELECT event_type,
         | floor((stddev_samp(value))*1000000.0 + 0.5)/1000000.0 AS sd,
         | floor((var_samp(value))*1000000.0 + 0.5)/1000000.0 AS vr,

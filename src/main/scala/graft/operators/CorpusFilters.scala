@@ -152,10 +152,13 @@ object CorpusFilters {
       .withColumn("dv", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       // an EMPTY vector folds to null (matching the oracle's list_max([]),
       // which is NULL in DuckDB — the 0.0-seeded fold would emit 0-valued
-      // outputs where the oracle emits NULLs); no-op on well-formed rows
+      // outputs where the oracle emits NULLs), and a NaN max nulls too on
+      // BOTH engines (DuckDB's CAST(NaN AS BIGINT) is an engine-level
+      // error, not a NULL); no-op on well-formed rows
+      .withColumn("mx0", expr(
+        "aggregate(dv, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
       .withColumn("mx", expr(
-        "CASE WHEN size(dv) > 0 THEN " +
-          "aggregate(dv, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x))) END"))
+        "CASE WHEN size(dv) > 0 AND NOT isnan(mx0) THEN mx0 END"))
       .withColumn("scale", col("mx") / 127.0)
       .withColumn("q", expr(
         "transform(dv, x -> CAST(floor(x / nullif(scale, 0.0) + 0.5) AS BIGINT))"))
@@ -692,7 +695,9 @@ object CorpusFilters {
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
         |  FROM embeddings),
         |m AS (SELECT vec_id, label, dv,
-        |        list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale
+        |        CASE WHEN NOT isnan(list_max(list_transform(dv, x -> abs(x))))
+        |          THEN list_max(list_transform(dv, x -> abs(x))) / 127.0
+        |        END AS scale
         |      FROM v),
         |q AS (SELECT vec_id, label, dv, scale,
         |        list_transform(dv, x -> CAST(floor(x / nullif(scale, 0.0) + 0.5) AS BIGINT)) AS codes

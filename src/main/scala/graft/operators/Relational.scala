@@ -682,7 +682,8 @@ object Relational {
         |ORDER BY rflag, lstatus""".stripMargin,
     "q_cube" ->
       """WITH e AS (SELECT event_type, value,
-        |   CAST(json_extract_string(props,'$.k') AS BIGINT) % 5 AS k_bucket FROM events)
+        |   CAST(CASE WHEN json_valid(props) THEN
+        |     json_extract_string(props,'$.k') END AS BIGINT) % 5 AS k_bucket FROM events)
         |SELECT coalesce(event_type,'ALL') AS etype,
         | coalesce(k_bucket,-1) AS kb,
         | count(*) AS n, floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value

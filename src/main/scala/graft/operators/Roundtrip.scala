@@ -444,7 +444,7 @@ object Roundtrip {
         |  floor(sqrt(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))*1000000.0 + 0.5)
         |    /1000000.0 AS l2_norm
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+        |FROM embeddings WHERE len(embedding) = 64 ORDER BY vec_id""".stripMargin,
     "q_schema_evolution" ->
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus,

@@ -101,8 +101,11 @@ object Scalars {
         Cols.r6(when(size(col("embedding")) >= 1,
           element_at(col("embedding"), 1)).cast("double")).as("e1"),
         Cols.r6(array_max(col("embedding")).cast("double")).as("mx"),
-        Cols.r6(l2Norm(v)).as("nrm"),
-        Cols.r6(arraySum(toDouble(slice(col("embedding"), 1, 3)))).as("head3_sum"))
+        // the guarded folds null on an EMPTY array like the oracle's
+        // list_sum([]) (NULL in DuckDB); the 0-seeded fold would emit 0.0
+        Cols.r6(when(size(col("embedding")) >= 1, l2Norm(v))).as("nrm"),
+        Cols.r6(when(size(col("embedding")) >= 1,
+          arraySum(toDouble(slice(col("embedding"), 1, 3))))).as("head3_sum"))
       .orderBy("vec_id")
   }
 
@@ -166,7 +169,8 @@ object Scalars {
         |FROM c GROUP BY tier ORDER BY tier""".stripMargin,
     "q_json" ->
       """WITH e AS (SELECT event_type,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |  CAST(CASE WHEN json_valid(props) THEN
+        |    json_extract_string(props, '$.k') END AS BIGINT) AS k FROM events)
         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
         | count(DISTINCT k) AS n_k,
         | count(CASE WHEN k > 5 THEN 1 END) AS n_k_gt5
@@ -182,6 +186,7 @@ object Scalars {
     "q_map" ->
       """SELECT event_id, k AS key,
         | CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS val
-        |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+        |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k
+        |      FROM events WHERE json_valid(props))
         |ORDER BY event_id, key""".stripMargin)
 }
