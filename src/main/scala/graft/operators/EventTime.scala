@@ -25,7 +25,6 @@ import graft.Cols
 object EventTime {
 
   private val HourUs = 3600000000L
-  private val SlideUs = 900000000L // 15 min
 
   /** Tumbling 1h windows × event_type via Spark's `window()`. */
   def qWinTumbling(s: SparkSession, d: String): DataFrame =
@@ -51,9 +50,12 @@ object EventTime {
 
   /** Session windows per user, 30-min inactivity gap. Spark semantics: a
     * session's end is last-event-time + gap; an event joins the current
-    * session iff ts < current end (strict), i.e. a new session starts when
-    * the gap is >= 30 min. The oracle replicates this with the classic
-    * gaps-and-islands (lag + cumulative new-session flag) construction. */
+    * session iff ts <= current end (Spark 4's MergingSessionsIterator
+    * starts a new session only when sessionStart > currentSessionEnd), so
+    * an event at EXACTLY the gap still merges and a new session starts
+    * only when the gap is > 30 min. The oracle replicates this with the
+    * classic gaps-and-islands (lag + cumulative new-session flag)
+    * construction — split strictly-greater, matching Spark's boundary. */
   def qWinSession(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -112,13 +114,6 @@ object EventTime {
       .orderBy("user_id")
   }
 
-  /** Pure interval-point range join (NO equi key): for every user session
-    * window, how many PURCHASE events — from ANY user — landed inside it
-    * (platform load seen during the session). Naive Spark plans this
-    * `BETWEEN` join as BroadcastNestedLoopJoin; here it runs through
-    * [[graft.plans.BinnedRangeJoin]] (1h bins), which turns it into a
-    * shuffled equi-join on the bin id — the 100 TB-safe shape. Inner join:
-    * sessions whose window saw no purchase are absent by definition. */
   /** Per-user session intervals (30-min gap), cached: feeds both range-join
     * shapes below and is the session-interval asset a cluster would
     * materialize once per snapshot. */
@@ -132,6 +127,13 @@ object EventTime {
           Cols.epochUs(col("session_window.end")).as("end_us"))
     }
 
+  /** Pure interval-point range join (NO equi key): for every user session
+    * window, how many PURCHASE events — from ANY user — landed inside it
+    * (platform load seen during the session). Naive Spark plans this
+    * `BETWEEN` join as BroadcastNestedLoopJoin; here it runs through
+    * [[graft.plans.BinnedRangeJoin]] (1h bins), which turns it into a
+    * shuffled equi-join on the bin id — the 100 TB-safe shape. Inner join:
+    * sessions whose window saw no purchase are absent by definition. */
   def qRangeBin(s: SparkSession, d: String): DataFrame = {
     val sessions = sessionIntervals(s, d)
     val purchases = events(s, d)
@@ -327,7 +329,7 @@ object EventTime {
         |FROM w GROUP BY 1 ORDER BY start_us""".stripMargin,
     "q_win_session" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
-        |g AS (SELECT *, CASE WHEN us - lag(us) OVER w >= 1800000000 OR lag(us) OVER w IS NULL
+        |g AS (SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
         |                     THEN 1 ELSE 0 END AS new_s
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
         |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
@@ -364,7 +366,7 @@ object EventTime {
         |FROM a ORDER BY user_id""".stripMargin,
     "q_range_bin" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-        |g AS (SELECT *, CASE WHEN us - lag(us) OVER w >= 1800000000 OR lag(us) OVER w IS NULL
+        |g AS (SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
         |                     THEN 1 ELSE 0 END AS new_s
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
         |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
@@ -378,7 +380,7 @@ object EventTime {
         |GROUP BY 1, 2, 3 ORDER BY user_id, start_us""".stripMargin,
     "q_overlap_join" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-        |g AS (SELECT *, CASE WHEN us - lag(us) OVER w >= 1800000000 OR lag(us) OVER w IS NULL
+        |g AS (SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
         |                     THEN 1 ELSE 0 END AS new_s
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
         |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us

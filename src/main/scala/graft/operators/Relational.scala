@@ -393,9 +393,18 @@ object Relational {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .withColumn("k_bucket", col("k") % 5)
       .cube(col("event_type"), col("k_bucket"))
-      .agg(count(lit(1)).as("n"), Cols.r2(sum(col("value"))).as("sum_value"))
-      .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
-        coalesce(col("k_bucket"), lit(-1L)).as("kb"),
+      // roll-up markers come from grouping(), not from coalescing the
+      // grouped value: a DATA null (missing/malformed props, null
+      // event_type) must not collide with the subtotal sentinel, or the
+      // presentation ORDER BY stops being total and row order diverges
+      // between engines (no-op on the fixtures, which have no null keys)
+      .agg(grouping(col("event_type")).as("ge"), grouping(col("k_bucket")).as("gk"),
+        count(lit(1)).as("n"), Cols.r2(sum(col("value"))).as("sum_value"))
+      .select(
+        when(col("ge") === 1, lit("ALL"))
+          .otherwise(coalesce(col("event_type"), lit("(null)"))).as("etype"),
+        when(col("gk") === 1, lit(-1L))
+          .otherwise(coalesce(col("k_bucket"), lit(-2L))).as("kb"),
         col("n"), col("sum_value"))
       .orderBy("etype", "kb")
 
@@ -684,8 +693,10 @@ object Relational {
       """WITH e AS (SELECT event_type, value,
         |   CAST(CASE WHEN json_valid(props) THEN
         |     json_extract_string(props,'$.k') END AS BIGINT) % 5 AS k_bucket FROM events)
-        |SELECT coalesce(event_type,'ALL') AS etype,
-        | coalesce(k_bucket,-1) AS kb,
+        |SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+        |            ELSE coalesce(event_type, '(null)') END AS etype,
+        | CASE WHEN GROUPING(k_bucket) = 1 THEN -1
+        |      ELSE coalesce(k_bucket, -2) END AS kb,
         | count(*) AS n, floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
         |FROM e GROUP BY CUBE(event_type, k_bucket)
         |ORDER BY etype, kb""".stripMargin,

@@ -38,13 +38,29 @@ class OperatorEdgeSpec extends SparkSpec {
     dir
   }
 
-  test("session_window splits exactly at the 30-min gap boundary") {
+  test("session_window splits above, not at, the 30-min gap boundary") {
     val rows = operators.EventTime.qWinSession(spark, mini).collect()
     val u1 = rows.filter(_.getLong(0) == 1L)
     assert(u1.length == 3)
     assert(u1.map(_.getLong(3)).toSeq == Seq(2L, 1L, 1L)) // n_events per session
     // session end = last event + 30 min
     assert(u1.head.getLong(2) == ts(59).getTime * 1000L)
+
+    // the EXACT boundary: events 30:00.000000 apart MERGE (Spark 4's
+    // MergingSessionsIterator starts a new session only when
+    // sessionStart > currentSessionEnd), and a microsecond past it splits
+    // — the oracles' gaps-and-islands rule is strictly-greater to match
+    val dir = java.nio.file.Files.createTempDirectory("graft-gap").toString
+    Seq(
+      (1L, ts(0), 9L, "view", 1.0, "{}"),
+      (2L, ts(30), 9L, "view", 1.0, "{}"),            // exactly 30 min later
+      (3L, new java.sql.Timestamp(ts(60).getTime + 1), 9L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val u9 = operators.EventTime.qWinSession(spark, dir).collect()
+      .filter(_.getLong(0) == 9L)
+    assert(u9.map(_.getLong(3)).toSeq == Seq(2L, 1L),
+      "events at exactly the gap must merge; 1ms past it must split")
   }
 
   test("as-of join picks the latest order at-or-before each event") {
