@@ -64,6 +64,12 @@ object BloomFns {
   /** Probe — called from both the interpreted path and generated code (the
     * static forwarder makes it reachable from Janino). */
   def mightContain(bits: ArrayData, v: Long): Boolean = {
+    // the probe geometry is fixed (2^17 bits = 2048 longs); a shorter
+    // array — e.g. a hand-written SQL call with an arbitrary list — must
+    // fail with a diagnosable message, not an index error mid-probe
+    if (bits.numElements() != NumLongs) throw new IllegalArgumentException(
+      s"graft_bloom_might_contain: filter must be $NumLongs longs " +
+        s"(a graft_bloom_agg result), got ${bits.numElements()}")
     val h1 = mix(v)
     val h2 = mix(v + C1) | 1L
     var i = 0

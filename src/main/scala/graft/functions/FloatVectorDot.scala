@@ -63,14 +63,23 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     def get(arr: String, fl: Boolean, i: String): String =
       if (fl) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
+    // ctx.freshName, never fixed locals: with NON-nullable children
+    // nullSafeCodeGen inlines this body unbraced into the shared method
+    // scope, so two instances in one projection (fdot(e,e) twice, or
+    // fdot + sign_bands which used to share graft_n/graft_i) would declare
+    // duplicate locals, fail Janino, and silently fall back to
+    // interpreted evaluation for the whole stage
+    val n = ctx.freshName("n")
+    val sAcc = ctx.freshName("s")
+    val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double graft_s = 0.0;
-         |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-         |  graft_s += ${get(a, isFloat(left), "graft_i")} * ${get(b, isFloat(right), "graft_i")};
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sAcc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sAcc += ${get(a, isFloat(left), i)} * ${get(b, isFloat(right), i)};
          |}
-         |${ev.value} = graft_s;
+         |${ev.value} = $sAcc;
          |""".stripMargin)
   }
 

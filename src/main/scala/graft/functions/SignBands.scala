@@ -67,23 +67,31 @@ case class SignBands(child: Expression, nBands: Int, width: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       val arrCls = classOf[GenericArrayData].getName
+      // ctx.freshName, never fixed locals — see FloatVectorDot.doGenCode:
+      // with non-nullable children two kernel instances inline into one
+      // method scope, and duplicate locals fail Janino (silent
+      // interpreted fallback)
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val bv = ctx.freshName("bv")
+      val i = ctx.freshName("i"); val dIx = ctx.freshName("d")
+      val xv = ctx.freshName("x")
       s"""
-         |int graft_n = $v.numElements();
-         |long[] graft_out = new long[$nBands];
-         |for (int graft_t = 0; graft_t < $nBands; graft_t++) {
-         |  long graft_bv = 0L;
-         |  for (int graft_i = 0; graft_i < $width; graft_i++) {
-         |    int graft_d = graft_t * $width + graft_i;
-         |    if (graft_d < graft_n && !$v.isNullAt(graft_d)) {
-         |      float graft_x = $v.getFloat(graft_d);
-         |      if (graft_x > 0f || java.lang.Float.isNaN(graft_x)) {
-         |        graft_bv |= (1L << graft_i);
+         |int $n = $v.numElements();
+         |long[] $out = new long[$nBands];
+         |for (int $t = 0; $t < $nBands; $t++) {
+         |  long $bv = 0L;
+         |  for (int $i = 0; $i < $width; $i++) {
+         |    int $dIx = $t * $width + $i;
+         |    if ($dIx < $n && !$v.isNullAt($dIx)) {
+         |      float $xv = $v.getFloat($dIx);
+         |      if ($xv > 0f || java.lang.Float.isNaN($xv)) {
+         |        $bv |= (1L << $i);
          |      }
          |    }
          |  }
-         |  graft_out[graft_t] = graft_bv;
+         |  $out[$t] = $bv;
          |}
-         |${ev.value} = new $arrCls(graft_out);
+         |${ev.value} = new $arrCls($out);
          |""".stripMargin
     })
 

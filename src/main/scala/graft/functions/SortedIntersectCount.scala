@@ -53,22 +53,28 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     c
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ctx.freshName, never fixed locals — see FloatVectorDot.doGenCode
+    val n = ctx.freshName("n"); val m = ctx.freshName("m")
+    val i = ctx.freshName("i"); val j = ctx.freshName("j")
+    val c = ctx.freshName("c"); val xv = ctx.freshName("x")
+    val yv = ctx.freshName("y")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int graft_n = $a.numElements();
-         |int graft_m = $b.numElements();
-         |int graft_i = 0, graft_j = 0;
-         |long graft_c = 0L;
-         |while (graft_i < graft_n && graft_j < graft_m) {
-         |  long graft_x = $a.getLong(graft_i);
-         |  long graft_y = $b.getLong(graft_j);
-         |  if (graft_x == graft_y) { graft_c++; graft_i++; graft_j++; }
-         |  else if (graft_x < graft_y) { graft_i++; }
-         |  else { graft_j++; }
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0, $j = 0;
+         |long $c = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; }
+         |  else { $j++; }
          |}
-         |${ev.value} = graft_c;
+         |${ev.value} = $c;
          |""".stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -105,7 +105,19 @@ class AutoBloomJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
     orientation.flatMap { case (creation, ckey, app, akey, appIsLeft) =>
-      if (hasProbe(app, akey)) None
+      // the creation subtree is DUPLICATED into the scalar subquery, so it
+      // must be fully deterministic — a rand()/sample/limit anywhere in it
+      // would build the Bloom from different rows than the join reads and
+      // silently drop matching fact rows (the "identical by construction"
+      // contract). `selective` already vets one conjunct; this vets the
+      // whole subtree.
+      val creationDeterministic = creation.find(p =>
+        p.expressions.exists(!_.deterministic) ||
+          p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sample] ||
+          p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalLimit] ||
+          p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.GlobalLimit]
+      ).isEmpty
+      if (hasProbe(app, akey) || !creationDeterministic) None
       else {
         val pruned = Project(ckey.references.toSeq, creation)
         val build = Aggregate(Nil, Seq(Alias(

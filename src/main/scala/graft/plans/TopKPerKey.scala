@@ -131,7 +131,15 @@ case class TopKPerKeyExec(
     val spilledRuns = longMetric("spilledRuns")
     val spilledRows = longMetric("spilledRows")
     child.execute().mapPartitions { it =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // group keys are compared as raw UnsafeRow BYTES (map hash + spill
+      // run order), so float keys must be normalized the way Spark's own
+      // Aggregate/Window keys are (NormalizeFloatingNumbers only rewrites
+      // those nodes, not custom ones): without it 0.0 and -0.0 — and
+      // distinct NaN bit patterns — form SEPARATE groups and a key can
+      // emit up to 2k rows where the window model caps it at k
+      val normKeys = keyExprs.map(
+        org.apache.spark.sql.graft.Bridge.normalizeFloats)
+      val keyProj = UnsafeProjection.create(normKeys, childOutput)
       // identity projection: retained rows become UnsafeRows so a spill can
       // write raw bytes (a non-spilling pass pays one row copy, as before)
       val rowProj = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
@@ -171,6 +179,7 @@ private final class TopKHeapPass(
   private val heaps = mutable.HashMap.empty[UnsafeRow, JPriorityQueue[UnsafeRow]]
   private var retained = 0
   private val runs = mutable.ArrayBuffer.empty[File]
+  private val readers = mutable.ArrayBuffer.empty[RunReader]
 
   private def insert(row: InternalRow): Unit = {
     val key = keyProj(row)
@@ -218,6 +227,13 @@ private final class TopKHeapPass(
         }
       }
     } finally out.close()
+    if (runs.isEmpty) {
+      // register cleanup the moment the first run exists: a task killed
+      // mid-consumption (speculation, cancel, OOM elsewhere) must not
+      // orphan multi-GB run files for the application lifetime
+      val ctx = TaskContext.get()
+      if (ctx != null) ctx.addTaskCompletionListener[Unit](_ => cleanup())
+    }
     runs += file
     spilledRuns += 1
     spilledRows += rows
@@ -230,14 +246,14 @@ private final class TopKHeapPass(
     if (runs.isEmpty) return heaps.valuesIterator.flatMap(_.iterator().asScala)
     // Spilled: merge the on-disk runs with the resident map (itself walked
     // in key-byte order as one more run), re-heaping per key group.
-    val ctx = TaskContext.get()
-    if (ctx != null) ctx.addTaskCompletionListener[Unit](_ => cleanup())
+    // (cleanup was registered when the first run spilled)
     val residentRun: Iterator[(Array[Byte], UnsafeRow)] =
       sortedEntries.iterator.flatMap { case (kb, q) =>
         q.iterator().asScala.map(kb -> _)
       }
+    runs.foreach(f => readers += new RunReader(f, numFields))
     val cursors =
-      (runs.map(new RunReader(_, numFields).buffered)
+      (readers.map(_.buffered).toSeq
         :+ residentRun.buffered).filter(_.hasNext)
     new Iterator[InternalRow] {
       private var group: Iterator[UnsafeRow] = Iterator.empty
@@ -264,28 +280,26 @@ private final class TopKHeapPass(
     }
   }
 
-  private def cleanup(): Unit = runs.foreach { f => f.delete(); () }
+  private def cleanup(): Unit = {
+    readers.foreach(_.closeQuietly())
+    runs.foreach { f => f.delete(); () }
+  }
 }
 
 private object TopKHeapPass {
-  /** Spill into the executor's configured scratch disks (`spark.local.dir`),
-    * like Spark's own spilling operators — on a real cluster those are the
-    * provisioned fast volumes and are reaped with the application, while
-    * `java.io.tmpdir` is usually the root disk. Multiple dirs are spread
-    * across tasks by partition id (one task's runs are sequential IO, so
-    * per-task locality beats per-file round-robin). Falls back to tmpdir
-    * when no Spark env or dir exists (plain unit tests). */
-  private lazy val localDirs: Array[File] = {
-    val conf = Option(org.apache.spark.SparkEnv.get).map(_.conf)
-    val dirs = conf.flatMap(_.getOption("spark.local.dir")).toArray
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+  /** Spill into the executor's scratch disks resolved the way Spark's own
+    * spilling operators resolve theirs (`Utils.getLocalDir` via the
+    * Bridge: honors SPARK_LOCAL_DIRS and YARN/k8s-provided dirs, not just
+    * the `spark.local.dir` conf key — on those clusters the conf key is
+    * typically unset and a conf-only read would land spills on the
+    * container root disk). Falls back to tmpdir when no Spark env exists
+    * (plain unit tests). */
+  private lazy val localDir: File =
+    org.apache.spark.sql.graft.Bridge.localDir()
       .map(new File(_)).filter(_.isDirectory)
-    if (dirs.nonEmpty) dirs
-    else Array(new File(System.getProperty("java.io.tmpdir")))
-  }
+      .getOrElse(new File(System.getProperty("java.io.tmpdir")))
 
-  def spillDir(): File =
-    localDirs(math.floorMod(TaskContext.getPartitionId(), localDirs.length))
+  def spillDir(): File = localDir
 }
 
 /** Sequential reader of one spill run: (keyBytes, row) records in the run's
@@ -312,4 +326,9 @@ private final class RunReader(file: File, numFields: Int)
   override def next(): (Array[Byte], UnsafeRow) = {
     val r = nextRec; advance(); r
   }
+
+  /** For task-completion cleanup when a downstream limit abandons the
+    * merge before EOF (EOF already closed the stream otherwise). */
+  def closeQuietly(): Unit =
+    try in.close() catch { case _: java.io.IOException => }
 }

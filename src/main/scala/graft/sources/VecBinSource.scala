@@ -384,21 +384,42 @@ class VecBinBatchWrite(path: String, dim: Int, truncate: Boolean)
     val live = messages.collect {
       case VecBinCommit(tmp, _, _) => new Path(tmp).getName
     }.toSet
+    // overwrite ordering: record the OLD files first, rename the new data
+    // in, and delete old files LAST — if a rename fails mid-commit the
+    // previous dataset is still on disk (the new task-id'd names never
+    // collide with old ones), instead of a delete-first commit leaving the
+    // table empty with nothing to replace it
+    val oldFiles: Array[Path] =
+      if (!truncate) Array.empty
+      else {
+        val names = messages.collect {
+          case VecBinCommit(_, finalName, _) => finalName }.toSet
+        val st = fs.globStatus(new Path(dir, "*.vecbin"))
+        if (st == null) Array.empty
+        else st.map(_.getPath).filterNot(p => names.contains(p.getName))
+      }
+    messages.foreach { case VecBinCommit(tmp, finalName, count) =>
+      if (count == 0) fs.delete(new Path(tmp), false) // no empty files
+      else {
+        val dst = new Path(dir, finalName)
+        // same-name collision with the dataset being replaced (task ids
+        // repeat across runs of one application): clear exactly the file
+        // this rename replaces, keeping every other old file intact until
+        // all renames have succeeded
+        if (truncate && fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(new Path(tmp), dst))
+          throw new java.io.IOException(
+            s"vecbin commit failed: could not rename $tmp -> $finalName")
+      }
+    }
     if (truncate) {
-      val old = fs.globStatus(new Path(dir, "*.vecbin"))
-      if (old != null) old.foreach(st => fs.delete(st.getPath, false))
+      oldFiles.foreach(p => fs.delete(p, false))
       // orphaned temps from killed/speculative tasks that never reached
       // abort(): anything not in this commit's message set is dead
       val orphans = fs.globStatus(new Path(dir, "*.vecbin.tmp"))
       if (orphans != null) orphans.iterator
         .filterNot(st => live.contains(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, false))
-    }
-    messages.foreach { case VecBinCommit(tmp, finalName, count) =>
-      if (count == 0) fs.delete(new Path(tmp), false) // no empty files
-      else if (!fs.rename(new Path(tmp), new Path(dir, finalName)))
-        throw new java.io.IOException(
-          s"vecbin commit failed: could not rename $tmp -> $finalName")
     }
   }
 
@@ -444,7 +465,13 @@ class VecBinDataWriter(path: String, dim: Int, partitionId: Int, taskId: Long)
     bb.clear()
     bb.putLong(vecId).putInt(label)
     var j = 0
-    while (j < dim) { bb.putFloat(emb.getFloat(j)); j += 1 }
+    while (j < dim) {
+      // a null ELEMENT is as nonconforming as a wrong width: getFloat on
+      // a null slot would silently fabricate 0.0f into the file
+      require(!emb.isNullAt(j),
+        s"vecbin: embedding of vec_id=$vecId has a null element at $j")
+      bb.putFloat(emb.getFloat(j)); j += 1
+    }
     out.write(bb.array())
     count += 1
     minId = minId min vecId

@@ -13,4 +13,21 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** An executor-local scratch directory resolved exactly the way Spark's
+    * own spilling operators resolve theirs (`Utils.getLocalDir`: honors
+    * SPARK_LOCAL_DIRS / YARN / k8s-provided dirs, not just the
+    * `spark.local.dir` conf key). None outside a Spark env (plain unit
+    * tests). */
+  /** `NormalizeFloatingNumbers.normalize` is sql-private; custom operators
+    * that group by raw key bytes need it to give float keys Aggregate/
+    * Window grouping semantics (-0.0 == 0.0, one NaN). */
+  def normalizeFloats(
+      e: org.apache.spark.sql.catalyst.expressions.Expression
+  ): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
+  def localDir(): Option[String] =
+    Option(org.apache.spark.SparkEnv.get)
+      .map(env => org.apache.spark.util.Utils.getLocalDir(env.conf))
 }

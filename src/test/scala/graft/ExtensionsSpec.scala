@@ -92,6 +92,67 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.AutoBloomJoinRule.EnabledKey)
   }
 
+  test("auto bloom rule backs off from a nondeterministic creation side") {
+    import org.apache.spark.sql.functions._
+    val d = sfDir("sf0.001")
+    spark.conf.set(graft.plans.AutoBloomJoinRule.EnabledKey, "true")
+    try {
+      // the creation subtree is DUPLICATED into the bloom-build subquery;
+      // with rand() in it the subquery would sample different rows than
+      // the join reads and the probe could drop matching fact rows
+      val dim = Tables.customer(spark, d)
+        .where(col("c_acctbal") > 8000 && rand(42) < 0.99)
+      val j = Tables.orders(spark, d)
+        .join(dim.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      assert(!j.queryExecution.optimizedPlan.toString
+        .contains("graft_bloom_might_contain"),
+        "nondeterministic dim side must not build a bloom")
+      // a LIMIT without order picks arbitrary rows — same hazard
+      val lim = Tables.customer(spark, d)
+        .where(col("c_acctbal") > 8000).limit(3)
+      val j2 = Tables.orders(spark, d)
+        .join(lim.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      assert(!j2.queryExecution.optimizedPlan.toString
+        .contains("graft_bloom_might_contain"),
+        "limited dim side must not build a bloom")
+    } finally spark.conf.unset(graft.plans.AutoBloomJoinRule.EnabledKey)
+  }
+
+  test("bloom probe rejects a wrong-geometry filter array loudly") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_bloom_might_contain(array(1L, 2L), 7L)").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("graft_bloom_agg result")),
+      s"want the diagnosable geometry message, got: ${messages(err)}")
+  }
+
+  test("kernels codegen-compile with NON-nullable children sharing one projection") {
+    import org.apache.spark.sql.functions._
+    // vecbin's read schema declares embedding non-nullable, so
+    // nullSafeCodeGen inlines kernel bodies UNBRACED into one method
+    // scope — fixed local names would collide across instances and
+    // silently fall back to interpreted eval; fallback=false makes that
+    // a loud failure
+    val dir = java.nio.file.Files.createTempDirectory("graft-cg").toString
+    Tables.embeddings(spark, sfDir("sf0.001")).limit(50)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .write.format("graft.sources.VecBinSource").mode("overwrite").save(dir)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val fdot = graft.functions.FloatVectorDot.dotF(spark) _
+      val rows = spark.read.format("graft.sources.VecBinSource").load(dir)
+        .select(
+          fdot(col("embedding"), col("embedding")).as("d1"),
+          fdot(col("embedding"), col("embedding")).as("d2"),
+          graft.functions.SignBands.bands(spark)(col("embedding"), 8, 8).as("b"))
+        .collect()
+      assert(rows.length == 50)
+      rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("auto bloom rule backs off: unfiltered dims, both-filtered joins, non-bigint keys") {
     import org.apache.spark.sql.functions._
     val d = sfDir("sf0.001")

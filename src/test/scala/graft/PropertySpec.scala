@@ -131,6 +131,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKPerKey groups float keys like the window model (-0.0 == 0.0, one NaN)") {
+    import org.apache.spark.sql.expressions.Window
+    // keys are compared as raw UnsafeRow bytes, so without normalization
+    // 0.0 and -0.0 (and odd NaN bit patterns) would form SEPARATE groups
+    // and emit up to 2k rows where the window model caps a key at k
+    val oddNaN = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    val data = Seq(
+      (0.0, 1L), (-0.0, 2L), (0.0, 3L), (-0.0, 4L),
+      (Double.NaN, 5L), (oddNaN, 6L), (1.5, 7L))
+    val df = data.toDF("key", "id")
+    val native = graft.plans.TopKPerKey
+      .of(spark, df, Seq("key"), Seq("id" -> true), 2)
+      .collect().map(_.getLong(1)).toSet
+    val w = Window.partitionBy(col("key")).orderBy(col("id").asc)
+    val model = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2).drop("rn")
+      .collect().map(_.getLong(1)).toSet
+    assert(native == model,
+      s"native $native vs window $model — float keys must normalize")
+  }
+
   test("TopKPerKey under a forced tiny spill budget: spills fire, result still equals the window model") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
