@@ -1,9 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark over the full `SparkEntry.queries` surface.
+  *
+  * Jitter doctrine (BASELINE.md): this host shows transient degraded
+  * windows where untouched code inflates 10x+ for tens of seconds
+  * (round-5's driver artifact landed in one: uniform 1.63x median
+  * inflation, q_map at 83.7 s vs its 0.3 s quiet-band time). A single
+  * timing pass therefore cannot be a trustworthy scoring artifact. The
+  * fix is N full passes in ONE JVM with per-query median:
+  *
+  *  - PASS-MAJOR ordering (run the whole suite, then run it again), not
+  *    query-major. A degraded window is contiguous in wall-clock, so
+  *    pass-major spreads it across at most one rep of many queries and
+  *    the per-query median sheds it; query-major (N back-to-back reps of
+  *    the same query) would put all N reps of the unlucky queries inside
+  *    the window and the median would keep the noise.
+  *  - The reported total is the sum of per-query medians — comparable
+  *    across rounds regardless of rep count.
+  *  - `reps`, per-query median (`queries`) and per-query min
+  *    (`queries_min`) all appear in the machine line; `reps` is repeated
+  *    in the compact summary line so a tail-truncated artifact is still
+  *    self-describing.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,28 +63,49 @@ object Bench {
       catch { case _: Throwable => }
     }
     val warmup = (System.nanoTime() - w0) / 1e9
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Fixed query order shared by every pass (stable map iteration order
+    // per JVM, but pin it explicitly so passes are strictly comparable).
+    val order = SparkEntry.queries.keys.toSeq
+    // times(q) = seconds per successful rep; a throwing rep records nothing.
+    val times = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    for (_ <- 1 to reps; name <- order) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
+      if (ok) times(name) = dt :: times(name)
     }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    // -1.0 marks a query that failed on every rep (same sentinel as before).
+    val med = order.map(q =>
+      q -> (if (times(q).nonEmpty) median(times(q)) else -1.0))
+    val mins = order.map(q =>
+      q -> (if (times(q).nonEmpty) times(q).min else -1.0))
     def obj(kvs: Iterable[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"queries":${obj(results)},"sf":"$sfDir"}""")
+    val total = med.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"reps":$reps,"queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}""")
     // Compact summary printed LAST: artifact collectors that keep only the
     // tail of stdout (the driver stores 2000 chars) must still see the
-    // totals, the slowest queries, the dedup-family done-criteria queries
-    // and any failures — r4's full-JSON-only output lost all of those to
-    // the truncation window.
-    val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(15)
+    // totals, rep count, the slowest queries, the dedup-family
+    // done-criteria queries and any failures — r4's full-JSON-only output
+    // lost all of those to the truncation window.
+    val slowest = med.filter(_._2 >= 0).sortBy(-_._2).take(15)
+    val medMap = med.toMap
+    val minMap = mins.toMap
     val watch = Seq("q_dedup_ngram", "q_dedup_embed")
-      .flatMap(q => results.get(q).map(q -> _))
-    val failures = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .flatMap(q => medMap.get(q).map(q -> _))
+    val watchMin = Seq("q_dedup_ngram", "q_dedup_embed")
+      .flatMap(q => minMap.get(q).map(q -> _))
+    val failures = med.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"summary","total":$total,"warmup_sec":$warmup,"n_queries":${results.size},"slowest":${obj(slowest)},"watch":${obj(watch)},"failures":$failures}""")
+    println(s"""{"metric":"summary","total":$total,"warmup_sec":$warmup,"reps":$reps,"n_queries":${med.size},"slowest":${obj(slowest)},"watch":${obj(watch)},"watch_min":${obj(watchMin)},"failures":$failures}""")
     graft.operators.TrainingData.unpersistAll()
     spark.stop()
   }
