@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.Cols
+import graft.operators.TrainingData.CheckpointOps
 
 /** Decision-support operators a pipeline team runs ON TOP of the curated
   * data: cohort retention, RFM segmentation, statistical anomaly flags,
@@ -99,7 +100,15 @@ object Insights {
       percentile(col("frequency"), qs).as("fc"),
       percentile(col("monetary").cast("double"), qs).as("mc"))
     // ascending metric (recency: small = good) → 1 + #cuts strictly below;
-    // descending (frequency/monetary: large = good) → 4 − #cuts below
+    // descending (frequency/monetary: large = good) → 4 − #cuts below.
+    // NULL metric (possible only on dirty input, e.g. an all-null
+    // o_totalprice sum): when(m > cut).otherwise(0) scores it as the
+    // bottom bucket (1 or 4), while the oracle's (m > cut)::int arithmetic
+    // propagates NULL into the score and segment — a dirty-input-only
+    // divergence the parity gate never exercises (clean fixtures have no
+    // null metrics; DirtyInputSpec checks totality, not cross-engine
+    // parity). The Spark behavior is the production-correct one: an
+    // unknown metric is WORST-bucketed, not dropped from segmentation.
     def above(metric: Column, cutsArr: Column): Column = (1 to 3)
       .map(i => when(metric.cast("double") >
         Cols.r6(element_at(cutsArr, i)), 1L).otherwise(0L))
@@ -222,7 +231,7 @@ object Insights {
     val edges = e0.join(outw, "src")
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("outw")).as("frac"))
-      .localCheckpoint(true)
+      .trackedCheckpoint()
     val nTot = broadcast(n.agg(count(lit(1)).cast("double").as("n_nodes")))
     var ranks = n.select(col("n_nationkey").as("node")).crossJoin(nTot)
       .withColumn("pr", lit(1.0) / col("n_nodes"))
@@ -537,7 +546,7 @@ object Insights {
     val und = basketPairs(s, d).select(col("pa"), col("pb"))
     val edges = und.select(col("pa").as("a"), col("pb").as("b"))
       .unionByName(und.select(col("pb").as("a"), col("pa").as("b")))
-      .localCheckpoint(true)
+      .trackedCheckpoint()
     // one bounded scalar (the deterministic source node), not a data pull;
     // an edgeless graph (possible at tiny SFs / filtered corpora) has no
     // source and yields the empty reach rather than an NPE
@@ -546,7 +555,7 @@ object Insights {
       return s.range(0).select(col("id").as("part"), col("id").as("dist"))
     val src = srcRow.getLong(0)
     var visited = s.range(1)
-      .select(lit(src).as("node"), lit(0L).as("dist")).localCheckpoint(true)
+      .select(lit(src).as("node"), lit(0L).as("dist")).trackedCheckpoint()
     var frontier = visited
     var hop = 0L
     while (hop < 8 && !frontier.isEmpty) {
@@ -556,8 +565,8 @@ object Insights {
         .join(visited.select(col("node").as("v")),
           col("node") === col("v"), "left_anti")
         .withColumn("dist", lit(hop))
-        .localCheckpoint(true)
-      visited = visited.unionByName(next).localCheckpoint(true)
+        .trackedCheckpoint()
+      visited = visited.unionByName(next).trackedCheckpoint()
       frontier = next
     }
     visited.select(col("node").as("part"), col("dist")).orderBy("part")

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.Cols
+import graft.operators.TrainingData.CheckpointOps
 import graft.functions.VectorFunctions._
 
 /** LLM-data-pipeline operators (SURVEY §2.10): dedup, similarity search,
@@ -245,7 +246,7 @@ object LlmPipeline {
     val (pairs, arr) =
       if (!bloomOn) (cand, arrBase)
       else {
-        val p = cand.localCheckpoint(true)
+        val p = cand.trackedCheckpoint()
         val candIds = p.select(col("a_id").as("id"))
           .unionByName(p.select(col("b_id").as("id")))
         val bloom = candIds.agg(
@@ -334,14 +335,14 @@ object LlmPipeline {
     val pairs = nearPairs(s, d).select(col("a_id"), col("b_id"))
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint(true)
+      .trackedCheckpoint()
     // Only docs touched by some pair can ever change label: iterate over
     // exactly those. At 100 TB the dup set is a small fraction of the
     // corpus, so the loop's per-round working set is |dup docs|, not
     // |corpus|; singletons join in once at the end.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .localCheckpoint(true)
+      .trackedCheckpoint()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -359,7 +360,7 @@ object LlmPipeline {
           col("p.label") === col("q.lid"), "left")
         .select(col("p.doc_id").as("doc_id"), col("p.prev").as("prev"),
           coalesce(col("q.ll"), col("p.label")).as("label"))
-        .localCheckpoint(true)
+        .trackedCheckpoint()
       // prev rides along in the checkpointed frame, so convergence is a
       // filter over materialized rows — no extra join, no recompute.
       converged = next.where(col("label") =!= col("prev")).isEmpty

@@ -55,12 +55,39 @@ object TrainingData {
     (build: => DataFrame): DataFrame =
     shared.getOrElseUpdate((System.identityHashCode(s), d, name), build.persist())
 
+  /** Eager localCheckpoint whose materialized blocks are REGISTERED for
+    * [[unpersistAll]] teardown. Plain `df.localCheckpoint(true)` persists
+    * an RDD that only ContextCleaner GC can ever release — in a long-lived
+    * service, repeated calls (the qDedupNgram Bloom arm, every Pregel-loop
+    * round) accumulate checkpoint blocks indefinitely. Routing the call
+    * through here gives those blocks the same lifetime as the `cached()`
+    * corpus-snapshot assets. After teardown the frame is NOT recomputable
+    * (localCheckpoint truncates lineage by design) — same staleness
+    * contract as `cached()`: a snapshot's frames don't outlive it. */
+  private val ckpts =
+    scala.collection.concurrent.TrieMap[Int, org.apache.spark.rdd.RDD[_]]()
+  private[operators] def checkpointed(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(eager = true)
+    org.apache.spark.sql.graft.Bridge.checkpointedRdd(out)
+      .foreach(r => ckpts.put(r.id, r))
+    out
+  }
+
+  /** Chained-call sugar for [[checkpointed]]:
+    * `df.trackedCheckpoint()` ≡ `df.localCheckpoint(true)` + teardown
+    * registration. */
+  private[operators] implicit class CheckpointOps(private val df: DataFrame) {
+    def trackedCheckpoint(): DataFrame = checkpointed(df)
+  }
+
   /** Drop every persisted intermediate — long-lived services call this per
     * corpus snapshot so the cache can't grow without bound. (Driver runs
     * exit the JVM anyway; Verify/Bench call it in teardown for hygiene.) */
   def unpersistAll(): Unit = {
     shared.values.foreach(df => df.unpersist(blocking = false))
     shared.clear()
+    ckpts.values.foreach(_.unpersist(blocking = false))
+    ckpts.clear()
   }
 
   /** Distinct (doc_id, lang, tok) triples. */

@@ -312,14 +312,27 @@ private final class RunReader(file: File, numFields: Int)
   advance()
 
   private def advance(): Unit = {
+    // EOF is only legitimate BEFORE a record's first byte; once a length
+    // header was read, hitting EOF means the run was truncated (torn write,
+    // external tampering with scratch disk) and silently treating it as
+    // end-of-run would drop rows from the merge — fail the task instead so
+    // Spark retries it and respills.
+    val keyLen =
+      try in.readInt()
+      catch { case _: EOFException => in.close(); nextRec = null; return }
     nextRec =
       try {
-        val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+        val kb = new Array[Byte](keyLen); in.readFully(kb)
         val rb = new Array[Byte](in.readInt()); in.readFully(rb)
         val row = new UnsafeRow(numFields)
         row.pointTo(rb, rb.length)
         (kb, row)
-      } catch { case _: EOFException => in.close(); null }
+      } catch {
+        case e: EOFException =>
+          closeQuietly()
+          throw new java.io.IOException(
+            s"truncated top-k spill run ${file.getName}: EOF inside a record", e)
+      }
   }
 
   override def hasNext: Boolean = nextRec != null
