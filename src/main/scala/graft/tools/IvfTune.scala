@@ -1,0 +1,150 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** OFFLINE index-tuning harness for the [[graft.operators.TrainingData]]
+  * IVF tier: sweeps (k, init, nprobe) over the sf0.01 embeddings fixture
+  * and prints the recall@10-vs-scan-fraction frontier, so the production
+  * constants (IvfK, init scheme, recommended nprobe) are MEASURED choices,
+  * not guesses — the same role ScalingProbe/NgramAb play for the dedup
+  * family. Spark is used only to read the parquet; the sweep itself is
+  * driver-side replication of the exact ivfInit/ivfStep arithmetic
+  * (cosine assignment, cid-asc tie-break, per-position means, empty
+  * clusters keep their centroid), small enough at 5000x64 to run dozens
+  * of configs per second.
+  *
+  * Init schemes swept:
+  *  - `stride`: rows at vec_id strides (the original scheme);
+  *  - `fps`: deterministic farthest-point: start at vec_id 0, then
+  *    greedily add the vector maximizing its min angular distance to the
+  *    chosen set (lowest vec_id wins ties) — the deterministic stand-in
+  *    for k-means++ seeding, replayable as k unrolled CTEs in the oracle.
+  */
+object IvfTune {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = graft.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    spark.stop()
+    val emb = rows.map(_._2)
+    val n = emb.length
+    val dim = emb(0).length
+    val norms = emb.map(v => math.sqrt(v.map(x => x.toDouble * x).sum))
+    println(s"corpus: $n x $dim")
+
+    def cosRaw(a: Array[Double], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var k = 0
+      while (k < dim) { dot += a(k) * b(k); na += a(k) * a(k); k += 1 }
+      val den = math.sqrt(na) * math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (den > 0) dot / den else Double.NegativeInfinity
+    }
+    def cosVV(i: Int, j: Int): Double = {
+      val a = emb(i); val b = emb(j)
+      var dot = 0.0; var k = 0
+      while (k < dim) { dot += a(k) * b(k); k += 1 }
+      dot / (norms(i) * norms(j))
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+    // ground truth: top-10 per probe (every 200th vector), exact
+    val TopK = 10
+    val probes = (0 until n by 200).toArray
+    val truth: Map[Int, Set[Int]] = probes.map { p =>
+      p -> (0 until n).filter(_ != p)
+        .map(j => (-cosVV(p, j), j)).sorted.take(TopK).map(_._2).toSet
+    }.toMap
+
+    def strideInit(k: Int): Array[Array[Double]] = {
+      val stride = math.max(n / k, 1)
+      (0 until k).map(j => emb(j * stride).map(_.toDouble)).toArray
+    }
+    def fpsInit(k: Int): Array[Array[Double]] = {
+      val chosen = scala.collection.mutable.ArrayBuffer(0)
+      val minDist = Array.tabulate(n)(j => 1.0 - cosVV(0, j))
+      while (chosen.size < k) {
+        var best = -1; var bestD = Double.NegativeInfinity
+        var j = 0
+        while (j < n) {
+          if (!chosen.contains(j) && minDist(j) > bestD) {
+            bestD = minDist(j); best = j
+          }
+          j += 1
+        }
+        chosen += best
+        var i = 0
+        while (i < n) {
+          val dd = 1.0 - cosVV(best, i)
+          if (dd < minDist(i)) minDist(i) = dd
+          i += 1
+        }
+      }
+      chosen.map(emb(_).map(_.toDouble)).toArray
+    }
+
+    def lloyd(cent0: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+      var cent = cent0
+      for (_ <- 1 to iters) {
+        val k = cent.length
+        val sums = Array.fill(k, dim)(0.0)
+        val cnts = Array.fill(k)(0L)
+        var i = 0
+        while (i < n) {
+          // production argmin: min(struct(-r6(cos), cid)) == max cos, cid asc
+          var bc = -1; var bcos = Double.NegativeInfinity
+          var c = 0
+          while (c < k) {
+            val cc = r6(cosRaw(cent(c), emb(i)))
+            if (cc > bcos) { bcos = cc; bc = c }
+            c += 1
+          }
+          if (bcos > Double.NegativeInfinity) {
+            var p = 0
+            while (p < dim) { sums(bc)(p) += emb(i)(p); p += 1 }
+            cnts(bc) += 1
+          }
+          i += 1
+        }
+        cent = Array.tabulate(cent.length)(c =>
+          if (cnts(c) == 0) cent(c)
+          else Array.tabulate(dim)(p => sums(c)(p) / cnts(c)))
+      }
+      cent
+    }
+
+    def evalCfg(name: String, cent: Array[Array[Double]]): Unit = {
+      val k = cent.length
+      // per-vector centroid ranking (production order: -r6(cos), cid asc)
+      def ranking(i: Int): Array[Int] =
+        (0 until k).map(c => (-r6(cosRaw(cent(c), emb(i))), c))
+          .sorted.map(_._2).toArray
+      val bucket = (0 until n).map(i => ranking(i)(0)).toArray
+      val sizes = bucket.groupBy(identity).view.mapValues(_.length).toMap
+      val maxFrac = sizes.values.max.toDouble / n
+      val curve = (1 to math.min(10, k)).map { np =>
+        val rs = probes.map { p =>
+          val search = ranking(p).take(np).toSet
+          val cands = (0 until n).count(j => j != p && search(bucket(j)))
+          val hit = (truth(p).count(j => search(bucket(j)))).toDouble / TopK
+          (hit, cands.toDouble / n)
+        }
+        (np, rs.map(_._1).sum / rs.length, rs.map(_._2).sum / rs.length)
+      }
+      val frontier = curve.map { case (np, rec, sc) =>
+        f"np=$np rec=$rec%.3f scan=$sc%.3f" }.mkString(" | ")
+      println(f"$name%-14s k=$k%3d maxBucket=$maxFrac%.3f  $frontier")
+    }
+
+    for (k <- Seq(10, 16, 24, 32, 48, 64)) {
+      evalCfg(s"stride", lloyd(strideInit(k), 5))
+      evalCfg(s"fps", lloyd(fpsInit(k), 5))
+    }
+  }
+}
