@@ -33,8 +33,18 @@ import graft.functions.VectorFunctions._
 object TrainingData {
 
   /** k-means dials for [[qAnnIvf]] — shared with the generated oracle. */
-  private[graft] val IvfK = 10
+  /** IVF constants are MEASURED choices (tools/IvfTune sweep, BASELINE.md
+    * round-6 section): k=24 sits on the recall/scan frontier in BOTH
+    * regimes — on the fixture's isotropic-noise neighbors (the adversarial
+    * workload, where every bucketed index degenerates toward scanning) it
+    * is the best config at every scan fraction ≤ 15%, and on planted
+    * cos≈0.9 neighbor structure (the workload production ANN serves) it
+    * recalls 1.0 of true top-10 from a single bucket. nprobe=3 searches
+    * the probe's three nearest buckets: ~12.5% of the corpus, recall@10 =
+    * 1.0 planted / 0.76 noise-ceiling (AnnRecallSpec pins both). */
+  private[graft] val IvfK = 24
   private[graft] val IvfIters = 5
+  private[graft] val IvfNprobe = 3
 
   private val P = graft.functions.MinHashAgg.P
   /** Fixed affine MinHash family h_i(x) = (a_i·x + b_i) mod P — owned by
@@ -339,16 +349,17 @@ object TrainingData {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         x => x.getField("cv")).as("cvec"))
 
-  /** IVF-style ANN, UNSUPERVISED: k=10 centroids from deterministic k-means
-    * — init at `vec_id` strides, [[IvfIters]] fixed Lloyd iterations, empty
-    * clusters keep their previous centroid — so the DuckDB oracle replays
-    * the identical iterations (unrolled CTEs) with no labels anywhere in
-    * the build (a production embedding corpus has none). Per-iteration
-    * driver state is k×dim doubles — the bounded k-means-centroid kind,
-    * collected once per corpus snapshot and memoized like the cached
-    * DataFrames. Every vector then lands in its nearest-centroid bucket
-    * and the probe (vec_id=0) searches ONLY its bucket for its top-5 —
-    * 1/k of the corpus. */
+  /** IVF-style ANN, UNSUPERVISED: [[IvfK]] centroids from deterministic
+    * k-means — init at `vec_id` strides, [[IvfIters]] fixed Lloyd
+    * iterations, empty clusters keep their previous centroid — so the
+    * DuckDB oracle replays the identical iterations (unrolled CTEs) with
+    * no labels anywhere in the build (a production embedding corpus has
+    * none). Per-iteration driver state is k×dim doubles — the bounded
+    * k-means-centroid kind, collected once per corpus snapshot and
+    * memoized like the cached DataFrames. Every vector lands in its
+    * nearest-centroid bucket; the probe (vec_id=0) searches its
+    * [[IvfNprobe]] nearest buckets for its top-5 — ~nprobe/k of the
+    * corpus (see the constants' scaladoc for the measured recall). */
   /** The trained IVF centroid table (deterministic k-means, see
     * [[qAnnIvf]]) — factored out so AnnRecallSpec can grade recall of the
     * production centroids against brute force. */
@@ -383,10 +394,24 @@ object TrainingData {
         .select(col("vec_id"), col("label"), col("embedding"),
           col("m.cid").cast("long").as("cluster"))
     }
-    val probe = broadcast(assigned.where(col("vec_id") === 0)
-      .select(col("embedding").as("probe_emb"), col("cluster").as("probe_cluster")))
-    assigned.crossJoin(probe)
-      .where(col("cluster") === col("probe_cluster") && col("vec_id") =!= 0)
+    // MULTI-PROBE search (the recall/scan dial a 100 TB deployment tunes):
+    // the probe's IvfNprobe nearest centroid buckets, ranked by the same
+    // (r6-cosine desc, cid asc) order the assignment argmin uses, so probe
+    // ranking and corpus assignment can never disagree on ties. The probe
+    // list is k rows → nprobe rows: broadcast by construction.
+    val probeBuckets = broadcast(
+      e.where(col("vec_id") === 0).crossJoin(broadcast(centDf))
+        .select(col("cid").cast("long").as("cluster"),
+          Cols.r6(cos(col("embedding"), col("cvec"))).as("pcos"))
+        .where(col("pcos").isNotNull)
+        .orderBy(col("pcos").desc, col("cluster").asc)
+        .limit(IvfNprobe)
+        .select(col("cluster")))
+    val probeEmb = broadcast(e.where(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb")))
+    assigned.join(probeBuckets, "cluster")
+      .crossJoin(probeEmb)
+      .where(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"), col("cluster"),
         Cols.r6(cos(col("embedding"), col("probe_emb"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
@@ -667,11 +692,14 @@ object TrainingData {
        |af AS (SELECT vec_id, label, embedding, CAST(cid AS BIGINT) AS cluster FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY ccos DESC, cid ASC) AS rn FROM sf) WHERE rn = 1),
-       |probe AS (SELECT embedding AS pe, cluster AS pc FROM af WHERE vec_id = 0)
+       |pb AS (SELECT CAST(cid AS BIGINT) AS cluster FROM (
+       |  SELECT cid, row_number() OVER (ORDER BY ccos DESC, cid ASC) AS rn
+       |  FROM sf WHERE vec_id = 0 AND ccos IS NOT NULL) WHERE rn <= $IvfNprobe),
+       |probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
        |SELECT vec_id, label, cluster,
        |  ${duckCos("embedding", "pe")} AS cos_sim
-       |FROM af CROSS JOIN probe
-       |WHERE cluster = pc AND vec_id <> 0
+       |FROM af JOIN pb USING (cluster) CROSS JOIN probe
+       |WHERE vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
   }
 

@@ -188,6 +188,51 @@ class PropertySpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKPerKeyExec.BudgetConfKey)
   }
 
+  test("TopKPerKey spill end-to-end on the sf0.1 corpus: spills fire, row-identical to the window model") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // The real-corpus variant of the synthetic spill test above (r5
+    // verdict item 4): sf0.1 lineitem (~600k rows, ~150k distinct
+    // orderkeys) under a budget far below the per-partition key count, so
+    // BOTH heap passes spill and the merged-run path produces the whole
+    // result — then the result must still be row-identical to the window
+    // formulation on the same corpus.
+    val d = sfDir("sf0.1")
+    def input = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    spark.conf.set(graft.plans.TopKPerKeyExec.BudgetConfKey, "5000")
+    try {
+      val native = graft.plans.TopKPerKey.of(spark, input,
+        Seq("l_orderkey"), Seq("rev" -> false, "l_linenumber" -> true), 2)
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("rev").desc, col("l_linenumber").asc)
+      val model = input.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2).drop("rn")
+      val diff = native.exceptAll(model).count() + model.exceptAll(native).count()
+      assert(diff == 0, s"spilled native result must equal the window model, sym-diff $diff")
+      def allExecs(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: allExecs(a.executedPlan)
+        case q: QueryStageExec => p +: allExecs(q.plan)
+        case _ => p +: p.children.flatMap(allExecs)
+      }
+      // re-run the native side alone so its metrics are from a clean plan.
+      // NB: must drive the frame's OWN QueryExecution (collect), not
+      // count() — df.count() builds a separate aggregate plan whose execs
+      // are different instances with fresh (zero) metric accumulators
+      val probe = graft.plans.TopKPerKey.of(spark, input,
+        Seq("l_orderkey"), Seq("rev" -> false, "l_linenumber" -> true), 2)
+      probe.collect()
+      val (runs, rows) = allExecs(probe.queryExecution.executedPlan).collect {
+        case e: graft.plans.TopKPerKeyExec =>
+          (e.metrics("spilledRuns").value, e.metrics("spilledRows").value)
+      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      info(s"sf0.1 corpus: spilledRuns=$runs spilledRows=$rows")
+      assert(runs > 0, "the sf0.1 corpus must blow the forced budget and spill")
+    } finally spark.conf.unset(graft.plans.TopKPerKeyExec.BudgetConfKey)
+  }
+
   test("session windows tile: per-user session row counts sum to event count") {
     for (s <- seeds) {
       val times = sample(Gen.listOfN(20, Gen.choose(0L, 5000L)), s)
