@@ -52,9 +52,14 @@ case class MinHashAgg(
     val v = child.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[Long]
+      // reduce the id BEFORE multiplying: with a ≈ 2³¹ multipliers,
+      // a·(x mod P) ≤ ~4.6·10¹⁸ < Long.Max for ANY bigint id — 64-bit-safe
+      // (and replayable in int64 SQL) at a 10⁹⁺-token vocab, where the
+      // unreduced product would overflow
+      val xr = x % P
       var i = 0
       while (i < K) {
-        val h = (A(i) * x + B(i)) % P
+        val h = (A(i) * xr + B(i)) % P
         if (h < buf(i)) buf(i) = h
         i += 1
       }
@@ -95,10 +100,23 @@ case class MinHashAgg(
 
 object MinHashAgg {
   /** Lane count and the affine family — MUST stay in sync with
-    * [[graft.operators.TrainingData]]'s column formulation and oracle. */
+    * [[graft.operators.TrainingData]]'s column formulation and oracle.
+    *
+    * The multipliers are LARGE (≈ P/2..P, primes, each ≥ 2·10⁸ away from
+    * 0 and P mod P): every lane wraps the modulus within 2 consecutive
+    * ids, so consecutive vocab ids land in unrelated hash positions. The
+    * original family (a_i ≤ 8291) never wrapped over a fixture-sized
+    * vocab (a·x < P for x < 259 013), making each lane MONOTONE in
+    * tok_id — all 8 argmins collapsed to the doc's minimum (i.e.
+    * lexicographically first) token, est_jac degenerated to {0,1}, and
+    * the operator silently clustered "docs sharing their first vocab
+    * token" (quadratic cliques: 38.6 M pairs on the ×8 skew-shard corpus,
+    * ~2.4× super-linear). The skew octave caught it; MinHashLawsSpec pins
+    * wrap-richness and argmin diversity so the family cannot regress. */
   val K = 8
   val P = 2147483647L
-  val A: Array[Long] = Array(2971L, 3851L, 4583L, 5167L, 6011L, 6673L, 7459L, 8291L)
+  val A: Array[Long] = Array(1100000009L, 1210000013L, 1320000041L,
+    1430000017L, 1540000001L, 1650000049L, 1760000027L, 1870000087L)
   val B: Array[Long] = Array(1409L, 2003L, 2707L, 3323L, 4001L, 4703L, 5419L, 6089L)
 
   private val name = "minhash_sig"

@@ -638,8 +638,10 @@ object TrainingData {
     "q_media_resize"  -> (qMediaResize _),
     "q_incremental_dedup" -> (qIncrementalDedup _))
 
+  // (tok_id % P) first, mirroring the kernel: with a ≈ 2³¹ multipliers the
+  // unreduced product overflows int64 past ~4·10⁹ ids on both engines
   private val minhashCols = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
-    s"min(($a*tok_id + $b) % 2147483647) AS h$i"
+    s"min(($a*(tok_id % 2147483647) + $b) % 2147483647) AS h$i"
   }.mkString(", ")
 
   /** DuckDB cosine between a float-list column and a double-list column,

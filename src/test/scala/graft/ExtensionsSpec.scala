@@ -26,8 +26,10 @@ class ExtensionsSpec extends SparkSpec {
       """SELECT minhash_sig(x) AS sig FROM VALUES (1L), (2L), (3L) AS t(x)""")
       .head().getSeq[Long](0)
     assert(r.length === 8)
-    // lane 0: min over x of (2971x + 1409) mod p
-    assert(r.head === (1 to 3).map(x => (2971L * x + 1409L) % 2147483647L).min)
+    // lane 0: min over x of (a0·(x mod P) + b0) mod P, from the shared family
+    val (a0, b0, p) = (graft.functions.MinHashAgg.A(0),
+      graft.functions.MinHashAgg.B(0), graft.functions.MinHashAgg.P)
+    assert(r.head === (1 to 3).map(x => (a0 * (x % p) + b0) % p).min)
   }
 
   test("bloom agg + probe resolve from SQL via the session extension") {

@@ -40,6 +40,33 @@ class MinHashAggSpec extends SparkSpec {
     assert(sigs(1) === sigs(17))
   }
 
+  test("affine family is wrap-rich; lanes rank ids independently (degeneracy regression)") {
+    // The original a <= 8291 multipliers never wrapped P over a fixture-sized
+    // vocab (a·x < P for all x < 259 013), so every lane was MONOTONE in
+    // tok_id: all 8 argmins collapsed to the doc's minimum (lexicographically
+    // first) token, est_jac degenerated to {0,1}, and q_dedup_minhash
+    // silently clustered docs by their first vocab token (caught by the
+    // round-6 skew octave: 38.6 M all-est=1.0 pairs on the ×8 shard corpus).
+    // Pin the two properties that make the family a real Jaccard estimator:
+    // every lane wraps within 1000 consecutive ids, and the 8 lanes pick
+    // genuinely different argmins over a contiguous id range.
+    A.foreach(a => assert(a > P / 1000L,
+      s"multiplier $a is monotone over a 1000-id vocab — degenerate lane"))
+    val ids = (1L to 1000L)
+    val argmins = A.zip(B).map { case (a, b) =>
+      ids.minBy(x => (a * (x % P) + b) % P) }
+    assert(argmins.distinct.size >= 4,
+      s"lanes share argmins over 1..1000: $argmins")
+    // and the estimate of a J=0.5 pair is strictly interior — not the
+    // all-or-nothing {0,1} the monotone family produced
+    def sig(s: Seq[Long]): Seq[Long] =
+      A.zip(B).map { case (a, b) => s.map(x => (a * (x % P) + b) % P).min }
+    val shared = (1L to 20L); val ua = (1001L to 1010L); val ub = (2001L to 2010L)
+    val agree = sig(shared ++ ua).zip(sig(shared ++ ub))
+      .count { case (x, y) => x == y }
+    assert(agree > 0 && agree < 8, s"est_jac degenerate: $agree/8 lanes")
+  }
+
   test("null inputs are ignored; all-null group yields null signature") {
     import spark.implicits._
     val sig = MinHashAgg.minhashSig(spark) _
