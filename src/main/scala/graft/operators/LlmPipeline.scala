@@ -159,7 +159,30 @@ object LlmPipeline {
     // Both sides of the candidate self-join scan the prefix set — persist
     // it once rather than running the subtree twice.
     val prefix = TrainingData.cached("ngramPrefix", s, d) {
-      val sketchBits = 16
+      // SKETCH RESOLUTION SCALES WITH THE CORPUS (round-6 skew octave).
+      // Auto targets ~8 shingle instances per bucket, clamped to [16, 21]
+      // (21 keeps a partial-agg buffer at 8 MiB; past that a single-group
+      // histogram should tree-merge rather than fan every task's buffer
+      // into one reducer — the conf override exists for that experiment).
+      // Measured honestly (SkewDiag, ×1..×8 skew shards): candidate volume
+      // is essentially INSENSITIVE to resolution (bits=21 vs 16: −4% at
+      // ×8), because the skew corpus's super-linear candidate growth
+      // (397k→9.3M for ×8 data) comes from copies genuinely SHARING their
+      // rare shingles — rare-feature collisions any prefix-filter scheme
+      // must verify, not rank noise. The adaptive sketch is cheap
+      // insurance for much larger corpora, where a fixed 2^16's per-bucket
+      // load (already ~130 instances at ×8) would eventually drown the
+      // rare-vs-common distinction that DOES matter; it is measured
+      // cost-neutral end-to-end at every factor probed.
+      val sketchBits = s.conf.get("spark.graft.ngram.sketchBits", "auto") match {
+        case "auto" =>
+          // coalesce: sum over an EMPTY corpus is NULL (all-empty totality)
+          val instances = docsSh
+            .agg(coalesce(sum(size(col("shs"))), lit(0L))).head().getLong(0)
+          math.min(21, math.max(16,
+            64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, instances / 8 - 1))))
+        case v => v.toInt
+      }
       val freqs = docsSh
         .select(graft.functions.BucketHistAgg.hist(s)(col("shs"), sketchBits))
         .head().getSeq[Int](0).toArray
