@@ -24,12 +24,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * Spark 4 parquet reader rejects by default. We read nanos as a long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds at
-    * the source boundary — the identical ns→µs truncation DuckDB applies via
-    * `CAST(ts AS TIMESTAMP)`, so oracle parity holds. Downstream operators
-    * always see a plain `TimestampType` column.
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    * generations (rounds 1–5) and plain µs in others (round 6+). The nanos
+    * form is rejected by the Spark 4 reader by default, so we always set
+    * `spark.sql.legacy.parquet.nanosAsLong` and then branch on the schema
+    * that actually materialized: a long column gets the ns→µs truncation
+    * at the source boundary (the identical truncation DuckDB applies via
+    * `CAST(ts AS TIMESTAMP)`, so oracle parity holds); a native timestamp
+    * passes through. Downstream operators always see a timestamp column.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

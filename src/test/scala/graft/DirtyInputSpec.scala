@@ -46,12 +46,25 @@ class DirtyInputSpec extends SparkSpec {
       Row(9000001L, 1L, null, null, null, null))))
     copy("lineitem", rows("lineitem", Seq(
       Row(9000001L, 1L, 1L, 1, null, null, null, null, null, null, null))))
-    // events.ts reads as long (nanos) under nanosAsLong
+    // events.ts: nanos-as-long under the legacy flag when the fixture is
+    // TIMESTAMP(NANOS); a plain (NTZ) timestamp when the fixture is µs —
+    // adapt the dirty rows to whichever representation the source schema
+    // carries so the spec survives fixture regeneration
+    def tsv(secs: Long): java.time.LocalDateTime =
+      java.time.LocalDateTime.ofEpochSecond(secs, 0, java.time.ZoneOffset.UTC)
+    val evSchema = spark.read.parquet(s"$base/events.parquet").schema
+    val (t1, t2): (Any, Any) = evSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        (1700000000000000000L, 1700000001000000000L)
+      case org.apache.spark.sql.types.TimestampType =>
+        (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L)),
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000001L)))
+      case _ => (tsv(1700000000L), tsv(1700000001L))
+    }
     copy("events", rows("events", Seq(
       Row(9000001L, null, 1L, null, null, null),            // all-null payload
-      Row(9000002L, 1700000000000000000L, 2L, "view", 1.0,
-        "{not json"),                                        // malformed props
-      Row(9000003L, 1700000001000000000L, 3L, "", 0.0, "")))) // empty strings
+      Row(9000002L, t1, 2L, "view", 1.0, "{not json"),      // malformed props
+      Row(9000003L, t2, 3L, "", 0.0, ""))))                 // empty strings
     copy("documents", rows("documents", Seq(
       Row(9000001L, null, null, null, null),                 // all-null payload
       Row(9000002L, "", "en", "web", 0L),                    // empty text
