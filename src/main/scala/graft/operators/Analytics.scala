@@ -231,7 +231,7 @@ object Analytics {
         |  coalesce(t.total, 0.0) AS total
         |FROM u CROSS JOIN ty
         |LEFT JOIN t ON t.user_id = u.user_id AND t.event_type = ty.event_type
-        |ORDER BY u.user_id, ty.event_type""".stripMargin,
+        |ORDER BY u.user_id NULLS FIRST, ty.event_type""".stripMargin,
     "q_cdc_apply" ->
       """WITH survivors AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -248,7 +248,7 @@ object Analytics {
     "q_collect" ->
       """SELECT o_custkey, count(*) AS n_orders,
         |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
-        |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+        |FROM orders GROUP BY 1 ORDER BY o_custkey NULLS FIRST""".stripMargin,
     "q_date_spine" ->
       """WITH days AS (
         |  SELECT unnest(generate_series(
@@ -277,34 +277,37 @@ object Analytics {
         | floor((var_samp(value))*1000000.0 + 0.5)/1000000.0 AS vr,
         | floor((corr(value, k))*1000000.0 + 0.5)/1000000.0 AS corr_vk,
         | floor((covar_samp(value, k))*1000000.0 + 0.5)/1000000.0 AS covar_vk
-        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM e GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_histogram" ->
-      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
-        | count(*) AS n, floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
-        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+      """SELECT CASE WHEN isnan(value) THEN 0
+        |      ELSE CAST(floor(value / 50.0) AS BIGINT) END AS bucket,
+        | count(*) AS n,
+        | CASE WHEN isnan(sum(value)) THEN 0.0
+        |      ELSE floor((sum(value))*100.0 + 0.5)/100.0 END AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         | floor((sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END))*100.0 + 0.5)/100.0 AS "F",
         | floor((sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END))*100.0 + 0.5)/100.0 AS "O",
         | floor((sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END))*100.0 + 0.5)/100.0 AS "P"
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
     "q_latest_state" ->
       """SELECT user_id, event_id, ts_us, event_type, value FROM (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |         event_type, value,
         |         row_number() OVER (PARTITION BY user_id
-        |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn
+        |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC NULLS LAST, event_id DESC) AS rn
         |  FROM events)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+        |WHERE rn = 1 ORDER BY user_id NULLS FIRST""".stripMargin,
     "q_scd2" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |                  event_type FROM events),
         |c AS (SELECT *, lag(event_type, 1) OVER w AS prev_type FROM e
-        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id)),
         |ch AS (SELECT * FROM c WHERE prev_type IS NULL OR prev_type <> event_type)
         |SELECT user_id, event_type AS state, ts_us AS valid_from,
-        |       lead(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to
-        |FROM ch ORDER BY user_id, valid_from""".stripMargin,
+        |       lead(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id) AS valid_to
+        |FROM ch ORDER BY user_id NULLS FIRST, valid_from NULLS FIRST""".stripMargin,
     "q_dq_checks" ->
       """SELECT count(*) AS n_rows,
         | count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null_custkey,

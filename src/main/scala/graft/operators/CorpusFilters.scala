@@ -558,7 +558,7 @@ object CorpusFilters {
         |  lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM t GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+        |FROM t GROUP BY 1, 2 ORDER BY split, lang NULLS FIRST""".stripMargin,
     "q_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
         |             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
@@ -672,7 +672,7 @@ object CorpusFilters {
         |SELECT lang, source, n_docs, n_tokens,
         |  floor((n_tokens*1.0/tot_tokens)*1000000.0 + 0.5)/1000000.0 AS token_share,
         |  floor((tot_tokens*1.0/(n_strata*n_tokens))*1000000.0 + 0.5)/1000000.0 AS mix_weight
-        |FROM strata CROSS JOIN tot ORDER BY lang, source""".stripMargin,
+        |FROM strata CROSS JOIN tot ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
     "q_seq_pack" ->
       """WITH t AS (
         |  SELECT doc_id, lang, doc_id // 1000 AS shard,

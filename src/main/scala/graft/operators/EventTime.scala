@@ -312,7 +312,7 @@ object EventTime {
         |      / (epoch_us(nt) - epoch_us(pt))) END) * 1000000.0 + 0.5)
         |    / 1000000.0 AS value,
         |  (v IS NOT NULL) AS observed
-        |FROM w ORDER BY event_type, hr_us""".stripMargin,
+        |FROM w ORDER BY event_type NULLS FIRST, hr_us""".stripMargin,
     "q_win_tumbling" ->
       """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value FROM events)
         |SELECT us - us % 3600000000 AS start_us,
@@ -351,7 +351,7 @@ object EventTime {
         |SELECT event_type, max(wm) AS watermark_us,
         |       count(CASE WHEN us < wm THEN 1 END) AS n_late,
         |       count(CASE WHEN us >= wm THEN 1 END) AS n_ontime
-        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM w GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_sessionize_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |g AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
@@ -363,7 +363,7 @@ object EventTime {
         |SELECT user_id, signup_us, purchase_us,
         |  CASE WHEN purchase_us IS NOT NULL AND purchase_us - signup_us <= 86400000000
         |       THEN 1 ELSE 0 END::BIGINT AS converted
-        |FROM a ORDER BY user_id""".stripMargin,
+        |FROM a ORDER BY user_id NULLS FIRST""".stripMargin,
     "q_range_bin" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |g AS (SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL

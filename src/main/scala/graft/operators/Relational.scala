@@ -681,14 +681,14 @@ object Relational {
     "q_agg_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
         | count(*) AS n_orders
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag,'ALL') AS rflag,
         | coalesce(l_linestatus,'ALL') AS lstatus,
         | floor((sum(l_extendedprice*(1-l_discount)))*100.0 + 0.5)/100.0 AS rev,
         | count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY rflag, lstatus""".stripMargin,
+        |ORDER BY rflag NULLS FIRST, lstatus NULLS FIRST""".stripMargin,
     "q_cube" ->
       """WITH e AS (SELECT event_type, value,
         |   CAST(CASE WHEN json_valid(props) THEN
@@ -707,7 +707,7 @@ object Relational {
         |ORDER BY user_id""".stripMargin,
     "q_sort" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
-        |ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin,
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_totalprice DESC NULLS LAST, o_orderkey ASC""".stripMargin,
     "q_topk" ->
       """SELECT l_partkey, floor((sum(l_extendedprice*(1-l_discount)))*100.0 + 0.5)/100.0 AS part_revenue
         |FROM lineitem GROUP BY l_partkey

@@ -419,7 +419,7 @@ object Roundtrip {
          |z AS (SELECT x, y, ${zTermsSql("xg", "yg")} AS zval FROM g)
          |SELECT zval // 256 AS zbucket, CAST(count(*) AS BIGINT) AS n,
          |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
-         |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin,
+         |FROM z GROUP BY 1 ORDER BY zbucket NULLS FIRST""".stripMargin,
     "q_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,

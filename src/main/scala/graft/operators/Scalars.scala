@@ -150,12 +150,17 @@ object Scalars {
     "q_math" ->
       """SELECT l_orderkey, l_linenumber,
         | floor((abs(l_discount - 0.05))*1000000.0 + 0.5)/1000000.0 AS ab,
-        | CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
-        | CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        | CASE WHEN isnan(l_extendedprice) THEN 0
+        |      ELSE CAST(ceil(l_extendedprice) AS BIGINT) END AS ce,
+        | CASE WHEN isnan(l_extendedprice) THEN 0
+        |      ELSE CAST(floor(l_extendedprice) AS BIGINT) END AS fl,
         | pow(l_quantity, 2.0) AS pw,
-        | floor((ln(1.0 + l_extendedprice))*1000000.0 + 0.5)/1000000.0 AS lg,
-        | floor((sqrt(l_quantity))*1000000.0 + 0.5)/1000000.0 AS sq,
-        | coalesce(floor((l_extendedprice / nullif(l_discount, 0.0))*1000000.0 + 0.5)/1000000.0, -1.0) AS safe_div
+        | CASE WHEN isnan(l_extendedprice) THEN 0.0
+        |      ELSE floor((ln(1.0 + l_extendedprice))*1000000.0 + 0.5)/1000000.0 END AS lg,
+        | CASE WHEN isnan(l_quantity) OR l_quantity < 0 THEN 0.0
+        |      ELSE floor((sqrt(l_quantity))*1000000.0 + 0.5)/1000000.0 END AS sq,
+        | coalesce(CASE WHEN isnan(l_extendedprice / nullif(l_discount, 0.0)) THEN 0.0
+        |      ELSE floor((l_extendedprice / nullif(l_discount, 0.0))*1000000.0 + 0.5)/1000000.0 END, -1.0) AS safe_div
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_case" ->
       """WITH c AS (SELECT *,
@@ -174,7 +179,7 @@ object Scalars {
         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
         | count(DISTINCT k) AS n_k,
         | count(CASE WHEN k > 5 THEN 1 END) AS n_k_gt5
-        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM e GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_array" ->
       """SELECT vec_id,
         | CAST(len(embedding) AS BIGINT) AS n,

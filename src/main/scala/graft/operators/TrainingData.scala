@@ -820,7 +820,7 @@ object TrainingData {
         |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_ws_tokens,
         |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S'))) AS BIGINT) AS n_bpe_tokens,
         |  floor((sum(n_chars)*1.0/sum(len(string_split(text,' '))))*1000000.0 + 0.5)/1000000.0 AS chars_per_tok
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
     "q_fingerprint" ->
       """WITH st AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
         |              unnest(range(1, len(string_split(text,' '))+1)) AS pos

@@ -146,8 +146,8 @@ object Windows {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
         |  FROM orders
-        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
-        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC))
+        |WHERE rn <= 3 ORDER BY o_custkey NULLS FIRST, rn""".stripMargin,
     "q_win_lag" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
         |SELECT user_id, event_id, ts_us,
@@ -157,10 +157,10 @@ object Windows {
         |  last_value(ts_us) OVER wa AS last_us,
         |  ts_us - lag(ts_us, 1) OVER wo AS gap_us
         |FROM e
-        |WINDOW wo AS (PARTITION BY user_id ORDER BY ts_us, event_id),
-        |       wa AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |WINDOW wo AS (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id),
+        |       wa AS (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+        |ORDER BY user_id NULLS FIRST, ts_us NULLS FIRST, event_id""".stripMargin,
     "q_win_frame" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', o_orderdate) AS day,
