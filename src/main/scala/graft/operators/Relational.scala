@@ -375,15 +375,23 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
-  /** ROLLUP subtotals. NULL group markers are coalesced to 'ALL' on both
-    * engines so Spark (nulls-first) vs DuckDB (nulls-last) sort order can
-    * never diverge. */
+  /** ROLLUP subtotals. Roll-up markers come from grouping(), not from
+    * coalescing the grouped value (same discipline as [[qCube]]): a DATA
+    * null in l_returnflag/l_linestatus must not collide with the 'ALL'
+    * subtotal sentinel, or the presentation ORDER BY stops being total and
+    * row order diverges between engines. No-op on the fixtures, whose
+    * flag/status columns are never null. */
   def qRollup(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(Cols.r2(sum(revenue)).as("rev"), count(lit(1)).as("n"))
-      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+      .agg(grouping(col("l_returnflag")).as("gf"),
+        grouping(col("l_linestatus")).as("gl"),
+        Cols.r2(sum(revenue)).as("rev"), count(lit(1)).as("n"))
+      .select(
+        when(col("gf") === 1, lit("ALL"))
+          .otherwise(coalesce(col("l_returnflag"), lit("(null)"))).as("rflag"),
+        when(col("gl") === 1, lit("ALL"))
+          .otherwise(coalesce(col("l_linestatus"), lit("(null)"))).as("lstatus"),
         col("rev"), col("n"))
       .orderBy("rflag", "lstatus")
 
@@ -683,12 +691,14 @@ object Relational {
         | count(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
     "q_rollup" ->
-      """SELECT coalesce(l_returnflag,'ALL') AS rflag,
-        | coalesce(l_linestatus,'ALL') AS lstatus,
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+        |            ELSE coalesce(l_returnflag, '(null)') END AS rflag,
+        | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+        |      ELSE coalesce(l_linestatus, '(null)') END AS lstatus,
         | floor((sum(l_extendedprice*(1-l_discount)))*100.0 + 0.5)/100.0 AS rev,
         | count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY rflag NULLS FIRST, lstatus NULLS FIRST""".stripMargin,
+        |ORDER BY rflag, lstatus""".stripMargin,
     "q_cube" ->
       """WITH e AS (SELECT event_type, value,
         |   CAST(CASE WHEN json_valid(props) THEN
