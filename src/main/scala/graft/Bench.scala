@@ -33,6 +33,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -90,7 +91,7 @@ object Bench {
     def obj(kvs: Iterable[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = med.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"reps":$reps,"queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"reps":$reps,"queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}"""
     // Compact summary printed LAST: artifact collectors that keep only the
     // tail of stdout (the driver stores 2000 chars) must still see the
     // totals, rep count, the slowest queries, the dedup-family
@@ -105,8 +106,35 @@ object Bench {
       .flatMap(q => minMap.get(q).map(q -> _))
     val failures = med.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"summary","total":$total,"warmup_sec":$warmup,"reps":$reps,"n_queries":${med.size},"slowest":${obj(slowest)},"watch":${obj(watch)},"watch_min":${obj(watchMin)},"failures":$failures}""")
+    val summaryLine = s"""{"metric":"summary","total":$total,"warmup_sec":$warmup,"reps":$reps,"n_queries":${med.size},"slowest":${obj(slowest)},"watch":${obj(watch)},"watch_min":${obj(watchMin)},"failures":$failures}"""
+    // Tail hardening (r6 postmortem): BENCH_r06.json came back parsed:null
+    // because teardown AFTER the summary println flooded stderr with
+    // checkpoint-unpersist WARNs and the driver tails the COMBINED stream —
+    // the flood evicted the summary from the 2000-char window. Defense in
+    // depth, in order:
+    //  1. Sidecar file first: the artifact no longer depends on tail
+    //     geometry at all.
+    //  2. ALL teardown (unpersist + stop) runs BEFORE the printlns, with
+    //     the log level dropped to ERROR so the known-benign shutdown WARN
+    //     classes (org.apache.spark.rdd locally-checkpointed warnings,
+    //     executor shutdown chatter) are silenced; JVM-exit shutdown hooks
+    //     inherit the ERROR level too.
+    //  3. The two JSON lines print after everything Spark will ever write.
+    // tools/bench_tail_check.sh pins this ordering under a forced WARN
+    // flood (SPARK_GRAFT_BENCH_WARNFLOOD).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      fullLine + "\n" + summaryLine + "\n")
     graft.operators.TrainingData.unpersistAll()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.contains("SPARK_GRAFT_BENCH_WARNFLOOD")) {
+      // Simulated late writer for the tail check: 500 WARNs at the exact
+      // point teardown spam would land. Must be invisible under ERROR.
+      val flood = org.slf4j.LoggerFactory.getLogger("graft.bench.flood")
+      (1 to 500).foreach(i => flood.warn(s"synthetic teardown warn $i"))
+    }
     spark.stop()
+    println(fullLine)
+    println(summaryLine)
   }
 }

@@ -34,7 +34,13 @@ object Tables {
     * passes through. Downstream operators always see a timestamp column.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The conf is set once at session build in every repo-owned harness
+    // (Verify/Bench/spec wrapper); this guard only fires for externally
+    // built sessions (the driver's smoke session) and only writes when the
+    // value actually differs, so concurrent loaders never race on a
+    // global-conf write (r6 verdict item 3).
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -111,7 +111,7 @@ object MinHashAgg {
     * lexicographically first) token, est_jac degenerated to {0,1}, and
     * the operator silently clustered "docs sharing their first vocab
     * token" (quadratic cliques: 38.6 M pairs on the ×8 skew-shard corpus,
-    * ~2.4× super-linear). The skew octave caught it; MinHashLawsSpec pins
+    * ~2.4× super-linear). The skew octave caught it; MinHashAggSpec pins
     * wrap-richness and argmin diversity so the family cannot regress. */
   val K = 8
   val P = 2147483647L

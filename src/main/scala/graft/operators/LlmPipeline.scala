@@ -158,7 +158,12 @@ object LlmPipeline {
     // window that profiled at 3.0 s (corpus-wide shuffle + partition sort).
     // Both sides of the candidate self-join scan the prefix set — persist
     // it once rather than running the subtree twice.
-    val prefix = TrainingData.cached("ngramPrefix", s, d) {
+    // The resolved sketchBits conf is part of the cache key: flipping
+    // spark.graft.ngram.sketchBits mid-session must rebuild the prefix,
+    // not silently return the one built under the old bits (an A/B that
+    // forgot unpersistAll() would otherwise compare identical arms).
+    val sketchBitsConf = s.conf.get("spark.graft.ngram.sketchBits", "auto")
+    val prefix = TrainingData.cached(s"ngramPrefix:$sketchBitsConf", s, d) {
       // SKETCH RESOLUTION SCALES WITH THE CORPUS (round-6 skew octave).
       // Auto targets ~8 shingle instances per bucket, clamped to [16, 21]
       // (21 keeps a partial-agg buffer at 8 MiB; past that a single-group
@@ -174,7 +179,7 @@ object LlmPipeline {
       // load (already ~130 instances at ×8) would eventually drown the
       // rare-vs-common distinction that DOES matter; it is measured
       // cost-neutral end-to-end at every factor probed.
-      val sketchBits = s.conf.get("spark.graft.ngram.sketchBits", "auto") match {
+      val sketchBits = sketchBitsConf match {
         case "auto" =>
           // coalesce: sum over an EMPTY corpus is NULL (all-empty totality)
           val instances = docsSh

@@ -63,7 +63,9 @@ object SkewDiag {
           .where(length(col("text")) >= 5)
           .select(col("doc_id"), col("lang"), sh(col("text"), 5).as("shs"))
           .persist()
-        val instances = docsSh.agg(sum(size(col("shs")))).head().getLong(0)
+        // coalesce: sum over an empty/filtered-out shard is NULL
+        val instances = docsSh
+          .agg(coalesce(sum(size(col("shs"))), lit(0L))).head().getLong(0)
         Seq(16, 21).foreach { bits =>
           val freqs = docsSh
             .select(graft.functions.BucketHistAgg.hist(spark)(col("shs"), bits))

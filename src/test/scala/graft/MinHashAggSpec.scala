@@ -21,8 +21,11 @@ class MinHashAggSpec extends SparkSpec {
   test("one-pass aggregate equals the k-min-columns formulation") {
     val sig = MinHashAgg.minhashSig(spark) _
     val agg = toks.groupBy(col("doc_id")).agg(sig(col("tok_id")).as("sig"))
+    // Mirror the kernel/oracle formulation EXACTLY: tok_id is reduced
+    // mod P BEFORE the multiply (the unreduced form only agrees while
+    // vocab ids are small enough not to overflow past a*P).
     val mins = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("tok_id") + lit(b)) % lit(P)).as(s"h$i")
+      min((lit(a) * (col("tok_id") % lit(P)) + lit(b)) % lit(P)).as(s"h$i")
     }
     val cols = toks.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until 8).map(i => col(s"h$i")): _*).as("sig"))
