@@ -29,11 +29,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class MinHashAgg(
     child: Expression,
+    k: Int = MinHashAgg.K,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
-  import MinHashAgg.{A, B, K, P}
+  import MinHashAgg.P
+
+  // Lane family for this instance's k: first 8 lanes are the published
+  // constants, further lanes generated deterministically (same envelope).
+  // @transient lazy: rebuilt per executor from (k) alone — no state ships.
+  @transient private lazy val lanes = MinHashAgg.family(k)
 
   override def children: Seq[Expression] = Seq(child)
 
@@ -46,7 +52,7 @@ case class MinHashAgg(
   override def nullable: Boolean = true
 
   override def createAggregationBuffer(): Array[Long] =
-    Array.fill(K)(Long.MaxValue)
+    Array.fill(k)(Long.MaxValue)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -57,9 +63,10 @@ case class MinHashAgg(
       // (and replayable in int64 SQL) at a 10⁹⁺-token vocab, where the
       // unreduced product would overflow
       val xr = x % P
+      val (la, lb) = lanes
       var i = 0
-      while (i < K) {
-        val h = (A(i) * xr + B(i)) % P
+      while (i < k) {
+        val h = (la(i) * xr + lb(i)) % P
         if (h < buf(i)) buf(i) = h
         i += 1
       }
@@ -69,7 +76,7 @@ case class MinHashAgg(
 
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < K) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+    while (i < k) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
     b1
   }
 
@@ -77,14 +84,14 @@ case class MinHashAgg(
     if (buf.forall(_ == Long.MaxValue)) null else new GenericArrayData(buf)
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(K * 8)
+    val bb = ByteBuffer.allocate(k * 8)
     buf.foreach(bb.putLong)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    Array.fill(K)(bb.getLong)
+    Array.fill(k)(bb.getLong)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAgg =
@@ -119,6 +126,31 @@ object MinHashAgg {
     1430000017L, 1540000001L, 1650000049L, 1760000027L, 1870000087L)
   val B: Array[Long] = Array(1409L, 2003L, 2707L, 3323L, 4001L, 4703L, 5419L, 6089L)
 
+  /** Affine family at an arbitrary lane count. Lanes < 8 are the published
+    * constants above (the declared 8-lane surface and its oracle replay
+    * them verbatim — MinHashAggSpec pins this prefix). Lanes ≥ 8 are
+    * generated deterministically inside the same wrap-richness envelope
+    * the 8 published multipliers satisfy: a ∈ [2.1·10⁸, P − 2.1·10⁸], so
+    * every generated lane wraps P within ~10 consecutive ids and no lane
+    * is monotone over a realistic vocab (the round-6 degeneracy class).
+    * Used by the production-lane (64–128) measurement tier; the formula is
+    * fixed so K=64 runs are replayable. */
+  def family(k: Int): (Array[Long], Array[Long]) = {
+    val a = new Array[Long](k)
+    val b = new Array[Long](k)
+    val span = P - 2L * 210000000L   // envelope width
+    var i = 0
+    while (i < k) {
+      if (i < K) { a(i) = A(i); b(i) = B(i) }
+      else {
+        a(i) = 210000000L + (A(i % K) * 31L + 104729L * i) % span
+        b(i) = B(i % K) + 7013L * i
+      }
+      i += 1
+    }
+    (a, b)
+  }
+
   private val name = "minhash_sig"
 
   def register(spark: SparkSession): Unit =
@@ -129,5 +161,15 @@ object MinHashAgg {
   def minhashSig(spark: SparkSession)(tokId: Column): Column = {
     register(spark)
     call_function(name, tokId)
+  }
+
+  /** Aggregate column at an EXPLICIT lane count — the production-lane
+    * measurement tier (64–128 lanes). Same one-buffer shape; the declared
+    * 8-lane surface keeps using [[minhashSig]]. */
+  def minhashSigK(spark: SparkSession, k: Int)(tokId: Column): Column = {
+    val nm = s"${name}_k$k"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      nm, exprs => MinHashAgg(exprs.head, k), "scala_udf")
+    call_function(nm, tokId)
   }
 }

@@ -264,10 +264,12 @@ object Analytics {
         |ORDER BY day_us""".stripMargin,
     "q_percentile" ->
       """SELECT event_type,
-        | floor((quantile_cont(value, 0.5))*1000000.0 + 0.5)/1000000.0 AS p50,
-        | floor((quantile_cont(value, 0.9))*1000000.0 + 0.5)/1000000.0 AS p90,
+        | CASE WHEN isnan(quantile_cont(value, 0.5)) THEN 0.0
+        |      ELSE floor((quantile_cont(value, 0.5))*1000000.0 + 0.5)/1000000.0 END AS p50,
+        | CASE WHEN isnan(quantile_cont(value, 0.9)) THEN 0.0
+        |      ELSE floor((quantile_cont(value, 0.9))*1000000.0 + 0.5)/1000000.0 END AS p90,
         | count(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_stats_moments" ->
       """WITH e AS (SELECT event_type, value,
         |  CAST(CASE WHEN json_valid(props) THEN

@@ -673,9 +673,14 @@ object CorpusFilters {
         |  floor((n_tokens*1.0/tot_tokens)*1000000.0 + 0.5)/1000000.0 AS token_share,
         |  floor((tot_tokens*1.0/(n_strata*n_tokens))*1000000.0 + 0.5)/1000000.0 AS mix_weight
         |FROM strata CROSS JOIN tot ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    // Exact integer FLOOR division for the shard: Spark's
+    // floor(doc_id/1000) floors negative ids (-3 → -1) while DuckDB's //
+    // truncates toward zero (-3 → 0) — subtracting the positive remainder
+    // first makes // exact. No-op on clean fixtures (ids non-negative).
     "q_seq_pack" ->
       """WITH t AS (
-        |  SELECT doc_id, lang, doc_id // 1000 AS shard,
+        |  SELECT doc_id, lang,
+        |    (doc_id - ((doc_id % 1000) + 1000) % 1000) // 1000 AS shard,
         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
         |  FROM documents),
         |c AS (
@@ -704,9 +709,13 @@ object CorpusFilters {
         |      FROM m)
         |SELECT vec_id, label,
         |  floor((scale * 1000.0)*1000000.0 + 0.5)/1000000.0 AS scale_x1000,
-        |  CAST(list_sum(list_transform(codes, c -> abs(coalesce(c, 0)))) AS BIGINT) AS l1_codes,
-        |  floor((sqrt(list_sum(list_transform(list_zip(dv, codes),
-        |    p -> pow(p[1] - coalesce(p[2], 0) * scale, 2)))))*1000000.0 + 0.5)/1000000.0 AS recon_err
+        |  CASE WHEN codes IS NULL THEN NULL
+        |       WHEN len(codes) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(list_sum(list_transform(codes, c -> abs(coalesce(c, 0)))) AS BIGINT) END AS l1_codes,
+        |  CASE WHEN dv IS NULL THEN NULL
+        |       WHEN len(dv) = 0 THEN 0.0
+        |       ELSE floor((sqrt(list_sum(list_transform(list_zip(dv, codes),
+        |    p -> pow(p[1] - coalesce(p[2], 0) * scale, 2)))))*1000000.0 + 0.5)/1000000.0 END AS recon_err
         |FROM q ORDER BY vec_id""".stripMargin,
     "q_doc_index" ->
       """WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
@@ -730,10 +739,16 @@ object CorpusFilters {
         |CROSS JOIN tot
         |WHERE c_ab >= 5
         |ORDER BY pmi DESC, a ASC, b ASC LIMIT 20""".stripMargin,
+    // Mirrors Cols.mixBucket exactly for NEGATIVE ids too: the Spark side
+    // uses shiftrightUNSIGNED ((x >> 33) & (2^31-1) here) and pmod; the
+    // bare arithmetic >>/% forms only agree on non-negative keys.
     "q_sample_stratified" ->
-      """WITH h AS (SELECT doc_id, lang, source, n_chars,
-        |    xor(doc_id, doc_id >> 33) % 268435399 * 2654435761 AS hm
-        |  FROM documents)
+      """WITH h0 AS (SELECT doc_id, lang, source, n_chars,
+        |    xor(doc_id, (doc_id >> 33) & 2147483647) AS x
+        |  FROM documents),
+        |h AS (SELECT doc_id, lang, source, n_chars,
+        |    ((x % 268435399 + 268435399) % 268435399) * 2654435761 AS hm
+        |  FROM h0)
         |SELECT doc_id, lang, source, n_chars FROM h
         |WHERE xor(hm, hm >> 29) % 100 <
         |      CASE WHEN lang = 'en' THEN 10 ELSE 40 END
@@ -762,7 +777,8 @@ object CorpusFilters {
         |h AS (SELECT *, sha256(lower(trim(text))) AS h FROM f),
         |s AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id)
         |        AS rn FROM h),
-        |sm AS (SELECT doc_id, lang, n_tok, doc_id // 1000 AS shard
+        |sm AS (SELECT doc_id, lang, n_tok,
+        |         (doc_id - ((doc_id % 1000) + 1000) % 1000) // 1000 AS shard
         |       FROM s WHERE rn = 1
         |         AND xor(hm, hm >> 29) % 100 <
         |             CASE WHEN lang = 'en' THEN 60 ELSE 90 END),

@@ -313,22 +313,28 @@ object EventTime {
         |    / 1000000.0 AS value,
         |  (v IS NOT NULL) AS observed
         |FROM w ORDER BY event_type NULLS FIRST, hr_us""".stripMargin,
+    // ts IS NOT NULL: Spark's window()/session_window drop null event
+    // times (the declared semantics); DuckDB's bucket arithmetic would
+    // otherwise emit a NULL bucket. No-op on clean fixtures (no null ts).
     "q_win_tumbling" ->
-      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value FROM events)
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value FROM events
+        |          WHERE ts IS NOT NULL)
         |SELECT us - us % 3600000000 AS start_us,
         |       us - us % 3600000000 + 3600000000 AS end_us,
         |       event_type, count(*) AS n,
         |       floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
         |FROM e GROUP BY 1, 2, 3 ORDER BY start_us, event_type""".stripMargin,
     "q_win_sliding" ->
-      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events
+        |          WHERE ts IS NOT NULL),
         |w AS (SELECT us - us % 900000000 - j * 900000000 AS start_us, value
         |      FROM e CROSS JOIN generate_series(0, 3) AS t(j))
         |SELECT start_us, start_us + 3600000000 AS end_us, count(*) AS n,
         |       floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
         |FROM w GROUP BY 1 ORDER BY start_us""".stripMargin,
     "q_win_session" ->
-      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events
+        |          WHERE ts IS NOT NULL),
         |g AS (SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
         |                     THEN 1 ELSE 0 END AS new_s
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),

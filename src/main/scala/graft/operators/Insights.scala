@@ -103,12 +103,10 @@ object Insights {
     // descending (frequency/monetary: large = good) → 4 − #cuts below.
     // NULL metric (possible only on dirty input, e.g. an all-null
     // o_totalprice sum): when(m > cut).otherwise(0) scores it as the
-    // bottom bucket (1 or 4), while the oracle's (m > cut)::int arithmetic
-    // propagates NULL into the score and segment — a dirty-input-only
-    // divergence the parity gate never exercises (clean fixtures have no
-    // null metrics; DirtyInputSpec checks totality, not cross-engine
-    // parity). The Spark behavior is the production-correct one: an
-    // unknown metric is WORST-bucketed, not dropped from segmentation.
+    // bottom bucket (1 or 4). The oracle mirrors this with
+    // coalesce((m > cut)::int, 0) — round-7 canonicalization; an unknown
+    // metric is WORST-bucketed on both engines, not dropped from
+    // segmentation.
     def above(metric: Column, cutsArr: Column): Column = (1 to 3)
       .map(i => when(metric.cast("double") >
         Cols.r6(element_at(cutsArr, i)), 1L).otherwise(0L))
@@ -705,7 +703,7 @@ object Insights {
         |       FROM e),
         |r AS (SELECT event_type, h,
         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
-        |        count(*) OVER (PARTITION BY event_type) AS nd
+        |        count(h) OVER (PARTITION BY event_type) AS nd
         |      FROM hh),
         |ex AS (SELECT event_type, count(DISTINCT key) AS exact FROM e GROUP BY 1),
         |sk AS (SELECT event_type, max(CASE WHEN rk = 128 THEN h END) AS u_k,
@@ -715,8 +713,9 @@ object Insights {
         |per AS (SELECT sk.event_type AS scope, ex.exact, sk.sketch_size,
         |          CASE WHEN sk.nd < 128 THEN CAST(sk.nd AS DOUBLE)
         |               ELSE 127.0 * 2147483647.0 / u_k END AS e
-        |        FROM sk JOIN ex ON sk.event_type = ex.event_type),
-        |uh AS (SELECT DISTINCT h FROM r WHERE rk <= 128),
+        |        FROM sk JOIN ex
+        |          ON sk.event_type IS NOT DISTINCT FROM ex.event_type),
+        |uh AS (SELECT DISTINCT h FROM r WHERE rk <= 128 AND h IS NOT NULL),
         |ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rk,
         |         count(*) OVER () AS nd FROM uh),
         |uall AS (SELECT 'ALL' AS scope,
@@ -729,8 +728,10 @@ object Insights {
         |u AS (SELECT * FROM per UNION ALL SELECT * FROM uall)
         |SELECT scope, exact AS exact_distinct, sketch_size,
         |  floor(e * 100.0 + 0.5) / 100.0 AS est_distinct,
-        |  floor((abs(e - exact) / exact) * 1000000.0 + 0.5) / 1000000.0 AS rel_err
-        |FROM u ORDER BY scope""".stripMargin,
+        |  CASE WHEN exact = 0 THEN 0.0
+        |       ELSE floor((abs(e - exact) / exact) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS rel_err
+        |FROM u ORDER BY scope NULLS FIRST""".stripMargin,
     "q_basket_pairs" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |n AS (SELECT count(DISTINCT o) AS n_orders FROM it),
@@ -785,10 +786,14 @@ object Insights {
         |    AS BIGINT) AS n_state,
         |  CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) >= cut THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_delta,
-        |  floor(sum(o_totalprice)*100.0 + 0.5)/100.0 AS total_price,
+        |  CASE WHEN isnan(sum(o_totalprice)) THEN 0.0
+        |       ELSE floor(sum(o_totalprice)*100.0 + 0.5)/100.0 END AS total_price,
         |  epoch_us(min(o_orderdate)) AS min_date_us,
         |  epoch_us(max(o_orderdate)) AS max_date_us
-        |FROM orders, cut GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+        |FROM orders, cut
+        |WHERE o_orderdate IS NOT NULL
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
     "q_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |              CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
@@ -831,10 +836,12 @@ object Insights {
         |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS xs
         |  FROM daily)
         |SELECT event_type, day,
-        |  floor(day_value*100.0 + 0.5)/100.0 AS day_value,
-        |  floor(list_reduce(xs, (a, x) -> a*0.7 + 0.3*x)*1000000.0 + 0.5)
-        |    /1000000.0 AS ewma
-        |FROM l ORDER BY event_type, day""".stripMargin,
+        |  CASE WHEN isnan(day_value) THEN 0.0
+        |       ELSE floor(day_value*100.0 + 0.5)/100.0 END AS day_value,
+        |  CASE WHEN isnan(list_reduce(xs, (a, x) -> a*0.7 + 0.3*x)) THEN 0.0
+        |       ELSE floor(list_reduce(xs, (a, x) -> a*0.7 + 0.3*x)*1000000.0 + 0.5)
+        |    /1000000.0 END AS ewma
+        |FROM l ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
     "q_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
@@ -859,7 +866,8 @@ object Insights {
         |per AS (SELECT o_custkey,
         |          max(CAST(o_orderdate AS DATE)) AS last_order,
         |          CAST(count(*) AS BIGINT) AS frequency,
-        |          floor(sum(o_totalprice)*100.0 + 0.5)/100.0 AS monetary
+        |          CASE WHEN isnan(sum(o_totalprice)) THEN 0.0
+        |               ELSE floor(sum(o_totalprice)*100.0 + 0.5)/100.0 END AS monetary
         |        FROM orders GROUP BY 1),
         |m AS (SELECT o_custkey,
         |        CAST(date_diff('day', last_order, anchor) AS BIGINT)
@@ -878,18 +886,21 @@ object Insights {
         |    floor(quantile_cont(CAST(monetary AS DOUBLE), 0.75)*1000000.0 + 0.5)/1000000.0 AS m3
         |  FROM m),
         |scored AS (SELECT o_custkey, recency_days, frequency, monetary,
-        |    CAST(1 + (recency_days > r1)::int + (recency_days > r2)::int
-        |           + (recency_days > r3)::int AS BIGINT) AS r_score,
-        |    CAST(4 - (frequency > f1)::int - (frequency > f2)::int
-        |           - (frequency > f3)::int AS BIGINT) AS f_score,
-        |    CAST(4 - (monetary > m1)::int - (monetary > m2)::int
-        |           - (monetary > m3)::int AS BIGINT) AS m_score
+        |    CAST(1 + coalesce((recency_days > r1)::int, 0)
+        |           + coalesce((recency_days > r2)::int, 0)
+        |           + coalesce((recency_days > r3)::int, 0) AS BIGINT) AS r_score,
+        |    CAST(4 - coalesce((frequency > f1)::int, 0)
+        |           - coalesce((frequency > f2)::int, 0)
+        |           - coalesce((frequency > f3)::int, 0) AS BIGINT) AS f_score,
+        |    CAST(4 - coalesce((monetary > m1)::int, 0)
+        |           - coalesce((monetary > m2)::int, 0)
+        |           - coalesce((monetary > m3)::int, 0) AS BIGINT) AS m_score
         |  FROM m CROSS JOIN cuts)
         |SELECT o_custkey, recency_days, frequency, monetary,
         |  r_score, f_score, m_score,
         |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
         |    || CAST(m_score AS VARCHAR) AS segment
-        |FROM scored ORDER BY o_custkey""".stripMargin,
+        |FROM scored ORDER BY o_custkey NULLS FIRST""".stripMargin,
     "q_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

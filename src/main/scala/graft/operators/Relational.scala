@@ -707,14 +707,22 @@ object Relational {
         |            ELSE coalesce(event_type, '(null)') END AS etype,
         | CASE WHEN GROUPING(k_bucket) = 1 THEN -1
         |      ELSE coalesce(k_bucket, -2) END AS kb,
-        | count(*) AS n, floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
+        | count(*) AS n,
+        | CASE WHEN isnan(sum(value)) THEN 0.0
+        |      ELSE floor((sum(value))*100.0 + 0.5)/100.0 END AS sum_value
         |FROM e GROUP BY CUBE(event_type, k_bucket)
         |ORDER BY etype, kb""".stripMargin,
+    // isnan guards mirror Spark's floor(double)→LONG NaN.toLong == 0 on
+    // NaN-poisoned aggregates — no-op on clean fixtures (no NaN inputs).
     "q_having" ->
-      """SELECT user_id, floor((sum(value))*100.0 + 0.5)/100.0 AS total_value, count(*) AS n_events
+      """SELECT user_id,
+        |  CASE WHEN isnan(sum(value)) THEN 0.0
+        |       ELSE floor((sum(value))*100.0 + 0.5)/100.0 END AS total_value,
+        |  count(*) AS n_events
         |FROM events GROUP BY user_id
-        |HAVING floor((sum(value))*100.0 + 0.5)/100.0 > 1000.0
-        |ORDER BY user_id""".stripMargin,
+        |HAVING (CASE WHEN isnan(sum(value)) THEN 0.0
+        |             ELSE floor((sum(value))*100.0 + 0.5)/100.0 END) > 1000.0
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
     "q_sort" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
         |ORDER BY o_orderpriority ASC NULLS FIRST, o_totalprice DESC NULLS LAST, o_orderkey ASC""".stripMargin,

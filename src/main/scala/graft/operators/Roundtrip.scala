@@ -436,20 +436,30 @@ object Roundtrip {
     "q_orc_roundtrip" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
+    // NULLIF: a Hive-style partition directory cannot represent an empty
+    // string — Spark writes '' to __HIVE_DEFAULT_PARTITION__ and reads it
+    // back as NULL. No-op on clean fixtures (lang never '').
     "q_partitioned_roundtrip" ->
-      """SELECT doc_id, source, n_chars, lang
+      """SELECT doc_id, source, n_chars, NULLIF(lang, '') AS lang
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_vecbin_roundtrip" ->
-      """SELECT vec_id, label, embedding[1] AS dim0,
-        |  floor(sqrt(list_sum(list_transform(embedding,
-        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))*1000000.0 + 0.5)
-        |    /1000000.0 AS l2_norm
-        |FROM embeddings WHERE len(embedding) = 64 ORDER BY vec_id""".stripMargin,
+      """WITH v AS (SELECT vec_id, label, embedding[1] AS dim0,
+        |  sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2r
+        |FROM embeddings WHERE len(embedding) = 64)
+        |SELECT vec_id, label, dim0,
+        |  CASE WHEN isnan(l2r) THEN 0.0
+        |       ELSE floor(l2r*1000000.0 + 0.5)/1000000.0 END AS l2_norm
+        |FROM v ORDER BY vec_id""".stripMargin,
+    // The writer's two batch predicates (%2 = 0 / %2 = 1) drop rows whose
+    // key satisfies neither — negative keys have %2 = -1 in both engines.
+    // No-op on clean fixtures (keys non-negative).
     "q_schema_evolution" ->
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus,
         |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END::BIGINT AS batch
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
+        |FROM orders WHERE o_orderkey % 2 IN (0, 1)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
@@ -461,6 +471,7 @@ object Roundtrip {
         |  CASE WHEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') = '$EvolveDay'
         |       THEN value * 2 ELSE value END AS value FROM events)
         |SELECT event_date, count(*) AS n,
-        |  floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
-        |FROM e GROUP BY 1 ORDER BY event_date""".stripMargin)
+        |  CASE WHEN isnan(sum(value)) THEN 0.0
+        |       ELSE floor((sum(value))*100.0 + 0.5)/100.0 END AS sum_value
+        |FROM e GROUP BY 1 ORDER BY event_date NULLS FIRST""".stripMargin)
 }

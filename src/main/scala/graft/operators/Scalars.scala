@@ -180,14 +180,22 @@ object Scalars {
         | count(DISTINCT k) AS n_k,
         | count(CASE WHEN k > 5 THEN 1 END) AS n_k_gt5
         |FROM e GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
+    // isnan guards mirror Spark's floor(double)→LONG NaN.toLong == 0 on
+    // NaN-poisoned vectors — no-op on clean fixtures.
     "q_array" ->
-      """SELECT vec_id,
-        | CAST(len(embedding) AS BIGINT) AS n,
-        | floor((CAST(embedding[1] AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS e1,
-        | floor((CAST(list_max(embedding) AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS mx,
-        | floor((sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))*1000000.0 + 0.5)/1000000.0 AS nrm,
-        | floor((list_sum(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))))*1000000.0 + 0.5)/1000000.0 AS head3_sum
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+      """WITH v AS (SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS n,
+        |  CAST(embedding[1] AS DOUBLE) AS e1r,
+        |  CAST(list_max(embedding) AS DOUBLE) AS mxr,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrmr,
+        |  list_sum(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))) AS h3r
+        |FROM embeddings)
+        |SELECT vec_id, n,
+        | CASE WHEN isnan(e1r) THEN 0.0 ELSE floor(e1r*1000000.0 + 0.5)/1000000.0 END AS e1,
+        | CASE WHEN isnan(mxr) THEN 0.0 ELSE floor(mxr*1000000.0 + 0.5)/1000000.0 END AS mx,
+        | CASE WHEN isnan(nrmr) THEN 0.0 ELSE floor(nrmr*1000000.0 + 0.5)/1000000.0 END AS nrm,
+        | CASE WHEN isnan(h3r) THEN 0.0 ELSE floor(h3r*1000000.0 + 0.5)/1000000.0 END AS head3_sum
+        |FROM v ORDER BY vec_id""".stripMargin,
     "q_map" ->
       """SELECT event_id, k AS key,
         | CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS val

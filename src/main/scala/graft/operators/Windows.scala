@@ -123,24 +123,28 @@ object Windows {
     "q_win_range" -> (qWinRange _))
 
   val oracles: ListMap[String, String] = ListMap(
+    // NULLS FIRST qualifiers: Spark defaults ASC NULLS FIRST, DuckDB the
+    // opposite — invisible on clean fixtures (keys non-null), aligns the
+    // presentation order under dirty-corpus poison rows.
     "q_win_range" ->
       """WITH e AS (SELECT event_id, user_id,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events)
         |SELECT user_id, event_id, us,
         |  count(*) OVER w AS n_30m,
-        |  floor((sum(value) OVER w)*100.0 + 0.5)/100.0 AS sum_30m
+        |  CASE WHEN isnan(sum(value) OVER w) THEN 0.0
+        |       ELSE floor((sum(value) OVER w)*100.0 + 0.5)/100.0 END AS sum_30m
         |FROM e
-        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us NULLS FIRST
         |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, us, event_id""".stripMargin,
+        |ORDER BY user_id NULLS FIRST, us NULLS FIRST, event_id""".stripMargin,
     "q_win_ntile" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
         |  floor((percent_rank() OVER w)*1000000.0 + 0.5)/1000000.0 AS pct_rank,
         |  floor((cume_dist() OVER w)*1000000.0 + 0.5)/1000000.0 AS cume
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
-        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderkey""".stripMargin,
     "q_win_rank" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -161,17 +165,38 @@ object Windows {
         |       wa AS (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id NULLS FIRST, ts_us NULLS FIRST, event_id""".stripMargin,
+    // isnan guard mirrors Spark's floor(double)→LONG NaN.toLong == 0 on a
+    // NaN-poisoned aggregate. The null-day group is kept OUT of the window
+    // input and unioned back with NULL window outputs: DuckDB 1.0.0's
+    // parallel window sort places a NULL ordering key nondeterministically
+    // (measured: the null row's running flips between NULL and the grand
+    // total across runs), while a null ROWS-frame slot contributes nothing
+    // to sum/avg on either engine — so this form is value-identical to
+    // Spark's nulls-first frames and deterministic on both. MATERIALIZED:
+    // without it DuckDB 1.0.0's CTE-sharing optimizer evaluates the window
+    // as if the day IS NOT NULL filter weren't there (measured). No-op on
+    // clean fixtures.
     "q_win_frame" ->
-      """WITH daily AS (
+      """WITH daily AS MATERIALIZED (
         |  SELECT date_trunc('day', o_orderdate) AS day,
-        |         floor((sum(o_totalprice))*100.0 + 0.5)/100.0 AS day_rev
-        |  FROM orders GROUP BY 1)
-        |SELECT epoch_us(CAST(day AS TIMESTAMP)) AS day_us, day_rev,
-        |  floor((avg(day_rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))*1000000.0 + 0.5)/1000000.0 AS ma7,
-        |  floor((sum(day_rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*100.0 + 0.5)/100.0 AS running
-        |FROM daily ORDER BY day_us""".stripMargin,
+        |         CASE WHEN isnan(sum(o_totalprice)) THEN 0.0
+        |              ELSE floor((sum(o_totalprice))*100.0 + 0.5)/100.0 END AS day_rev
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT epoch_us(CAST(day AS TIMESTAMP)) AS day_us, day_rev,
+        |    floor((avg(day_rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))*1000000.0 + 0.5)/1000000.0 AS ma7,
+        |    floor((sum(day_rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*100.0 + 0.5)/100.0 AS running
+        |  FROM daily WHERE day IS NOT NULL
+        |  UNION ALL
+        |  SELECT CAST(NULL AS BIGINT), day_rev,
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |  FROM daily WHERE day IS NULL)
+        |SELECT day_us, day_rev, ma7, running FROM w
+        |ORDER BY day_us NULLS FIRST""".stripMargin,
     "q_win_share" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
-        |  floor((o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_custkey))*1000000.0 + 0.5)/1000000.0 AS share
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |  CASE WHEN isnan(o_totalprice / sum(o_totalprice) OVER w) THEN 0.0
+        |       ELSE floor((o_totalprice / sum(o_totalprice) OVER w)*1000000.0 + 0.5)/1000000.0 END AS share
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
 }

@@ -70,6 +70,37 @@ class MinHashAggSpec extends SparkSpec {
     assert(agree > 0 && agree < 8, s"est_jac degenerate: $agree/8 lanes")
   }
 
+  test("family(k): published 8-lane prefix pinned; generated lanes wrap-rich") {
+    val (a8, b8) = MinHashAgg.family(8)
+    assert(a8.toSeq === A.toSeq && b8.toSeq === B.toSeq,
+      "family(8) must be exactly the published constants")
+    val (a64, b64) = MinHashAgg.family(64)
+    assert(a64.take(8).toSeq === A.toSeq && b64.take(8).toSeq === B.toSeq,
+      "lanes <8 of any family must be the published prefix")
+    // every generated multiplier stays inside the wrap-richness envelope
+    // (>= 2.1e8 from 0 and P) — the round-6 degeneracy class is structurally
+    // excluded at every lane count
+    a64.foreach(a => assert(a >= 210000000L && a <= P - 210000000L,
+      s"generated multiplier $a escapes the wrap envelope"))
+    assert(a64.distinct.length == 64, "duplicate multipliers in family(64)")
+  }
+
+  test("k=64 one-pass signature: 8-lane prefix equals the k=8 signature") {
+    val sig8 = MinHashAgg.minhashSig(spark) _
+    val sig64 = MinHashAgg.minhashSigK(spark, 64) _
+    val s8 = toks.groupBy(col("doc_id")).agg(sig8(col("tok_id")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val s64 = toks.repartition(13).groupBy(col("doc_id"))
+      .agg(sig64(col("tok_id")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(s64.nonEmpty && s64.keySet == s8.keySet)
+    s64.foreach { case (id, sig) =>
+      assert(sig.length == 64)
+      assert(sig.take(8) == s8(id),
+        s"doc $id: k=64 prefix diverges from the k=8 signature")
+    }
+  }
+
   test("null inputs are ignored; all-null group yields null signature") {
     import spark.implicits._
     val sig = MinHashAgg.minhashSig(spark) _
