@@ -125,13 +125,16 @@ object MinhashAb {
         .where(col("a_id") < col("b_id"))
         .where(earlierMatch === 0)
         .withColumn("est_jac", nMatch.cast("double") / k.toDouble)
+      // One streaming aggregation pass — never materialize the pair set
+      // (13M pairs × two carried 64-lane signatures OOMed a persist()).
       val ((nCand, nThresh), sec) = time {
-        val p = pairs.persist()
-        val c = p.count()
-        val t = p.where(col("est_jac") >= 0.75).count()
-        (c, t)
+        val r = pairs.agg(count(lit(1)),
+          sum(when(col("est_jac") >= 0.75, 1L).otherwise(0L))).head()
+        (r.getLong(0), r.getLong(1))
       }
-      // Recall per J bin against the planted twins.
+      // Recall per J bin against the planted twins (recomputes the band
+      // join — untimed; the sig columns are dropped before the join so
+      // only (a_id, b_id, est_jac) shuffles).
       val found = planted.join(pairs.select(col("a_id"), col("b_id"), col("est_jac")),
           Seq("a_id", "b_id"), "left")
       val bins = found.groupBy(col("j_target"))
@@ -144,7 +147,6 @@ object MinhashAb {
         f""""${j}%.2f":{"n":$n,"band_recall":${r.getLong(2).toDouble / n}%.3f,"thr_recall":${r.getLong(3).toDouble / n}%.3f}"""
       }.mkString("{", ",", "}")
       log(spark, f"""{"step":"arm","k":$k,"sec":$sec%.2f,"cand_pairs":$nCand,"thr_pairs":$nThresh,"bins":$binJson}""")
-      pairs.unpersist()
     }
 
     for (rep <- 1 to 3; k <- Seq(8, 64)) {
