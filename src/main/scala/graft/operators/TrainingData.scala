@@ -144,45 +144,63 @@ object TrainingData {
     * estimator (round 6): with b=2 bands of r=4 rows, candidate recall is
     * 1−(1−J⁴)² — 0.65 at J=0.8, 0.87 at J=0.9, 0.96 at J=0.95 — and the
     * 8-lane estimate has σ ≈ √(J(1−J)/8) ≈ 0.14 at J=0.5. Production
-    * corpus dedup runs 64–128 lanes for exactly this reason; the one-pass
-    * [[graft.functions.MinHashAgg]] buffer is built to scale there (K is
-    * one constant), trading only sketch bytes, never a join shape. */
+    * corpus dedup runs 64–128 lanes for exactly this reason, and since
+    * round 7 that is a CONF FLIP, not a code edit: `spark.graft.minhash.k`
+    * (lanes), `.r` (rows per band, bands = k/r) and `.threshold` default
+    * to the declared 8 / 4 / 0.75 — the oracle replays those defaults and
+    * the defaults are pinned bit-identical by MinhashConfSpec — while e.g.
+    * k=64, r=5..8 runs the measured production curve (BASELINE.md round-7
+    * MinhashAb table: recall 0.99–1.00 at J≥0.8 with k=60–64) through the
+    * identical join shape, trading only sketch bytes and band count. */
   def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val k = s.conf.get("spark.graft.minhash.k", "8").toInt
+    val r = s.conf.get("spark.graft.minhash.r", "4").toInt
+    val theta = s.conf.get("spark.graft.minhash.threshold", "0.75").toDouble
+    require(k > 0 && r > 0 && k % r == 0,
+      s"spark.graft.minhash: k ($k) must be a positive multiple of r ($r)")
+    val bandsN = k / r
     val tv = docToks(s, d).join(broadcast(vocab(s, d)), "tok")
     // Signatures come from the ONE-PASS native aggregate (MinHashAgg): all
-    // 8 lanes fold into a single primitive buffer with map-side partials —
-    // the shape that still works at 64–128 lanes. Bit-identical to the
+    // k lanes fold into a single primitive buffer with map-side partials —
+    // the shape that still works at 64–128 lanes. At the default k=8 the
+    // lanes are the published constants, bit-identical to the
     // 8-min-columns formulation (MinHashAggSpec).
-    val sig = graft.functions.MinHashAgg.minhashSig(s) _
+    val sig = graft.functions.MinHashAgg.minhashSigK(s, k) _
     val mh = tv.groupBy(col("doc_id"), col("lang"))
       .agg(sig(col("tok_id")).as("sig"))
     // Band rows CARRY the full signature: the band self-join then yields both
-    // docs' 8 minhashes directly, so the signature table is computed once and
+    // docs' k minhashes directly, so the signature table is computed once and
     // no candidate→signature re-join (2 extra shuffles) is needed.
+    val bandStructs = (0 until bandsN).map { j =>
+      struct((lit(j).as("band") +:
+        (0 until r).map(i => col("sig")(r * j + i).as(s"x$i"))): _*)
+    }
     val bands = mh.select(col("doc_id"), col("lang"),
-      explode(array(
-        struct(lit(0).as("band"), col("sig")(0).as("x0"), col("sig")(1).as("x1"),
-          col("sig")(2).as("x2"), col("sig")(3).as("x3")),
-        struct(lit(1).as("band"), col("sig")(4).as("x0"), col("sig")(5).as("x1"),
-          col("sig")(6).as("x2"), col("sig")(7).as("x3")))).as("b"),
-      col("sig"))
+        explode(array(bandStructs: _*)).as("b"), col("sig"))
       .select((Seq(col("doc_id"), col("lang"), col("b.band").as("band")) ++
-        (0 until 4).map(i => col(s"b.x$i").as(s"x$i")) :+ col("sig")): _*)
-    val nMatch = (0 until 8)
+        (0 until r).map(i => col(s"b.x$i").as(s"x$i")) :+ col("sig")): _*)
+    val nMatch = (0 until k)
       .map(i => when(col("siga")(i) === col("sigb")(i), 1).otherwise(0))
       .reduce(_ + _)
-    // A pair matching BOTH bands would come out twice; instead of a
-    // |pairs|-sized distinct shuffle, keep each pair only at its LOWEST
-    // matching band — decidable per row from the carried signatures.
-    val band0Match = (0 until 4)
-      .map(i => col("siga")(i) === col("sigb")(i)).reduce(_ && _)
-    bands.toDF("a_id", "lang", "band", "x0", "x1", "x2", "x3", "siga")
-      .join(bands.toDF("b_id", "lang", "band", "x0", "x1", "x2", "x3", "sigb"),
-        Seq("lang", "band", "x0", "x1", "x2", "x3"))
+    // A pair matching SEVERAL bands would come out once per band; instead
+    // of a |pairs|-sized distinct shuffle, keep each pair only at its
+    // LOWEST matching band — decidable per row from the carried signatures.
+    def bandMatch(j: Int) = (0 until r)
+      .map(i => col("siga")(r * j + i) === col("sigb")(r * j + i))
+      .reduce(_ && _)
+    val earlierMatch =
+      if (bandsN == 1) lit(0)
+      else (0 until bandsN - 1)
+        .map(j => when(lit(j) < col("band") && bandMatch(j), 1).otherwise(0))
+        .reduce(_ + _)
+    val xCols = (0 until r).map(i => s"x$i")
+    val names = (id: String, sg: String) => Seq(id, "lang", "band") ++ xCols :+ sg
+    bands.toDF(names("a_id", "siga"): _*)
+      .join(bands.toDF(names("b_id", "sigb"): _*), Seq("lang", "band") ++ xCols)
       .where(col("a_id") < col("b_id"))
-      .where(col("band") === 0 || !band0Match)
-      .withColumn("est_jac", nMatch.cast("double") / 8.0)
-      .where(col("est_jac") >= 0.75)
+      .where(earlierMatch === 0)
+      .withColumn("est_jac", nMatch.cast("double") / k.toDouble)
+      .where(col("est_jac") >= theta)
       .select(col("a_id"), col("b_id"), col("lang"), col("est_jac"))
       .orderBy("a_id", "b_id")
   }

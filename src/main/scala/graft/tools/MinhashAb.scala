@@ -10,9 +10,12 @@ import graft.functions.MinHashAgg
   * analytically 1−(1−J⁴)² ≈ 0.65; production dedup is supposed to run the
   * same one-buffer aggregate at 64–128 lanes. This tool MEASURES that
   * claim end-to-end on the skew-shard corpus (ScalingProbe skew mode,
-  * default /tmp/graft-scaling/x4): K=8 vs K=64 interleaved, same vocab,
-  * same banding discipline (r=4 rows per band, k/4 bands, lowest-matching-
-  * band dedup, carried signatures), with PLANTED ground-truth twins.
+  * default /tmp/graft-scaling/x4): (k, rows-per-band) arms interleaved,
+  * same vocab, same banding discipline (r rows per band, k/r bands,
+  * lowest-matching-band dedup, carried signatures), with PLANTED
+  * ground-truth twins. Round-7 arms add the production r/b retune —
+  * (60,5) and (64,8) lift the band S-curve threshold (1/b)^(1/r) from
+  * 0.50 to 0.61 / 0.77 to shed sub-θ candidate mass.
   *
   * Twin protocol (the AnnRecallSpec idea, Jaccard edition): every 37th doc
   * gets one twin built from its DISTINCT token set — keep the first
@@ -97,21 +100,20 @@ object MinhashAb {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    def runArm(k: Int): Unit = {
-      val bandsN = k / 4
+    def runArm(k: Int, r: Int): Unit = {
+      val bandsN = k / r
       val sigK = MinHashAgg.minhashSigK(spark, k) _
       val mh = tv.groupBy(col("doc_id"), col("lang")).agg(sigK(col("tok_id")).as("sig"))
       val bandStructs = (0 until bandsN).map { j =>
-        struct(lit(j).as("band"),
-          col("sig")(4 * j).as("x0"), col("sig")(4 * j + 1).as("x1"),
-          col("sig")(4 * j + 2).as("x2"), col("sig")(4 * j + 3).as("x3"))
+        struct((lit(j).as("band") +:
+          (0 until r).map(i => col("sig")(r * j + i).as(s"x$i"))): _*)
       }
       val bands = mh.select(col("doc_id"), col("lang"),
           explode(array(bandStructs: _*)).as("b"), col("sig"))
         .select((Seq(col("doc_id"), col("lang"), col("b.band").as("band")) ++
-          (0 until 4).map(i => col(s"b.x$i").as(s"x$i")) :+ col("sig")): _*)
-      def bandMatch(j: Int) = (0 until 4)
-        .map(i => col("siga")(4 * j + i) === col("sigb")(4 * j + i))
+          (0 until r).map(i => col(s"b.x$i").as(s"x$i")) :+ col("sig")): _*)
+      def bandMatch(j: Int) = (0 until r)
+        .map(i => col("siga")(r * j + i) === col("sigb")(r * j + i))
         .reduce(_ && _)
       val earlierMatch = (0 until bandsN - 1)
         .map(j => when(lit(j) < col("band") && bandMatch(j), 1).otherwise(0))
@@ -119,9 +121,12 @@ object MinhashAb {
       val nMatch = (0 until k)
         .map(i => when(col("siga")(i) === col("sigb")(i), 1).otherwise(0))
         .reduce(_ + _)
-      val pairs = bands.toDF("a_id", "lang", "band", "x0", "x1", "x2", "x3", "siga")
-        .join(bands.toDF("b_id", "lang", "band", "x0", "x1", "x2", "x3", "sigb"),
-          Seq("lang", "band", "x0", "x1", "x2", "x3"))
+      val xCols = (0 until r).map(i => s"x$i")
+      val colNames = (id: String, sig: String) =>
+        Seq(id, "lang", "band") ++ xCols :+ sig
+      val pairs = bands.toDF(colNames("a_id", "siga"): _*)
+        .join(bands.toDF(colNames("b_id", "sigb"): _*),
+          Seq("lang", "band") ++ xCols)
         .where(col("a_id") < col("b_id"))
         .where(earlierMatch === 0)
         .withColumn("est_jac", nMatch.cast("double") / k.toDouble)
@@ -146,12 +151,21 @@ object MinhashAb {
         val j = r.getDouble(0); val n = r.getLong(1)
         f""""${j}%.2f":{"n":$n,"band_recall":${r.getLong(2).toDouble / n}%.3f,"thr_recall":${r.getLong(3).toDouble / n}%.3f}"""
       }.mkString("{", ",", "}")
-      log(spark, f"""{"step":"arm","k":$k,"sec":$sec%.2f,"cand_pairs":$nCand,"thr_pairs":$nThresh,"bins":$binJson}""")
+      log(spark, f"""{"step":"arm","k":$k,"r":$r,"bands":$bandsN,"sec":$sec%.2f,"cand_pairs":$nCand,"thr_pairs":$nThresh,"bins":$binJson}""")
     }
 
-    for (rep <- 1 to 3; k <- Seq(8, 64)) {
-      log(spark, s"""{"step":"rep","rep":$rep,"k":$k}""")
-      runArm(k)
+    // Arms as (k, rows-per-band): (8,4)/(64,4) are the round-7 anchors;
+    // (60,5) and (64,8) measure the predicted production retune — lifting
+    // the band S-curve threshold (1/b)^(1/r) from 0.50 toward the dedup θ
+    // sheds sub-θ candidate mass without (60,5) or with (64,8) a measured
+    // recall cost at J=0.8. Override via SPARK_GRAFT_MINHASH_ARMS="k:r,k:r".
+    val arms = sys.env.get("SPARK_GRAFT_MINHASH_ARMS")
+      .map(_.split(",").toSeq.map { a =>
+        val Array(k, r) = a.split(":"); (k.trim.toInt, r.trim.toInt) })
+      .getOrElse(Seq((8, 4), (64, 4), (60, 5), (64, 8)))
+    for (rep <- 1 to 3; (k, r) <- arms) {
+      log(spark, s"""{"step":"rep","rep":$rep,"k":$k,"r":$r}""")
+      runArm(k, r)
     }
     spark.stop()
   }

@@ -30,7 +30,8 @@ import graft.SparkEntry
   * Usage: runMain graft.tools.ScalingProbe [sfDir] [workDir] [factors] [mode]
   * where `factors` is a comma-separated growth list (default "1,2,4";
   * e.g. "1,2,4,8" extends the curve a further octave) and `mode` is
-  * `volume` (default) or `skew`.
+  * `volume` (default) or `skew`; `volumebuild`/`skewbuild` write the
+  * shard corpora and exit (for MinhashAb/SkewDiag reruns).
   *
   * SKEW mode (r5 verdict item 2): volume growth alone never tests the
   * 100 TB killer — Zipfian keys. Here each octave's new data concentrates
@@ -81,12 +82,14 @@ object ScalingProbe {
     val factors =
       if (args.length > 2) args(2).split(",").toSeq.map(_.trim.toInt)
       else Seq(1, 2, 4)
-    val skew = args.length > 3 && args(3) == "skew"
+    val skew = args.length > 3 && args(3).startsWith("skew")
+    val buildOnly = args.length > 3 && args(3).endsWith("build")
     val queries = if (skew) SkewQueries else Queries
     factors.foreach { f =>
       if (skew) buildSkewShards(spark, sfDir, s"$work/x$f", f)
       else buildShards(spark, sfDir, s"$work/x$f", f)
     }
+    if (buildOnly) { spark.stop(); return }
     // JVM/codegen warm-up so the first factor's cold isn't charged session
     // init (warm against the first BUILT shard — the factor list may omit 1)
     spark.range(1000).selectExpr("sum(id)").collect()

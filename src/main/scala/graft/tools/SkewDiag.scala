@@ -55,7 +55,10 @@ object SkewDiag {
     // not an inference from wall times.
     if (sys.env.get("CAND_COUNT").contains("1")) {
       val theta = 0.8
-      Seq(1, 2, 4, 8).foreach { f =>
+      val factors = sys.env.get("CAND_FACTORS")
+        .map(_.split(",").toSeq.map(_.trim.toInt))
+        .getOrElse(Seq(1, 2, 4, 8))
+      factors.foreach { f =>
         val dir = d.replaceAll("x\\d+$", s"x$f")
         val sh = graft.functions.ShingleHashes.shingles(spark) _
         val docsSh = graft.Tables.documents(spark, dir)
