@@ -41,6 +41,13 @@ object CboProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft-cbo"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // The in-memory catalog dies with the session but its warehouse files
+    // don't; a stale location fails the next saveAsTable.
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(work))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -90,7 +97,7 @@ object CboProbe {
     // Join order read off the optimized logical plan: leaf relation names
     // in tree order — differs iff joinReorder moved something.
     def joinOrder(df: DataFrame): String =
-      "`(\\w+)`\\]? parquet".r
+      "spark_catalog\\.default\\.(\\w+)".r
         .findAllMatchIn(df.queryExecution.optimizedPlan.toString)
         .map(_.group(1)).mkString("[", ",", "]")
 
@@ -98,10 +105,10 @@ object CboProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // Raw customer parquet is bigger than this threshold; the BUILDING +
-    // acctbal>9900 slice (~0.2% of rows) is far under it. Only stats can
-    // see that at plan time.
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 256 * 1024)
+    // Raw customer parquet (~236 KB at sf0.1) is bigger than this
+    // threshold; the BUILDING + acctbal>9900 slice (~0.2% of rows) is far
+    // under it. Only stats can see that at plan time.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 128 * 1024)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     def arm(label: String): Unit = {
