@@ -324,4 +324,24 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf(Insights.qPagerank(spark, d))
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_dedup_minhash: production conf flip changes sketch width, never the shuffle shape") {
+    def shape(): (Int, String) = {
+      val p = planOf(TrainingData.qDedupMinhash(spark, d))
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"band join must stay an equi-join:\n$p")
+      (p.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")), p)
+    }
+    val (defaultEx, defaultPlan) = shape()
+    try {
+      spark.conf.set("spark.graft.minhash.k", "64")
+      spark.conf.set("spark.graft.minhash.r", "8")
+      val (prodEx, prodPlan) = shape()
+      assert(prodEx === defaultEx,
+        s"k=64/r=8 must not add exchanges:\ndefault:\n$defaultPlan\nprod:\n$prodPlan")
+    } finally {
+      spark.conf.unset("spark.graft.minhash.k")
+      spark.conf.unset("spark.graft.minhash.r")
+    }
+  }
 }
