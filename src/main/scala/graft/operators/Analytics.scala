@@ -161,9 +161,18 @@ object Analytics {
       .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
       .agg(Cols.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .as("revenue"))
+    // Conf-bounded spine (same doctrine as qResample): min/max-bounded
+    // sequence() lets one corrupt pre-epoch date inflate the spine to a
+    // century of days; clamp to a trailing window from the newest ship
+    // date. 7300 d (20 y) ≈ 3× the fixture's 6.8-year span — a no-op on
+    // clean data; the oracle mirrors the greatest() clamp.
+    val maxSpanDays =
+      s.conf.get("spark.graft.datespine.maxSpanDays", "7300").toInt
     val days = li
-      .agg(date_trunc("day", min(col("l_shipdate"))).as("lo"),
+      .agg(date_trunc("day", min(col("l_shipdate"))).as("lo0"),
         date_trunc("day", max(col("l_shipdate"))).as("hi"))
+      .selectExpr(s"greatest(lo0, hi - interval $maxSpanDays days) AS lo",
+        "hi")
       .select(explode(sequence(col("lo"), col("hi"),
         expr("interval 1 day"))).as("day"))
     days.join(rev, Seq("day"), "left")
@@ -252,7 +261,10 @@ object Analytics {
     "q_date_spine" ->
       """WITH days AS (
         |  SELECT unnest(generate_series(
-        |    date_trunc('day', (SELECT min(l_shipdate) FROM lineitem)),
+        |    greatest(
+        |      date_trunc('day', (SELECT min(l_shipdate) FROM lineitem)),
+        |      date_trunc('day', (SELECT max(l_shipdate) FROM lineitem))
+        |        - INTERVAL 7300 DAY),
         |    date_trunc('day', (SELECT max(l_shipdate) FROM lineitem)),
         |    INTERVAL 1 DAY)) AS day),
         |rev AS (SELECT date_trunc('day', l_shipdate) AS day,
@@ -321,8 +333,10 @@ object Analytics {
     "q_sample" ->
       """WITH k AS (SELECT l_orderkey, l_linenumber, l_quantity,
         |    xor(l_orderkey, l_linenumber * 2654435761) AS key FROM lineitem),
-        |h AS (SELECT *, xor(key, key >> 33) % 268435399 * 2654435761 AS hm
-        |      FROM k)
+        |h0 AS (SELECT *, xor(key, (key >> 33) & 2147483647) AS x FROM k),
+        |h AS (SELECT *,
+        |    ((x % 268435399 + 268435399) % 268435399) * 2654435761 AS hm
+        |  FROM h0)
         |SELECT l_orderkey, l_linenumber, l_quantity FROM h
         |WHERE xor(hm, hm >> 29) % 100 < 10
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)

@@ -546,9 +546,12 @@ object CorpusFilters {
         |  (sc.mean_logp < th.p10) AS low_quality
         |FROM sc JOIN th ON sc.lang = th.lang ORDER BY sc.doc_id""".stripMargin,
     "q_dataset_split" ->
-      """WITH h AS (SELECT doc_id, lang, text,
-        |    xor(doc_id, doc_id >> 33) % 268435399 * 2654435761 AS hm
+      """WITH h0 AS (SELECT doc_id, lang, text,
+        |    xor(doc_id, (doc_id >> 33) & 2147483647) AS x
         |  FROM documents),
+        |h AS (SELECT doc_id, lang, text,
+        |    ((x % 268435399 + 268435399) % 268435399) * 2654435761 AS hm
+        |  FROM h0),
         |t AS (SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
         |    xor(hm, hm >> 29) % 100 AS bucket
@@ -768,11 +771,15 @@ object CorpusFilters {
         |    AS zipf_icept
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "q_corpus_pipeline" ->
-      """WITH q AS (
+      """WITH q0 AS (
         |  SELECT doc_id, lang, text,
         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
-        |    xor(doc_id, doc_id >> 33) % 268435399 * 2654435761 AS hm
+        |    xor(doc_id, (doc_id >> 33) & 2147483647) AS x
         |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, text, n_tok,
+        |    ((x % 268435399 + 268435399) % 268435399) * 2654435761 AS hm
+        |  FROM q0),
         |f AS (SELECT * FROM q WHERE n_tok BETWEEN 10 AND 500),
         |h AS (SELECT *, sha256(lower(trim(text))) AS h FROM f),
         |s AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id)

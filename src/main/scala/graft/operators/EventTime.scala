@@ -185,7 +185,19 @@ object EventTime {
     val obs = events(s, d)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
       .agg(avg(col("value")).as("v"))
-    val bounds = obs.agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+    // The grid span is CONF-BOUNDED (trailing window from the newest
+    // observation), never raw data-bounded: with min/max bounds alone, ONE
+    // corrupt pre-epoch timestamp stretches sequence() to a century of
+    // hours × event types and the query "hangs" materializing millions of
+    // grid rows nobody asked for (the round-7 dirty corpus caught exactly
+    // that with a 1900-01-01 poison row — 1.09M hours/type). The 8760 h
+    // (1 y) default is ~290× the fixture span, so clean-corpus results are
+    // untouched; the oracle mirrors the same greatest() clamp.
+    val maxSpanHours =
+      s.conf.get("spark.graft.resample.maxSpanHours", "8760").toInt
+    val bounds = obs.agg(min(col("hr")).as("mn0"), max(col("hr")).as("mx"))
+      .selectExpr(s"greatest(mn0, mx - interval $maxSpanHours hours) AS mn",
+        "mx")
     val grid = obs.select(col("event_type")).distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
@@ -287,7 +299,8 @@ object EventTime {
       """WITH obs AS (SELECT event_type,
         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, avg(value) AS v
         |  FROM events GROUP BY 1, 2),
-        |b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM obs),
+        |b AS (SELECT greatest(min(hr), max(hr) - INTERVAL 8760 HOUR) AS mn,
+        |      max(hr) AS mx FROM obs),
         |grid AS (SELECT t.event_type, g.hr
         |  FROM (SELECT DISTINCT event_type FROM obs) t, b,
         |    unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) g(hr)),

@@ -299,9 +299,20 @@ object Relational {
     * ORDER BY including the unique tiebreak, and the aggregate gets
     * map-side partial combine where a ranking window would full-sort. */
   def qSupplier(s: SparkSession, d: String): DataFrame = {
+    // Unit cost is undefined for a zero-quantity line: yield null (the min
+    // ignores it) instead of an ANSI DIVIDE_BY_ZERO — at scale ONE corrupt
+    // zero-quantity row would otherwise kill the whole job (the round-7
+    // dirty corpus caught exactly that). The oracle carries the same guard:
+    // DuckDB doesn't error but would fold inf/NaN into the min instead.
+    // A (part, supplier) group whose every line is zero-quantity has NO
+    // defined unit cost — drop it before the argmin (Spark's min(struct)
+    // sorts a null first field FIRST where DuckDB's window sorts it last;
+    // filtering makes the semantics engine-independent).
     val cost = lineitem(s, d)
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(Cols.r6(min(col("l_extendedprice") / col("l_quantity"))).as("unit_cost"))
+      .agg(Cols.r6(min(when(col("l_quantity") =!= 0,
+        col("l_extendedprice") / col("l_quantity")))).as("unit_cost"))
+      .where(col("unit_cost").isNotNull)
     val sup = supplier(s, d)
       .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d).where(col("r_name") === "EUROPE")),
@@ -558,7 +569,9 @@ object Relational {
     "q_supplier" ->
       """WITH cost AS (
         |  SELECT l_partkey, l_suppkey,
-        |    floor((min(l_extendedprice / l_quantity))*1000000.0 + 0.5)/1000000.0 AS unit_cost
+        |    floor((min(CASE WHEN l_quantity <> 0
+        |      THEN l_extendedprice / l_quantity END))*1000000.0 + 0.5)/1000000.0
+        |      AS unit_cost
         |  FROM lineitem GROUP BY 1, 2),
         |sup AS (
         |  SELECT s_suppkey, s_name, s_acctbal, n_name
@@ -573,7 +586,7 @@ object Relational {
         |      ORDER BY c.unit_cost ASC, s.s_suppkey ASC) AS rk
         |  FROM cost c JOIN sup s ON c.l_suppkey = s.s_suppkey
         |    JOIN part p ON c.l_partkey = p.p_partkey
-        |  WHERE p.p_size <= 10)
+        |  WHERE p.p_size <= 10 AND c.unit_cost IS NOT NULL)
         |WHERE rk = 1 ORDER BY p_partkey""".stripMargin,
     "q_project" ->
       """SELECT l_orderkey, l_linenumber,
@@ -598,7 +611,8 @@ object Relational {
       """SELECT o_orderpriority, count(*) AS n_items,
         | floor((sum(l_extendedprice*(1-l_discount)))*100.0 + 0.5)/100.0 AS priority_revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,

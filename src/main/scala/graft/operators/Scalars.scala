@@ -145,7 +145,8 @@ object Scalars {
         | CAST(day(o_orderdate) AS BIGINT) AS dom,
         | epoch_us(date_trunc('month', o_orderdate)) AS month_us,
         | CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2024-06-01') AS BIGINT) AS days_to_mid24,
-        | epoch_us(o_orderdate + INTERVAL 3 MONTH) AS plus3m_us
+        | epoch_us(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH
+        |   AS TIMESTAMP)) AS plus3m_us
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_math" ->
       """SELECT l_orderkey, l_linenumber,
@@ -200,6 +201,9 @@ object Scalars {
       """SELECT event_id, k AS key,
         | CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS val
         |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k
-        |      FROM events WHERE json_valid(props))
+        |      FROM events WHERE json_valid(props)
+        |        AND len(list_filter(json_keys(props),
+        |          kk -> json_type(props, '$.' || kk)
+        |            NOT IN ('BIGINT', 'UBIGINT'))) = 0)
         |ORDER BY event_id, key""".stripMargin)
 }

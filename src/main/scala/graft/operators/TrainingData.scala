@@ -301,12 +301,17 @@ object TrainingData {
   }
 
   /** Token counting per language: whitespace tokens vs a BPE-ish regex
-    * tokenizer ([a-z]+ | digit runs | any other non-space char). */
+    * tokenizer ([a-z]+ | digit runs | any other non-space char). The
+    * "non-space" class is spelled out explicitly rather than `\S`: Java's
+    * `\s` includes vertical tab (\x0B) where RE2's does not, so a bare \S
+    * counts differently across engines on control-char text (the round-7
+    * dirty corpus caught the off-by-one). */
   def qTokenCount(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("ws", size(split(col("text"), " ")).cast("long"))
       .withColumn("bpe",
-        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|\\S"), lit(0))).cast("long"))
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^ \\t\\n\\x0B\\f\\r]"), lit(0))).cast("long"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_ws_tokens"),
         sum(col("bpe")).as("n_bpe_tokens"),
@@ -329,12 +334,15 @@ object TrainingData {
 
   private[operators] def cosCol(s: SparkSession)(a: Column, b: Column): Column = {
     val fdot = graft.functions.FloatVectorDot.dotF(s) _
-    // cosine is undefined for a zero-norm (empty/degenerate) vector: yield
-    // null there instead of an ANSI division-by-zero; a NaN-element vector
-    // also nulls out (NaN compares largest in Spark, so `den > 0` alone
-    // would pass it through and the NaN similarity would WIN a top-k sort)
+    // cosine is undefined for a degenerate vector: yield null instead of an
+    // ANSI division-by-zero. Degenerate = zero norm (empty vector), NaN
+    // norm (NaN element), or INFINITE norm (±inf element — inf/inf is NaN,
+    // and a NaN similarity compares largest in Spark so it would WIN a
+    // top-k sort and, folded into a k-means mean, poison the centroid).
+    // NaN also compares greater than any value in Spark, so the two-sided
+    // finite-positive guard excludes all three classes at once.
     val den = sqrt(fdot(a, a)) * sqrt(fdot(b, b))
-    when(!isnan(den) && den > 0, fdot(a, b) / den)
+    when(den > 0 && den < lit(Double.PositiveInfinity), fdot(a, b) / den)
   }
 
   /** k-means init: the vectors at `vec_id` strides (row `j·(n div k)` for
@@ -844,7 +852,8 @@ object TrainingData {
     "q_token_count" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_ws_tokens,
-        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S'))) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '[a-z]+|[0-9]+|[^ \t\n\x0B\f\r]'))) AS BIGINT) AS n_bpe_tokens,
         |  floor((sum(n_chars)*1.0/sum(len(string_split(text,' '))))*1000000.0 + 0.5)/1000000.0 AS chars_per_tok
         |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
     "q_fingerprint" ->
@@ -870,8 +879,10 @@ object TrainingData {
       """WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
         |b AS (SELECT doc_id,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |    CAST(coalesce(list_sum(list_transform(range(1, len(text)+1),
-        |      i -> ord(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT)
+        |    CAST(coalesce(list_sum(list_transform(
+        |      range(0, octet_length(encode(text))),
+        |      j -> CAST(('0x' || substring(hex(encode(text)), 2*j+1, 2))
+        |        AS INT))), 0) AS BIGINT)
         |      AS byte_sum
         |  FROM t)
         |SELECT doc_id, n_bytes, byte_sum,
@@ -883,8 +894,10 @@ object TrainingData {
       """WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
         |b AS (SELECT doc_id,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |    CAST(coalesce(list_sum(list_transform(range(1, len(text)+1),
-        |      i -> ord(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT)
+        |    CAST(coalesce(list_sum(list_transform(
+        |      range(0, octet_length(encode(text))),
+        |      j -> CAST(('0x' || substring(hex(encode(text)), 2*j+1, 2))
+        |        AS INT))), 0) AS BIGINT)
         |      AS byte_sum
         |  FROM t),
         |dec AS (SELECT doc_id,

@@ -43,9 +43,18 @@ class DirtyInputSpec extends SparkSpec {
     copy("part", identity)
     copy("orders", rows("orders", Seq(
       // null measure, null date, null status/priority
-      Row(9000001L, 1L, null, null, null, null))))
+      Row(9000001L, 1L, null, null, null, null),
+      // ±Infinity measures (Spark-side totality only: inf→long folds are
+      // engine-defined — Spark saturates to Long.Max/MinValue where DuckDB
+      // errors on the cast — so these rows stay OUT of the parity corpus)
+      Row(9000002L, 2L, "F", Double.PositiveInfinity, null, "2-HIGH"),
+      Row(9000003L, 3L, "O", Double.NegativeInfinity, null, "3-MEDIUM"))))
     copy("lineitem", rows("lineitem", Seq(
-      Row(9000001L, 1L, 1L, 1, null, null, null, null, null, null, null))))
+      Row(9000001L, 1L, 1L, 1, null, null, null, null, null, null, null),
+      Row(9000002L, 1L, 1L, 1, 1.0, Double.PositiveInfinity, 0.0, 0.0,
+        "N", "O", null),
+      Row(9000003L, 1L, 1L, 2, 2.0, 100.0, Double.NegativeInfinity, 0.0,
+        "R", "F", null))))
     // events.ts: nanos-as-long under the legacy flag when the fixture is
     // TIMESTAMP(NANOS); a plain (NTZ) timestamp when the fixture is µs —
     // adapt the dirty rows to whichever representation the source schema
@@ -64,7 +73,9 @@ class DirtyInputSpec extends SparkSpec {
     copy("events", rows("events", Seq(
       Row(9000001L, null, 1L, null, null, null),            // all-null payload
       Row(9000002L, t1, 2L, "view", 1.0, "{not json"),      // malformed props
-      Row(9000003L, t2, 3L, "", 0.0, ""))))                 // empty strings
+      Row(9000003L, t2, 3L, "", 0.0, ""),                   // empty strings
+      Row(9000004L, t1, 4L, "view", Double.PositiveInfinity, null),
+      Row(9000005L, t2, 4L, "click", Double.NegativeInfinity, null))))
     copy("documents", rows("documents", Seq(
       Row(9000001L, null, null, null, null),                 // all-null payload
       Row(9000002L, "", "en", "web", 0L),                    // empty text
@@ -77,7 +88,11 @@ class DirtyInputSpec extends SparkSpec {
       Row(9000002L, Seq.empty[Float], 0),                    // empty vector
       Row(9000003L, Seq(1.0f, 2.0f, 3.0f), 1),               // wrong dimension
       Row(9000004L, Seq.tabulate(64)(i =>
-        if (i == 7) Float.NaN else i.toFloat), 2))))         // NaN element
+        if (i == 7) Float.NaN else i.toFloat), 2),           // NaN element
+      Row(9000005L, Seq.tabulate(64)(i =>
+        if (i == 0) Float.PositiveInfinity else 1.0f), 3),   // +inf element
+      Row(9000006L, Seq.fill(64)(Float.NegativeInfinity), 3),    // all -inf
+      Row(9000007L, Seq.fill(64)(1.0e30f), 4))))  // long-saturating magnitude
     dir
   }
 
@@ -92,11 +107,17 @@ class DirtyInputSpec extends SparkSpec {
     // update: one NaN folded into a centroid mean nulls that centroid's
     // cosine against every vector the next iteration, and (because null
     // ranks FIRST in a min-struct argmin) would silently collapse every
-    // assignment into one bucket rather than crash
+    // assignment into one bucket rather than crash. Likewise ±inf: an
+    // infinite-norm vector's cosine is inf/inf = NaN under a naive guard,
+    // and its elements fold ±inf (or inf−inf = NaN) into the mean — the
+    // round-7 inf poison rows caught exactly that with the pre-fix
+    // `!isnan(den) && den > 0` guard; cosCol now requires a FINITE
+    // positive norm
     val cents = operators.TrainingData.ivfCentroids(spark, dirtyDir)
       .collect().map(_.getSeq[Double](1))
     assert(cents.nonEmpty)
-    assert(cents.forall(_.forall(v => !v.isNaN)), "NaN leaked into a centroid")
+    assert(cents.forall(_.forall(v => !v.isNaN && !v.isInfinite)),
+      "non-finite value leaked into a centroid")
     assert(cents.map(_.toList).distinct.length > 1, "centroids collapsed")
   }
 }
