@@ -27,10 +27,24 @@ object Cols {
     * [[graft.OracleDsl.r2]]), so the result is deterministic across engines
     * by construction.
     */
-  def r2(c: Column): Column = floor(c * lit(100.0) + lit(0.5)) / lit(100.0)
+  def r2(c: Column): Column =
+    when(isnan(c), c)
+      .otherwise(floor(c * lit(100.0) + lit(0.5)) / lit(100.0))
 
   /** Ratio rounding (6 decimals) — same shared-formula trick as [[r2]]. */
-  def r6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+  def r6(c: Column): Column =
+    when(isnan(c), c)
+      .otherwise(floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+
+  /** NaN → null (aggregates then ignore it). The declared semantics for
+    * ORDER STATISTICS and MOMENTS (percentile, stddev/var, corr, z-score
+    * baselines): a NaN measurement is invalid data and leaves the
+    * statistic, where plain sums/rounding folds PROPAGATE NaN to keep the
+    * poison visible. Cross-engine this is also forced: engines disagree on
+    * where NaN sorts inside a quantile and DuckDB's stddev hard-errors on
+    * NaN input, so "exclude invalid" is the only portable contract
+    * (oracle side: `CASE WHEN NOT isnan(x) THEN x END`). */
+  def nanNull(c: Column): Column = when(!isnan(c), c)
 
   /** Deterministic sampling/split bucket in [0, m): xorshift → modular
     * multiply → xorshift over a non-negative key, replayed verbatim in the

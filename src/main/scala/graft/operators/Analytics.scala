@@ -27,8 +27,10 @@ object Analytics {
     events(s, d)
       .groupBy(col("event_type"))
       .agg(
-        Cols.r6(expr("percentile(value, 0.5)")).as("p50"),
-        Cols.r6(expr("percentile(value, 0.9)")).as("p90"),
+        Cols.r6(expr(
+          "percentile(CASE WHEN NOT isnan(value) THEN value END, 0.5)")).as("p50"),
+        Cols.r6(expr(
+          "percentile(CASE WHEN NOT isnan(value) THEN value END, 0.9)")).as("p90"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
@@ -38,10 +40,10 @@ object Analytics {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
       .groupBy(col("event_type"))
       .agg(
-        Cols.r6(stddev_samp(col("value"))).as("sd"),
-        Cols.r6(var_samp(col("value"))).as("vr"),
-        Cols.r6(corr(col("value"), col("k"))).as("corr_vk"),
-        Cols.r6(covar_samp(col("value"), col("k"))).as("covar_vk"))
+        Cols.r6(stddev_samp(Cols.nanNull(col("value")))).as("sd"),
+        Cols.r6(var_samp(Cols.nanNull(col("value")))).as("vr"),
+        Cols.r6(corr(Cols.nanNull(col("value")), Cols.nanNull(col("k")))).as("corr_vk"),
+        Cols.r6(covar_samp(Cols.nanNull(col("value")), Cols.nanNull(col("k")))).as("covar_vk"))
       .orderBy("event_type")
 
   /** Fixed-width histogram of event values: 50-unit buckets, explicit
@@ -237,9 +239,11 @@ object Analytics {
         |ty AS (SELECT unnest(['view','click','signup','purchase','error'])
         |       AS event_type)
         |SELECT u.user_id AS user_id, ty.event_type AS event_type,
-        |  coalesce(t.total, 0.0) AS total
+        |  coalesce(CASE WHEN isnan(t.total) THEN 0.0 ELSE t.total END, 0.0)
+        |    AS total
         |FROM u CROSS JOIN ty
-        |LEFT JOIN t ON t.user_id = u.user_id AND t.event_type = ty.event_type
+        |LEFT JOIN t ON t.user_id IS NOT DISTINCT FROM u.user_id
+        |  AND t.event_type = ty.event_type
         |ORDER BY u.user_id NULLS FIRST, ty.event_type""".stripMargin,
     "q_cdc_apply" ->
       """WITH survivors AS (
@@ -276,14 +280,15 @@ object Analytics {
         |ORDER BY day_us""".stripMargin,
     "q_percentile" ->
       """SELECT event_type,
-        | CASE WHEN isnan(quantile_cont(value, 0.5)) THEN 0.0
-        |      ELSE floor((quantile_cont(value, 0.5))*1000000.0 + 0.5)/1000000.0 END AS p50,
-        | CASE WHEN isnan(quantile_cont(value, 0.9)) THEN 0.0
-        |      ELSE floor((quantile_cont(value, 0.9))*1000000.0 + 0.5)/1000000.0 END AS p90,
+        | floor((quantile_cont(CASE WHEN NOT isnan(value) THEN value END,
+        |   0.5))*1000000.0 + 0.5)/1000000.0 AS p50,
+        | floor((quantile_cont(CASE WHEN NOT isnan(value) THEN value END,
+        |   0.9))*1000000.0 + 0.5)/1000000.0 AS p90,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_stats_moments" ->
-      """WITH e AS (SELECT event_type, value,
+      """WITH e AS (SELECT event_type,
+        |  CASE WHEN NOT isnan(value) THEN value END AS value,
         |  CAST(CASE WHEN json_valid(props) THEN
         |    json_extract_string(props, '$.k') END AS DOUBLE) AS k FROM events)
         |SELECT event_type,
@@ -296,8 +301,7 @@ object Analytics {
       """SELECT CASE WHEN isnan(value) THEN 0
         |      ELSE CAST(floor(value / 50.0) AS BIGINT) END AS bucket,
         | count(*) AS n,
-        | CASE WHEN isnan(sum(value)) THEN 0.0
-        |      ELSE floor((sum(value))*100.0 + 0.5)/100.0 END AS sum_value
+        | floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
         |FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,

@@ -769,7 +769,7 @@ object CorpusFilters {
         |    AS zipf_slope,
         |  floor((regr_intercept(ln(freq), ln(rnk)))*1000000.0 + 0.5)/1000000.0
         |    AS zipf_icept
-        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM r GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
     "q_corpus_pipeline" ->
       """WITH q0 AS (
         |  SELECT doc_id, lang, text,

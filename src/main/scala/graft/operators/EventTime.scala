@@ -332,15 +332,18 @@ object EventTime {
     "q_win_tumbling" ->
       """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value FROM events
         |          WHERE ts IS NOT NULL)
-        |SELECT us - us % 3600000000 AS start_us,
-        |       us - us % 3600000000 + 3600000000 AS end_us,
+        |SELECT us - ((us % 3600000000) + 3600000000) % 3600000000 AS start_us,
+        |       us - ((us % 3600000000) + 3600000000) % 3600000000
+        |         + 3600000000 AS end_us,
         |       event_type, count(*) AS n,
         |       floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
-        |FROM e GROUP BY 1, 2, 3 ORDER BY start_us, event_type""".stripMargin,
+        |FROM e GROUP BY 1, 2, 3
+        |ORDER BY start_us, event_type NULLS FIRST""".stripMargin,
     "q_win_sliding" ->
       """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events
         |          WHERE ts IS NOT NULL),
-        |w AS (SELECT us - us % 900000000 - j * 900000000 AS start_us, value
+        |w AS (SELECT us - ((us % 900000000) + 900000000) % 900000000
+        |        - j * 900000000 AS start_us, value
         |      FROM e CROSS JOIN generate_series(0, 3) AS t(j))
         |SELECT start_us, start_us + 3600000000 AS end_us, count(*) AS n,
         |       floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
@@ -355,7 +358,7 @@ object EventTime {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
         |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
         |       count(*) AS n_events, floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+        |FROM s GROUP BY user_id, sid ORDER BY user_id NULLS FIRST, start_us""".stripMargin,
     "q_dedup_events" ->
       """SELECT event_id, user_id, ts_us, event_type, value FROM (
         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
@@ -396,7 +399,7 @@ object EventTime {
         |      WHERE event_type = 'purchase')
         |SELECT iv.user_id, iv.start_us, iv.end_us, count(*) AS n_concurrent
         |FROM iv JOIN p ON p.ev_us BETWEEN iv.start_us AND iv.end_us
-        |GROUP BY 1, 2, 3 ORDER BY user_id, start_us""".stripMargin,
+        |GROUP BY 1, 2, 3 ORDER BY user_id NULLS FIRST, start_us""".stripMargin,
     "q_overlap_join" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |g AS (SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL

@@ -177,13 +177,16 @@ object Hygiene {
         |GROUP BY 1, 2, 3 ORDER BY s.doc_id""".stripMargin,
     "q_anonymize" ->
       """SELECT r_name AS region, c_mktsegment AS segment,
-        |  CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS bal_band,
+        |  CASE WHEN isnan(c_acctbal) THEN 0
+        |       ELSE CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) END
+        |    AS bal_band,
         |  CAST(count(*) AS BIGINT) AS class_size,
         |  (count(*) >= 5) AS meets_k
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1, 2, 3 ORDER BY region, segment, bal_band""".stripMargin,
+        |GROUP BY 1, 2, 3
+        |ORDER BY region, segment NULLS FIRST, bal_band NULLS FIRST""".stripMargin,
     "q_record_linkage" ->
       """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
         |  a.c_nationkey AS nationkey, a.c_mktsegment AS segment,

@@ -98,7 +98,10 @@ object Insights {
     val cuts = per.agg(
       percentile(col("recency_days"), qs).as("rc"),
       percentile(col("frequency"), qs).as("fc"),
-      percentile(col("monetary").cast("double"), qs).as("mc"))
+      // NaN monetary (a NaN price anywhere in a customer's sum) is invalid
+      // data: it leaves the quartile estimation (Cols.nanNull doctrine) and
+      // the customer itself scores worst-bucket via the NaN > cut compare
+      percentile(Cols.nanNull(col("monetary").cast("double")), qs).as("mc"))
     // ascending metric (recency: small = good) → 1 + #cuts strictly below;
     // descending (frequency/monetary: large = good) → 4 − #cuts below.
     // NULL metric (possible only on dirty input, e.g. an all-null
@@ -131,8 +134,8 @@ object Insights {
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(sum(col("value")).as("day_value"), count(lit(1)).as("n_events"))
     val stats = daily.groupBy(col("event_type"))
-      .agg(avg(col("day_value")).as("mu"),
-        stddev_samp(col("day_value")).as("sigma"))
+      .agg(avg(graft.Cols.nanNull(col("day_value"))).as("mu"),
+        stddev_samp(graft.Cols.nanNull(col("day_value"))).as("sigma"))
     daily.join(broadcast(stats), "event_type")
       .withColumn("z",
         Cols.r6((col("day_value") - col("mu")) / nullif(col("sigma"), lit(0.0))))
@@ -198,7 +201,14 @@ object Insights {
     * survivors. The oracle is the independent quadratic NOT-EXISTS
     * formulation. */
   def qSkyline(s: SparkSession, d: String): DataFrame = {
+    // Dominance is undefined against a null/NaN price or a null size —
+    // the skyline is declared over VALID points only (on dirty input a
+    // null-priced part would otherwise "win" Spark's nulls-first sorted
+    // pass while DuckDB's NOT-EXISTS drops it; round-7 fuzz caught the
+    // mismatch)
     val p = part(s, d)
+      .where(col("p_retailprice").isNotNull && !isnan(col("p_retailprice"))
+        && col("p_size").isNotNull)
       .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("p_size"))
     paretoFront(paretoFront(p, Seq(col("p_brand"))), Seq.empty)
       .select(col("p_partkey"), col("p_brand"),
@@ -266,24 +276,28 @@ object Insights {
       .agg(sum(col("value")).as("day_value"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily
+    // Day-less rows leave the series (same doctrine as qWinFrame since
+    // round 7): their ewma is null and they never seed a fold. Within the
+    // series, collect_list SKIPS null day sums (a null day contributes
+    // nothing to the fold — the oracle replays that with list_filter) and
+    // the CASE guard nulls the head rows of an all-null prefix, which ANSI
+    // slice would otherwise reject at length −1. A NaN day sum is a VALID
+    // series point and NaN-poisons the fold tail on both engines — sums
+    // propagate poison, only null/day-less rows leave (the Cols.nanNull
+    // doctrine applies to statistics, not running folds).
+    val series = daily.where(col("day").isNotNull)
       .withColumn("xs", collect_list(col("day_value")).over(w))
-      // the CASE guard keeps the fold total when xs is EMPTY — collect_list
-      // skips nulls, so a type whose days so far ALL had null value sums
-      // yields size(xs) = 0, which ANSI slice rejects at length −1; those
-      // head rows get a null ewma. A MID-series null day instead folds
-      // over the non-null prefix (the null contributes nothing) — note
-      // the batch oracle's list_reduce would null the whole tail there,
-      // a dirty-input-only divergence the parity gate never exercises
-      // (the fixture has no null day sums; DirtyInputSpec checks
-      // totality, not cross-engine parity)
       .withColumn("ewma", expr(
         "CASE WHEN size(xs) >= 1 THEN " +
           "aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), " +
           "(acc, x) -> acc * 0.7 + 0.3 * x) END"))
       .select(col("event_type"), col("day"),
         Cols.r2(col("day_value")).as("day_value"), Cols.r6(col("ewma")).as("ewma"))
-      .orderBy("event_type", "day")
+    val dayless = daily.where(col("day").isNull)
+      .select(col("event_type"), col("day"),
+        Cols.r2(col("day_value")).as("day_value"),
+        lit(null).cast("double").as("ewma"))
+    series.unionByName(dayless).orderBy("event_type", "day")
   }
 
   /** HLL sketch mergeability — THE property that makes approximate distinct
@@ -337,7 +351,12 @@ object Insights {
     val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     wau.join(dau, "day")
       .select(col("day"), col("dau"), col("wau7"),
-        Cols.r6(col("dau").cast("double") / col("wau7")).as("stickiness"))
+        // wau7 = countDistinct(user_id) is 0 on a day whose only activity
+        // came from NULL user ids (dau counts rows, wau7 counts users) —
+        // stickiness is undefined there, not an ANSI DIVIDE_BY_ZERO kill
+        // (round-7 fuzz corpus caught this with null-user poison)
+        Cols.r6(col("dau").cast("double") /
+          nullif(col("wau7"), lit(0L))).as("stickiness"))
       .orderBy("day")
   }
 
@@ -350,8 +369,10 @@ object Insights {
   def qWinsorize(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
     val cuts = ev.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.05)").as("p05"),
-        expr("percentile(value, 0.95)").as("p95"))
+      .agg(expr("percentile(CASE WHEN NOT isnan(value) THEN value END, 0.05)")
+          .as("p05"),
+        expr("percentile(CASE WHEN NOT isnan(value) THEN value END, 0.95)")
+          .as("p95"))
     ev.join(broadcast(cuts), "event_type")
       .withColumn("wv", when(col("value") < col("p05"), col("p05"))
         .when(col("value") > col("p95"), col("p95"))
@@ -386,8 +407,15 @@ object Insights {
       .toDF("o_orderstatus", "n_s", "sp_s", "mn_s", "mx_s")
     val delta = aggOf(oc.where(to_date(col("o_orderdate")) >= col("cut")))
       .toDF("o_orderstatus", "n_d", "sp_d", "mn_d", "mx_d")
-    state.join(delta, Seq("o_orderstatus"), "full")
-      .select(col("o_orderstatus"),
+    // NULL-SAFE merge key: a USING full join matches with `=`, so a null
+    // status in BOTH state and delta would emit TWO unmerged rows — the
+    // incremental aggregate silently splits on any null dimension value
+    // (round-7 fuzz caught it; merge(state, delta) == recompute only holds
+    // under <=>).
+    state.join(delta,
+        state("o_orderstatus") <=> delta("o_orderstatus"), "full")
+      .select(coalesce(state("o_orderstatus"), delta("o_orderstatus"))
+          .as("o_orderstatus"),
         (coalesce(col("n_s"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n_total"),
         coalesce(col("n_s"), lit(0L)).as("n_state"),
         coalesce(col("n_d"), lit(0L)).as("n_delta"),
@@ -694,10 +722,13 @@ object Insights {
         |SELECT node AS part, CAST(min(dist) AS BIGINT) AS dist
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_kmv_distinct" ->
-      """WITH e AS (SELECT event_type,
+      """WITH e0 AS (SELECT event_type, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |e AS (SELECT event_type,
         |    user_id * 131072 +
-        |      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS key
-        |  FROM events),
+        |      (us - ((us % 86400000000) + 86400000000) % 86400000000)
+        |        // 86400000000 AS key
+        |  FROM e0),
         |hh AS (SELECT DISTINCT event_type,
         |         (key*2654435761 + 1409) % 2147483647 AS h
         |       FROM e),
@@ -772,7 +803,7 @@ object Insights {
         |SELECT from_type, to_type, n,
         |  floor((n * 1.0 / sum(n) OVER (PARTITION BY from_type))
         |    * 1000000.0 + 0.5) / 1000000.0 AS p
-        |FROM c ORDER BY from_type, to_type""".stripMargin,
+        |FROM c ORDER BY from_type NULLS FIRST, to_type NULLS FIRST""".stripMargin,
     "q_surrogate_key" ->
       """SELECT CAST(row_number() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT)
         |    AS sk,
@@ -786,8 +817,7 @@ object Insights {
         |    AS BIGINT) AS n_state,
         |  CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) >= cut THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_delta,
-        |  CASE WHEN isnan(sum(o_totalprice)) THEN 0.0
-        |       ELSE floor(sum(o_totalprice)*100.0 + 0.5)/100.0 END AS total_price,
+        |  floor(sum(o_totalprice)*100.0 + 0.5)/100.0 AS total_price,
         |  epoch_us(min(o_orderdate)) AS min_date_us,
         |  epoch_us(max(o_orderdate)) AS max_date_us
         |FROM orders, cut
@@ -805,12 +835,16 @@ object Insights {
         |      FROM c, mx WHERE day2 <= mx.mx GROUP BY 1),
         |dd AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1)
         |SELECT w.day, dd.dau, w.wau7,
-        |  floor((dd.dau*1.0/w.wau7)*1000000.0 + 0.5)/1000000.0 AS stickiness
+        |  floor((dd.dau*1.0/nullif(w.wau7, 0))*1000000.0 + 0.5)/1000000.0
+        |    AS stickiness
         |FROM w JOIN dd USING (day) ORDER BY day""".stripMargin,
     "q_winsorize" ->
       """WITH cuts AS (
-        |  SELECT event_type, quantile_cont(value, 0.05) AS p05,
-        |    quantile_cont(value, 0.95) AS p95
+        |  SELECT event_type,
+        |    quantile_cont(CASE WHEN NOT isnan(value) THEN value END, 0.05)
+        |      AS p05,
+        |    quantile_cont(CASE WHEN NOT isnan(value) THEN value END, 0.95)
+        |      AS p95
         |  FROM events GROUP BY 1),
         |w AS (SELECT e.event_type, e.value, c.p05, c.p95,
         |        CASE WHEN e.value < c.p05 THEN c.p05
@@ -824,7 +858,7 @@ object Insights {
         |  floor(avg(wv)*1000000.0 + 0.5)/1000000.0 AS mean_wins,
         |  CAST(sum(CASE WHEN wv <> value THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_clipped
-        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM w GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_ewma" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
@@ -832,16 +866,22 @@ object Insights {
         |  FROM events GROUP BY 1, 2),
         |l AS (
         |  SELECT event_type, day, day_value,
-        |    list(CAST(day_value AS DOUBLE)) OVER (PARTITION BY event_type
-        |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS xs
-        |  FROM daily)
+        |    list_filter(list(CAST(day_value AS DOUBLE)) OVER (
+        |        PARTITION BY event_type
+        |        ORDER BY day ROWS UNBOUNDED PRECEDING),
+        |      x -> x IS NOT NULL) AS xs
+        |  FROM daily WHERE day IS NOT NULL)
         |SELECT event_type, day,
-        |  CASE WHEN isnan(day_value) THEN 0.0
-        |       ELSE floor(day_value*100.0 + 0.5)/100.0 END AS day_value,
-        |  CASE WHEN isnan(list_reduce(xs, (a, x) -> a*0.7 + 0.3*x)) THEN 0.0
-        |       ELSE floor(list_reduce(xs, (a, x) -> a*0.7 + 0.3*x)*1000000.0 + 0.5)
-        |    /1000000.0 END AS ewma
-        |FROM l ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+        |  floor(day_value*100.0 + 0.5)/100.0 AS day_value,
+        |  CASE WHEN len(xs) >= 1 THEN
+        |    floor(list_reduce(xs, (a, x) -> a*0.7 + 0.3*x)*1000000.0 + 0.5)
+        |      /1000000.0 END AS ewma
+        |FROM l
+        |UNION ALL
+        |SELECT event_type, day, floor(day_value*100.0 + 0.5)/100.0,
+        |  CAST(NULL AS DOUBLE)
+        |FROM daily WHERE day IS NULL
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
     "q_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
@@ -859,15 +899,14 @@ object Insights {
         |  floor((g.n_active*1.0/cs.cohort_size)*1000000.0 + 0.5)/1000000.0
         |    AS retention
         |FROM g JOIN cs USING (cohort_week)
-        |ORDER BY cohort_week, week_offset""".stripMargin,
+        |ORDER BY cohort_week NULLS FIRST, week_offset NULLS FIRST""".stripMargin,
     "q_rfm" ->
       """WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor
         |                FROM orders),
         |per AS (SELECT o_custkey,
         |          max(CAST(o_orderdate AS DATE)) AS last_order,
         |          CAST(count(*) AS BIGINT) AS frequency,
-        |          CASE WHEN isnan(sum(o_totalprice)) THEN 0.0
-        |               ELSE floor(sum(o_totalprice)*100.0 + 0.5)/100.0 END AS monetary
+        |          floor(sum(o_totalprice)*100.0 + 0.5)/100.0 AS monetary
         |        FROM orders GROUP BY 1),
         |m AS (SELECT o_custkey,
         |        CAST(date_diff('day', last_order, anchor) AS BIGINT)
@@ -881,9 +920,9 @@ object Insights {
         |    floor(quantile_cont(frequency, 0.25)*1000000.0 + 0.5)/1000000.0 AS f1,
         |    floor(quantile_cont(frequency, 0.50)*1000000.0 + 0.5)/1000000.0 AS f2,
         |    floor(quantile_cont(frequency, 0.75)*1000000.0 + 0.5)/1000000.0 AS f3,
-        |    floor(quantile_cont(CAST(monetary AS DOUBLE), 0.25)*1000000.0 + 0.5)/1000000.0 AS m1,
-        |    floor(quantile_cont(CAST(monetary AS DOUBLE), 0.50)*1000000.0 + 0.5)/1000000.0 AS m2,
-        |    floor(quantile_cont(CAST(monetary AS DOUBLE), 0.75)*1000000.0 + 0.5)/1000000.0 AS m3
+        |    floor(quantile_cont(CASE WHEN NOT isnan(monetary) THEN CAST(monetary AS DOUBLE) END, 0.25)*1000000.0 + 0.5)/1000000.0 AS m1,
+        |    floor(quantile_cont(CASE WHEN NOT isnan(monetary) THEN CAST(monetary AS DOUBLE) END, 0.50)*1000000.0 + 0.5)/1000000.0 AS m2,
+        |    floor(quantile_cont(CASE WHEN NOT isnan(monetary) THEN CAST(monetary AS DOUBLE) END, 0.75)*1000000.0 + 0.5)/1000000.0 AS m3
         |  FROM m),
         |scored AS (SELECT o_custkey, recency_days, frequency, monetary,
         |    CAST(1 + coalesce((recency_days > r1)::int, 0)
@@ -906,8 +945,10 @@ object Insights {
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
         |    sum(value) AS day_value, CAST(count(*) AS BIGINT) AS n_events
         |  FROM events GROUP BY 1, 2),
-        |st AS (SELECT event_type, avg(day_value) AS mu,
-        |         stddev_samp(day_value) AS sigma
+        |st AS (SELECT event_type,
+        |         avg(CASE WHEN NOT isnan(day_value) THEN day_value END) AS mu,
+        |         stddev_samp(CASE WHEN NOT isnan(day_value) THEN day_value END)
+        |           AS sigma
         |       FROM daily GROUP BY 1),
         |z AS (SELECT d.event_type, d.day,
         |        floor(d.day_value*100.0 + 0.5)/100.0 AS day_value, d.n_events,
@@ -916,7 +957,7 @@ object Insights {
         |      FROM daily d JOIN st USING (event_type))
         |SELECT event_type, day, day_value, n_events, z,
         |  (abs(z) > 2.0) AS anomalous
-        |FROM z ORDER BY event_type, day""".stripMargin,
+        |FROM z ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
     "q_bm25" ->
       """WITH dl AS (SELECT doc_id,
         |              CAST(len(string_split(text,' ')) AS DOUBLE) AS dl
@@ -937,13 +978,17 @@ object Insights {
         |GROUP BY tf.doc_id
         |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_skyline" ->
-      """SELECT p.p_partkey, p.p_brand,
+      """WITH vp AS (SELECT p_partkey, p_brand, p_retailprice, p_size
+        |  FROM part
+        |  WHERE p_retailprice IS NOT NULL AND NOT isnan(p_retailprice)
+        |    AND p_size IS NOT NULL)
+        |SELECT p.p_partkey, p.p_brand,
         |  floor(p.p_retailprice*100.0 + 0.5)/100.0 AS p_retailprice, p.p_size
-        |FROM part p
-        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |FROM vp p
+        |WHERE NOT EXISTS (SELECT 1 FROM vp q
         |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
-        |AND p.p_partkey = (SELECT min(q2.p_partkey) FROM part q2
+        |AND p.p_partkey = (SELECT min(q2.p_partkey) FROM vp q2
         |  WHERE q2.p_retailprice = p.p_retailprice AND q2.p_size = p.p_size)
         |ORDER BY p_retailprice, p_partkey""".stripMargin,
     "q_pagerank" ->

@@ -692,13 +692,13 @@ object LlmPipeline {
         """)*1000000.0 + 0.5)/1000000.0 AS cos_sim
         |  FROM embeddings CROSS JOIN p WHERE vec_id >= 10),
         |top5 AS (SELECT * FROM (SELECT *, row_number() OVER (
-        |    PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM scored)
+        |    PARTITION BY probe_id ORDER BY cos_sim DESC NULLS LAST, vec_id ASC) AS rn FROM scored)
         |  WHERE rn <= 5),
         |votes AS (SELECT probe_id, true_label, label, count(*) AS n_votes
         |          FROM top5 GROUP BY 1, 2, 3)
         |SELECT probe_id, label AS pred_label, true_label, n_votes FROM (
         |  SELECT *, row_number() OVER (PARTITION BY probe_id
-        |    ORDER BY n_votes DESC, label ASC) AS rk FROM votes)
+        |    ORDER BY n_votes DESC, label ASC NULLS FIRST) AS rk FROM votes)
         |WHERE rk = 1 ORDER BY probe_id""").stripMargin,
     "q_text_stats" ->
       """WITH base AS (
@@ -725,7 +725,7 @@ object LlmPipeline {
         |      floor((tf * ln(CAST(n_total AS DOUBLE) / df))*1000000.0 + 0.5)/1000000.0 DESC,
         |      tf.term ASC) AS BIGINT) AS rk
         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
-        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+        |WHERE rk <= 5 ORDER BY lang NULLS FIRST, rk""".stripMargin,
     "q_multimodal" ->
       """WITH e AS (SELECT vec_id, label,
         |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm

@@ -230,7 +230,10 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
-        |  floor(sum(l_extendedprice*(1-l_discount))*100.0D + 0.5D)/100.0D AS revenue,
+        |  CASE WHEN isnan(sum(l_extendedprice*(1-l_discount)))
+        |       THEN sum(l_extendedprice*(1-l_discount))
+        |       ELSE floor(sum(l_extendedprice*(1-l_discount))*100.0D + 0.5D)
+        |         /100.0D END AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -681,7 +684,8 @@ object Relational {
         |  SELECT o_custkey, epoch_us(o_orderdate), NULL, o_orderkey, 0 FROM orders),
         |w AS (
         |  SELECT *, last_value(okey IGNORE NULLS) OVER (
-        |    PARTITION BY k ORDER BY t_us, is_ev, okey
+        |    PARTITION BY k
+        |    ORDER BY t_us NULLS FIRST, is_ev, okey NULLS FIRST
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lo
         |  FROM u)
         |SELECT event_id, k AS user_id, t_us AS ts_us, lo AS o_orderkey
@@ -699,7 +703,7 @@ object Relational {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_agg_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
         | count(*) AS n_orders
@@ -712,7 +716,7 @@ object Relational {
         | floor((sum(l_extendedprice*(1-l_discount)))*100.0 + 0.5)/100.0 AS rev,
         | count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY rflag, lstatus""".stripMargin,
+        |ORDER BY rflag NULLS FIRST, lstatus NULLS FIRST""".stripMargin,
     "q_cube" ->
       """WITH e AS (SELECT event_type, value,
         |   CAST(CASE WHEN json_valid(props) THEN
@@ -722,20 +726,19 @@ object Relational {
         | CASE WHEN GROUPING(k_bucket) = 1 THEN -1
         |      ELSE coalesce(k_bucket, -2) END AS kb,
         | count(*) AS n,
-        | CASE WHEN isnan(sum(value)) THEN 0.0
-        |      ELSE floor((sum(value))*100.0 + 0.5)/100.0 END AS sum_value
+        | floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
         |FROM e GROUP BY CUBE(event_type, k_bucket)
         |ORDER BY etype, kb""".stripMargin,
-    // isnan guards mirror Spark's floor(double)→LONG NaN.toLong == 0 on
-    // NaN-poisoned aggregates — no-op on clean fixtures (no NaN inputs).
+    // NaN propagates through the rounding folds on both engines (r2/r6
+    // went NaN-transparent in round 7; DuckDB floor(NaN) is NaN natively),
+    // and NaN compares GREATER than any value on both engines, so the
+    // HAVING threshold keeps NaN groups on both sides.
     "q_having" ->
       """SELECT user_id,
-        |  CASE WHEN isnan(sum(value)) THEN 0.0
-        |       ELSE floor((sum(value))*100.0 + 0.5)/100.0 END AS total_value,
+        |  floor((sum(value))*100.0 + 0.5)/100.0 AS total_value,
         |  count(*) AS n_events
         |FROM events GROUP BY user_id
-        |HAVING (CASE WHEN isnan(sum(value)) THEN 0.0
-        |             ELSE floor((sum(value))*100.0 + 0.5)/100.0 END) > 1000.0
+        |HAVING (floor((sum(value))*100.0 + 0.5)/100.0) > 1000.0
         |ORDER BY user_id NULLS FIRST""".stripMargin,
     "q_sort" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
@@ -743,7 +746,8 @@ object Relational {
     "q_topk" ->
       """SELECT l_partkey, floor((sum(l_extendedprice*(1-l_discount)))*100.0 + 0.5)/100.0 AS part_revenue
         |FROM lineitem GROUP BY l_partkey
-        |ORDER BY part_revenue DESC, l_partkey ASC LIMIT 20""".stripMargin,
+        |ORDER BY part_revenue DESC NULLS LAST, l_partkey ASC NULLS FIRST
+        |LIMIT 20""".stripMargin,
     "q_topk_group" ->
       """SELECT l_orderkey, l_linenumber,
         | floor((l_extendedprice*(1-l_discount))*100.0 + 0.5)/100.0 AS revenue,

@@ -129,7 +129,13 @@ object Roundtrip {
   def qJdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
     val url = s"jdbc:derby:${scratch(d, "supplier_derby")};create=true"
     val drv = "org.apache.derby.jdbc.EmbeddedDriver"
-    supplier(s, d).write.mode("overwrite")
+    // Derby has NO NaN representation — EmbedPreparedStatement.setDouble
+    // throws on it (round-7 fuzz: one NaN acctbal killed the whole write).
+    // The standard JDBC-boundary mapping is NaN → SQL NULL; the oracle
+    // reads the source through the same lens.
+    supplier(s, d)
+      .withColumn("s_acctbal", graft.Cols.nanNull(col("s_acctbal")))
+      .write.mode("overwrite")
       .format("jdbc").option("url", url).option("driver", drv)
       .option("dbtable", "supplier").save()
     s.read.format("jdbc").option("url", url).option("driver", drv)
@@ -184,7 +190,10 @@ object Roundtrip {
       // vectors loudly — the right format contract; the job-side move is to
       // dead-letter corrupt rows before the write (no-op on a well-formed
       // corpus). Width comes from the format's own constant, not a copy.
-      .where(size(col("embedding")) === graft.sources.VecBin.DefaultDim)
+      // A null label is equally nonconforming (the record layout has no
+      // null slot) — same dead-letter treatment, mirrored in the oracle.
+      .where(size(col("embedding")) === graft.sources.VecBin.DefaultDim
+        && col("label").isNotNull)
       .write.format(fmt).mode("overwrite").save(out)
     val fdot = graft.functions.FloatVectorDot.dotF(s) _
     s.read.format(fmt).load(out)
@@ -420,14 +429,19 @@ object Roundtrip {
          |SELECT zval // 256 AS zbucket, CAST(count(*) AS BIGINT) AS n,
          |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          |FROM z GROUP BY 1 ORDER BY zbucket NULLS FIRST""".stripMargin,
+    // NULLIF on the string columns: a CSV cell cannot distinguish '' from
+    // NULL under Spark's default nullValue='' — the round trip collapses
+    // empty strings to null, so the oracle reads the source the same way.
     "q_csv_roundtrip" ->
-      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      """SELECT c_custkey, NULLIF(c_name, '') AS c_name, c_nationkey,
+        |  c_acctbal, NULLIF(c_mktsegment, '') AS c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_xml_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q_jdbc_roundtrip" ->
-      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |  CASE WHEN NOT isnan(s_acctbal) THEN s_acctbal END AS s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q_json_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -446,10 +460,9 @@ object Roundtrip {
       """WITH v AS (SELECT vec_id, label, embedding[1] AS dim0,
         |  sqrt(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2r
-        |FROM embeddings WHERE len(embedding) = 64)
+        |FROM embeddings WHERE len(embedding) = 64 AND label IS NOT NULL)
         |SELECT vec_id, label, dim0,
-        |  CASE WHEN isnan(l2r) THEN 0.0
-        |       ELSE floor(l2r*1000000.0 + 0.5)/1000000.0 END AS l2_norm
+        |  floor(l2r*1000000.0 + 0.5)/1000000.0 AS l2_norm
         |FROM v ORDER BY vec_id""".stripMargin,
     // The writer's two batch predicates (%2 = 0 / %2 = 1) drop rows whose
     // key satisfies neither — negative keys have %2 = -1 in both engines.
@@ -471,7 +484,6 @@ object Roundtrip {
         |  CASE WHEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') = '$EvolveDay'
         |       THEN value * 2 ELSE value END AS value FROM events)
         |SELECT event_date, count(*) AS n,
-        |  CASE WHEN isnan(sum(value)) THEN 0.0
-        |       ELSE floor((sum(value))*100.0 + 0.5)/100.0 END AS sum_value
+        |  floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
         |FROM e GROUP BY 1 ORDER BY event_date NULLS FIRST""".stripMargin)
 }

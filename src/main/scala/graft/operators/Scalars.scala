@@ -156,11 +156,12 @@ object Scalars {
         | CASE WHEN isnan(l_extendedprice) THEN 0
         |      ELSE CAST(floor(l_extendedprice) AS BIGINT) END AS fl,
         | pow(l_quantity, 2.0) AS pw,
-        | CASE WHEN isnan(l_extendedprice) THEN 0.0
+        | CASE WHEN isnan(l_extendedprice) THEN CAST('NaN' AS DOUBLE)
+        |      WHEN 1.0 + l_extendedprice <= 0 THEN NULL
         |      ELSE floor((ln(1.0 + l_extendedprice))*1000000.0 + 0.5)/1000000.0 END AS lg,
-        | CASE WHEN isnan(l_quantity) OR l_quantity < 0 THEN 0.0
+        | CASE WHEN isnan(l_quantity) OR l_quantity < 0 THEN CAST('NaN' AS DOUBLE)
         |      ELSE floor((sqrt(l_quantity))*1000000.0 + 0.5)/1000000.0 END AS sq,
-        | coalesce(CASE WHEN isnan(l_extendedprice / nullif(l_discount, 0.0)) THEN 0.0
+        | coalesce(CASE WHEN isnan(l_extendedprice / nullif(l_discount, 0.0)) THEN CAST('NaN' AS DOUBLE)
         |      ELSE floor((l_extendedprice / nullif(l_discount, 0.0))*1000000.0 + 0.5)/1000000.0 END, -1.0) AS safe_div
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_case" ->
@@ -181,8 +182,8 @@ object Scalars {
         | count(DISTINCT k) AS n_k,
         | count(CASE WHEN k > 5 THEN 1 END) AS n_k_gt5
         |FROM e GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
-    // isnan guards mirror Spark's floor(double)→LONG NaN.toLong == 0 on
-    // NaN-poisoned vectors — no-op on clean fixtures.
+    // NaN flows through the rounding folds on BOTH engines since Cols.r2/r6
+    // went NaN-transparent (round 7): DuckDB's floor(NaN) is NaN natively.
     "q_array" ->
       """WITH v AS (SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS n,
@@ -192,10 +193,10 @@ object Scalars {
         |  list_sum(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))) AS h3r
         |FROM embeddings)
         |SELECT vec_id, n,
-        | CASE WHEN isnan(e1r) THEN 0.0 ELSE floor(e1r*1000000.0 + 0.5)/1000000.0 END AS e1,
-        | CASE WHEN isnan(mxr) THEN 0.0 ELSE floor(mxr*1000000.0 + 0.5)/1000000.0 END AS mx,
-        | CASE WHEN isnan(nrmr) THEN 0.0 ELSE floor(nrmr*1000000.0 + 0.5)/1000000.0 END AS nrm,
-        | CASE WHEN isnan(h3r) THEN 0.0 ELSE floor(h3r*1000000.0 + 0.5)/1000000.0 END AS head3_sum
+        | floor(e1r*1000000.0 + 0.5)/1000000.0 AS e1,
+        | floor(mxr*1000000.0 + 0.5)/1000000.0 AS mx,
+        | floor(nrmr*1000000.0 + 0.5)/1000000.0 AS nrm,
+        | floor(h3r*1000000.0 + 0.5)/1000000.0 AS head3_sum
         |FROM v ORDER BY vec_id""".stripMargin,
     "q_map" ->
       """SELECT event_id, k AS key,

@@ -831,9 +831,10 @@ object TrainingData {
         |         FROM dt JOIN prof ON dt.tok = prof.tok GROUP BY 1, 2, 3),
         |best AS (SELECT doc_id, lang, plang FROM (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY n_hit DESC, plang ASC) AS rk FROM hits) WHERE rk = 1)
+        |    ORDER BY n_hit DESC, plang ASC NULLS FIRST) AS rk FROM hits) WHERE rk = 1)
         |SELECT lang, plang AS pred_lang, count(*) AS n
-        |FROM best GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+        |FROM best GROUP BY 1, 2
+        |ORDER BY lang NULLS FIRST, pred_lang NULLS FIRST""".stripMargin,
     "q_quality_score" ->
       """WITH q AS (SELECT doc_id,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,

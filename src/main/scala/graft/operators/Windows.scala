@@ -61,14 +61,26 @@ object Windows {
     val daily = orders(s, d)
       .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
       .agg(Cols.r2(sum(col("o_totalprice"))).as("day_rev"))
+    // A day-less group (null order dates) is OUTSIDE the time series: its
+    // moving average / running total are undefined (null), and it must not
+    // seed the real series' frames — before round 7 it rode FIRST in the
+    // nulls-first window and a NaN day_rev there would poison every
+    // running value after it. The oracle has carried this exclude-and-
+    // union-back form since round 6 (DuckDB's parallel window sort places
+    // a null ordering key nondeterministically); the operator now declares
+    // the same semantics.
     val w = Window.orderBy(col("day"))
-    daily.select(
-        Cols.epochUs(col("day")).as("day_us"),
-        col("day_rev"),
-        Cols.r6(avg(col("day_rev")).over(w.rowsBetween(-6, 0))).as("ma7"),
-        Cols.r2(sum(col("day_rev")).over(
-          w.rowsBetween(Window.unboundedPreceding, 0))).as("running"))
-      .orderBy("day_us")
+    val series = daily.where(col("day").isNotNull).select(
+      Cols.epochUs(col("day")).as("day_us"),
+      col("day_rev"),
+      Cols.r6(avg(col("day_rev")).over(w.rowsBetween(-6, 0))).as("ma7"),
+      Cols.r2(sum(col("day_rev")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))).as("running"))
+    val dayless = daily.where(col("day").isNull).select(
+      lit(null).cast("long").as("day_us"), col("day_rev"),
+      lit(null).cast("double").as("ma7"),
+      lit(null).cast("double").as("running"))
+    series.unionByName(dayless).orderBy("day_us")
   }
 
   /** Ratio-to-report: each order's share of its customer's total spend.
@@ -77,7 +89,11 @@ object Windows {
     val w = Window.partitionBy(col("o_custkey"))
     orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        Cols.r6(col("o_totalprice") / sum(col("o_totalprice")).over(w)).as("share"))
+        // nullif: a zero group total (e.g. +x and −x orders) would make the
+        // share ±inf, where the engines' inf-through-floor folds diverge —
+        // an undefined share is null on both engines instead
+        Cols.r6(col("o_totalprice") /
+          nullif(sum(col("o_totalprice")).over(w), lit(0.0))).as("share"))
       .orderBy("o_orderkey")
   }
 
@@ -131,8 +147,7 @@ object Windows {
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events)
         |SELECT user_id, event_id, us,
         |  count(*) OVER w AS n_30m,
-        |  CASE WHEN isnan(sum(value) OVER w) THEN 0.0
-        |       ELSE floor((sum(value) OVER w)*100.0 + 0.5)/100.0 END AS sum_30m
+        |  floor((sum(value) OVER w)*100.0 + 0.5)/100.0 AS sum_30m
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY us NULLS FIRST
         |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
@@ -179,8 +194,7 @@ object Windows {
     "q_win_frame" ->
       """WITH daily AS MATERIALIZED (
         |  SELECT date_trunc('day', o_orderdate) AS day,
-        |         CASE WHEN isnan(sum(o_totalprice)) THEN 0.0
-        |              ELSE floor((sum(o_totalprice))*100.0 + 0.5)/100.0 END AS day_rev
+        |         floor((sum(o_totalprice))*100.0 + 0.5)/100.0 AS day_rev
         |  FROM orders GROUP BY 1),
         |w AS (
         |  SELECT epoch_us(CAST(day AS TIMESTAMP)) AS day_us, day_rev,
@@ -195,8 +209,8 @@ object Windows {
         |ORDER BY day_us NULLS FIRST""".stripMargin,
     "q_win_share" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
-        |  CASE WHEN isnan(o_totalprice / sum(o_totalprice) OVER w) THEN 0.0
-        |       ELSE floor((o_totalprice / sum(o_totalprice) OVER w)*1000000.0 + 0.5)/1000000.0 END AS share
+        |  floor((o_totalprice / nullif(sum(o_totalprice) OVER w, 0.0))
+        |    *1000000.0 + 0.5)/1000000.0 AS share
         |FROM orders WINDOW w AS (PARTITION BY o_custkey)
         |ORDER BY o_orderkey""".stripMargin)
 }
