@@ -202,7 +202,10 @@ object Scalars {
       """SELECT event_id, k AS key,
         | CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS val
         |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k
-        |      FROM events WHERE json_valid(props)
+        |      FROM (SELECT event_id,
+        |              CASE WHEN json_valid(props) THEN props END AS props
+        |            FROM events)
+        |      WHERE props IS NOT NULL
         |        AND len(list_filter(json_keys(props),
         |          kk -> json_type(props, '$.' || kk)
         |            NOT IN ('BIGINT', 'UBIGINT'))) = 0)
