@@ -751,8 +751,10 @@ object Insights {
         |         count(*) OVER () AS nd FROM uh),
         |uall AS (SELECT 'ALL' AS scope,
         |           (SELECT count(DISTINCT key) FROM e) AS exact,
-        |           CAST(least(max(nd), 128) AS BIGINT) AS sketch_size,
-        |           CASE WHEN max(nd) < 128 THEN CAST(max(nd) AS DOUBLE)
+        |           CAST(least(coalesce(max(nd), 0), 128) AS BIGINT)
+        |             AS sketch_size,
+        |           CASE WHEN coalesce(max(nd), 0) < 128
+        |                THEN CAST(coalesce(max(nd), 0) AS DOUBLE)
         |                ELSE 127.0 * 2147483647.0
         |                  / max(CASE WHEN rk = 128 THEN h END) END AS e
         |         FROM ur),

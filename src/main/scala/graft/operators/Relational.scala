@@ -624,6 +624,7 @@ object Relational {
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |HAVING count(*) > 0
         |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_recursive" ->
       """WITH RECURSIVE walk(k, cur, depth, path_sum) AS (
@@ -716,6 +717,7 @@ object Relational {
         | floor((sum(l_extendedprice*(1-l_discount)))*100.0 + 0.5)/100.0 AS rev,
         | count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |HAVING count(*) > 0
         |ORDER BY rflag NULLS FIRST, lstatus NULLS FIRST""".stripMargin,
     "q_cube" ->
       """WITH e AS (SELECT event_type, value,
@@ -728,6 +730,7 @@ object Relational {
         | count(*) AS n,
         | floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
         |FROM e GROUP BY CUBE(event_type, k_bucket)
+        |HAVING count(*) > 0
         |ORDER BY etype, kb""".stripMargin,
     // NaN propagates through the rounding folds on both engines (r2/r6
     // went NaN-transparent in round 7; DuckDB floor(NaN) is NaN natively),

@@ -15,7 +15,13 @@ FKs, duplicate texts, nested/invalid JSON and pre-epoch timestamps are
 all in scope. PRIMARY keys stay unique per table — the fixture contract
 the declared determinism (unique ORDER BY tiebreaks) is built on.
 
-Usage: fuzz.py <seed> <outDir>
+Usage: fuzz.py <seed> <outDir> [emptyTable ...]
+
+Optional trailing args name tables to write with ZERO rows (schema
+preserved) — the partially-empty corpus case (one feed dry, others
+full) that the all-empty totality spec does not cover: every join,
+broadcast, aggregate and sketch must stay total and cross-engine-equal
+when one side of it is empty.
 """
 import sys, random, datetime
 import pyarrow as pa
@@ -99,12 +105,15 @@ def mk_money(rng):
 
 def main():
     seed, out = int(sys.argv[1]), sys.argv[2]
+    empty = set(sys.argv[3:])
     rng = random.Random(seed)
     import os
     os.makedirs(out, exist_ok=True)
 
     def write(name, cols, schema):
         t = pa.table(cols, schema=schema)
+        if name in empty:
+            t = t.slice(0, 0)
         pq.write_table(t, f"{out}/{name}.parquet")
         print(f"{name}: {t.num_rows} rows")
 
