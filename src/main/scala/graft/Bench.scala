@@ -107,6 +107,14 @@ object Bench {
     val failures = med.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val summaryLine = s"""{"metric":"summary","total":$total,"warmup_sec":$warmup,"reps":$reps,"n_queries":${med.size},"slowest":${obj(slowest)},"watch":${obj(watch)},"watch_min":${obj(watchMin)},"failures":$failures}"""
+    // Compact total line, printed as the FINAL stdout line (r7 postmortem:
+    // BENCH_r07.json was parsed:null because the driver json-parses the
+    // {"metric":"total"} line from its 2000-char tail, and the full line's
+    // two 138-entry per-query maps are ~8 KB — they can never fit. This
+    // line carries the scoring scalars only (~170 chars, always inside any
+    // tail); the per-query maps live earlier on stdout and in the
+    // BENCH_LOCAL.json sidecar).
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"reps":$reps,"n_queries":${med.size},"failures":$failures,"sf":"$sfDir"}"""
     // Tail hardening (r6 postmortem): BENCH_r06.json came back parsed:null
     // because teardown AFTER the summary println flooded stderr with
     // checkpoint-unpersist WARNs and the driver tails the COMBINED stream —
@@ -124,7 +132,7 @@ object Bench {
     // flood (SPARK_GRAFT_BENCH_WARNFLOOD).
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      fullLine + "\n" + summaryLine + "\n")
+      fullLine + "\n" + summaryLine + "\n" + totalLine + "\n")
     graft.operators.TrainingData.unpersistAll()
     spark.sparkContext.setLogLevel("ERROR")
     if (sys.env.contains("SPARK_GRAFT_BENCH_WARNFLOOD")) {
@@ -136,5 +144,6 @@ object Bench {
     spark.stop()
     println(fullLine)
     println(summaryLine)
+    println(totalLine)
   }
 }

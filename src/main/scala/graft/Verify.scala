@@ -56,7 +56,11 @@ object Verify {
     graft.operators.TrainingData.unpersistAll()
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    val failedJson = failed.toList.sorted
+    // Cap the failure list at 20 names (r7 verdict item 2): a catastrophic
+    // round with all 138 queries failing would otherwise bloat exactly the
+    // diagnostic line that must survive the driver's 2000-char tail. The
+    // full count is always in "err"; the names are a sample.
+    val failedJson = failed.toList.sorted.take(20)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"verify","ok":$okCount,"err":${failed.size},"failed":$failedJson}""")
   }

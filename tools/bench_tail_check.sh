@@ -6,10 +6,15 @@
 # Runs Bench at sf0.001 with a FORCED 500-WARN teardown flood
 # (SPARK_GRAFT_BENCH_WARNFLOOD) and asserts, on the combined
 # stdout+stderr stream:
-#   1. the last JSON line is the {"metric":"summary"} line,
-#   2. that summary sits inside the final 2000 chars (the driver's window),
+#   1. the last JSON line is the compact {"metric":"total"} line, it
+#      json-parses cleanly, and it carries NO per-query maps (r7
+#      postmortem: the full total line's two 138-entry maps are ~8 KB and
+#      can never fit the driver's 2000-char tail — the compact final line
+#      is what the driver parses),
+#   2. both the compact total and the summary sit inside the final 2000
+#      chars (the driver's window),
 #   3. the flood did NOT leak (ERROR level silences it),
-#   4. the sidecar BENCH_LOCAL.json exists and its 2nd line is the summary.
+#   4. the sidecar BENCH_LOCAL.json exists with full/summary/total lines.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 out=$(mktemp)
@@ -20,9 +25,26 @@ SPARK_GRAFT_BENCH_WARNFLOOD=1 \
 sbt --batch "runMain graft.Bench" >"$out" 2>&1 || { tail -5 "$out"; exit 1; }
 last_json=$(grep -o '{"metric":"[a-z]*".*}' "$out" | tail -1)
 case "$last_json" in
-  '{"metric":"summary"'*) ;;
-  *) echo "FAIL: last JSON line is not the summary: ${last_json:0:100}"; exit 1;;
+  '{"metric":"total"'*) ;;
+  *) echo "FAIL: last JSON line is not the compact total: ${last_json:0:100}"; exit 1;;
 esac
+# The compact total must json-parse, carry the scoring fields, have NO
+# per-query maps, and be small enough to always survive any tail window.
+printf '%s' "$last_json" | python3 -c '
+import json, sys
+s = sys.stdin.read()
+d = json.loads(s)
+assert d["metric"] == "total", d
+assert isinstance(d["value"], (int, float)), d
+assert d["unit"] == "sec", d
+assert "queries" not in d and "queries_min" not in d, "per-query maps leaked into the compact line"
+assert len(s) < 1000, f"compact total line too long: {len(s)} chars"
+' || { echo "FAIL: compact total line malformed: ${last_json:0:200}"; exit 1; }
+if ! tail -c 2000 "$out" | grep -q '"metric":"total"'; then
+  echo "FAIL: compact total not inside the final 2000-char tail"
+  tail -c 2000 "$out"
+  exit 1
+fi
 if ! tail -c 2000 "$out" | grep -q '"metric":"summary"'; then
   echo "FAIL: summary not inside the final 2000-char tail"
   tail -c 2000 "$out"
@@ -34,5 +56,8 @@ fi
 if ! sed -n '2p' BENCH_LOCAL.json | grep -q '"metric":"summary"'; then
   echo "FAIL: sidecar BENCH_LOCAL.json missing or malformed"; exit 1
 fi
-echo "OK: summary survives the forced WARN flood" \
+if ! sed -n '3p' BENCH_LOCAL.json | grep -q '{"metric":"total"'; then
+  echo "FAIL: sidecar BENCH_LOCAL.json missing the compact total line"; exit 1
+fi
+echo "OK: compact total + summary survive the forced WARN flood" \
   "($(wc -c <"$out") chars of combined output; sidecar present)"
