@@ -46,6 +46,18 @@ object Cols {
     * (oracle side: `CASE WHEN NOT isnan(x) THEN x END`). */
   def nanNull(c: Column): Column = when(!isnan(c), c)
 
+  /** ANSI-independent array length: NULL on a NULL array under BOTH ANSI
+    * modes. Bare `size(NULL)` is session-conf-dependent — NULL under ANSI
+    * on (Spark 4's default, the mode every oracle parity run uses) but
+    * legacy `-1` under ANSI off — so using it in an output or arithmetic
+    * position silently couples the RESULT to `spark.sql.ansi.enabled`
+    * (caught by ConfParity's noansi arm on the dirty corpus: a -1 "token
+    * count" for a null-text poison doc shifted q_bm25's corpus avgdl and
+    * q_mix_weights' per-source token totals). Pure filter positions
+    * comparing to a positive bound (`size(x) >= k`) are mode-safe — NULL
+    * and -1 both fail the predicate — and may keep bare `size`. */
+  def sizeN(c: Column): Column = when(c.isNotNull, size(c))
+
   /** Deterministic sampling/split bucket in [0, m): xorshift → modular
     * multiply → xorshift over a non-negative key, replayed verbatim in the
     * oracles (DuckDB `xor`/`>>`/`%`). The xorshift rounds make the bucket

@@ -101,7 +101,7 @@ object CorpusFilters {
       documents(s, d)
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(size(split(col("text"), " "))).as("n_tokens"))
+          sum(Cols.sizeN(split(col("text"), " "))).as("n_tokens"))
     }
     val tot = strata.agg(sum(col("n_tokens")).as("tot_tokens"),
       count(lit(1)).as("n_strata"))
@@ -129,7 +129,7 @@ object CorpusFilters {
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     documents(s, d)
-      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_tok", Cols.sizeN(split(col("text"), " ")).cast("long"))
       .withColumn("shard", floor(col("doc_id") / 1000L))
       .withColumn("tok_end", sum(col("n_tok")).over(w))
       .withColumn("tok_offset", col("tok_end") - col("n_tok"))
@@ -308,12 +308,12 @@ object CorpusFilters {
     val stops = Seq("the", "a", "of", "and", "to", "in")
     documents(s, d)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_tok", Cols.sizeN(col("toks")).cast("long"))
       .withColumn("mean_tok_len", Cols.r6(
         (col("n_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok")))
       .withColumn("alpha_frac", Cols.r6(
-        size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double") / col("n_tok")))
-      .withColumn("n_stop", size(array_intersect(
+        Cols.sizeN(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double") / col("n_tok")))
+      .withColumn("n_stop", Cols.sizeN(array_intersect(
         array_distinct(col("toks")), array(stops.map(lit): _*))).cast("long"))
       .withColumn("gate_len", col("n_tok") >= 50 && col("n_tok") <= 100000)
       .withColumn("gate_word_len",
@@ -413,7 +413,7 @@ object CorpusFilters {
   def qChunk(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_tok", Cols.sizeN(col("toks")).cast("long"))
       .withColumn("n_chunks",
         expr("1 + (greatest(n_tok - 32, 0L) + 23) div 24"))
       .select(col("doc_id"), col("toks"), col("n_tok"),
@@ -495,7 +495,7 @@ object CorpusFilters {
           .when(col("bucket") < 90, "valid").otherwise("test"))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " "))).as("n_tokens"),
+        sum(Cols.sizeN(split(col("text"), " "))).as("n_tokens"),
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
       .orderBy("split", "lang")
   }

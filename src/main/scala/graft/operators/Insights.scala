@@ -155,7 +155,7 @@ object Insights {
     val qTerms = Seq("spark", "hash", "join")
     val docs = documents(s, d)
     val dl = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("double").as("dl"))
+      Cols.sizeN(split(col("text"), " ")).cast("double").as("dl"))
     val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val tf = docs

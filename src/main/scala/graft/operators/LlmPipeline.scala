@@ -491,7 +491,7 @@ object LlmPipeline {
     val base = docs.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         Cols.r6(avg(col("n_chars"))).as("avg_chars"),
-        sum(size(split(col("text"), " "))).as("n_tokens"))
+        sum(Cols.sizeN(split(col("text"), " "))).as("n_tokens"))
     val vocab = docs
       .select(col("lang"), col("source"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))

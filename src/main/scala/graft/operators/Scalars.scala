@@ -95,7 +95,7 @@ object Scalars {
     val v = toDouble(col("embedding"))
     embeddings(s, d).select(
         col("vec_id"),
-        size(col("embedding")).cast("long").as("n"),
+        Cols.sizeN(col("embedding")).cast("long").as("n"),
         // guarded: ANSI element_at throws on an empty array (a corrupt
         // zero-length payload); a missing first element is null, not a crash
         Cols.r6(when(size(col("embedding")) >= 1,

@@ -285,13 +285,13 @@ object TrainingData {
     val stops = Seq("the", "a", "of", "and", "to", "in")
     val isStop = (t: Column) => stops.map(t === _).reduce(_ || _)
     documents(s, d)
-      .withColumn("n_tok", size(toks).cast("long"))
-      .withColumn("n_dist", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_tok", Cols.sizeN(toks).cast("long"))
+      .withColumn("n_dist", Cols.sizeN(array_distinct(toks)).cast("long"))
       .withColumn("ttr", Cols.r6(col("n_dist").cast("double") / col("n_tok")))
       .withColumn("avg_tok_len", Cols.r6(
         (col("n_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok")))
       .withColumn("stop_ratio", Cols.r6(
-        size(filter(toks, isStop)).cast("double") / col("n_tok")))
+        Cols.sizeN(filter(toks, isStop)).cast("double") / col("n_tok")))
       .withColumn("quality", Cols.r6(
         lit(0.5) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio"))
           + lit(0.2) * least(col("n_tok").cast("double") / 100.0, lit(1.0))))
@@ -308,9 +308,9 @@ object TrainingData {
     * dirty corpus caught the off-by-one). */
   def qTokenCount(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("ws", size(split(col("text"), " ")).cast("long"))
+      .withColumn("ws", Cols.sizeN(split(col("text"), " ")).cast("long"))
       .withColumn("bpe",
-        size(regexp_extract_all(col("text"),
+        Cols.sizeN(regexp_extract_all(col("text"),
           lit("[a-z]+|[0-9]+|[^ \\t\\n\\x0B\\f\\r]"), lit(0))).cast("long"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_ws_tokens"),

@@ -44,9 +44,10 @@ import graft.SparkEntry
   * QuantileSummaries is not merge-associative in general), exactly the
   * weaker check the driver applies.
   *
-  * Doubles/floats are canonicalized to 9 significant digits before
-  * comparison to absorb associativity-of-addition drift that different
-  * partition counts legitimately introduce; everything else is exact.
+  * Doubles/floats are canonicalized to 10 significant digits (%.9e = one
+  * leading digit + 9 decimals) before comparison to absorb
+  * associativity-of-addition drift that different partition counts
+  * legitimately introduce; everything else is exact.
   *
   * Usage: runMain graft.tools.ConfParity <sfDir> [armName ...]
   */
@@ -66,6 +67,20 @@ object ConfParity {
       "spark.sql.files.openCostInBytes" -> "0")),
     Arm("sortagg", Map(
       "spark.sql.execution.useObjectHashAggregateExec" -> "false")),
+    // Spark 4 defaults ANSI ON; the r7 fuzz round proved ANSI kill-modes
+    // existed (q_supplier divide-by-zero, q_active_users null-user day)
+    // and fixed them with explicit guards. Flipping ANSI OFF proves the
+    // whole surface's arithmetic is explicitly guarded rather than
+    // accidentally relying on either mode's cast/division/overflow
+    // semantics — on a cluster whose admins pin either value, results
+    // must not move.
+    Arm("noansi", Map("spark.sql.ansi.enabled" -> "false")),
+    // The row-based (non-vectorized) parquet read path: different batch
+    // shapes, different decoders (lazy dictionary, no columnar batches);
+    // catches any dependence on the vectorized reader's null/NaN/decimal
+    // decode behavior at the scan.
+    Arm("novecread", Map(
+      "spark.sql.parquet.enableVectorizedReader" -> "false")),
   )
 
   /** Negative control, NOT in the default arm set: a session-timezone flip
@@ -76,8 +91,9 @@ object ConfParity {
   val extraArms: Seq[Arm] = Seq(
     Arm("negctl", Map("spark.sql.session.timeZone" -> "America/New_York")))
 
-  /** Render one cell deterministically; floating point at 9 significant
-    * digits (binary64 sums differ in the last ulps across partition
+  /** Render one cell deterministically; floating point at 10 significant
+    * digits — %.9e is one mantissa digit before the decimal plus nine
+    * after (binary64 sums differ in the last ulps across partition
     * orders — that drift is not a semantic difference). */
   def cell(v: Any): String = v match {
     case null => "∅"
