@@ -37,7 +37,10 @@ object Analytics {
   /** Sample moments + correlation of value with the JSON-extracted k. */
   def qStatsMoments(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      // try_cast: ANSI-kill-proof against a non-numeric $.k string (the
+      // resulting NaN from a "NaN" payload is then dropped by nanNull on
+      // both engines — see the oracle's isnan(k0) filter)
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS DOUBLE)"))
       .groupBy(col("event_type"))
       .agg(
         Cols.r6(stddev_samp(Cols.nanNull(col("value")))).as("sd"),
@@ -167,7 +170,10 @@ object Analytics {
     // sequence() lets one corrupt pre-epoch date inflate the spine to a
     // century of days; clamp to a trailing window from the newest ship
     // date. 7300 d (20 y) ≈ 3× the fixture's 6.8-year span — a no-op on
-    // clean data; the oracle mirrors the greatest() clamp.
+    // clean data; the oracle mirrors the greatest() clamp AT THE DEFAULT —
+    // parity is defined at maxSpanDays=7300 (static oracle SQL); a
+    // re-dialed session changes declared output size by design and must
+    // not be pointed at the parity gate.
     val maxSpanDays =
       s.conf.get("spark.graft.datespine.maxSpanDays", "7300").toInt
     val days = li
@@ -287,10 +293,12 @@ object Analytics {
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_stats_moments" ->
-      """WITH e AS (SELECT event_type,
+      """WITH e0 AS (SELECT event_type, value,
+        |  TRY_CAST(CASE WHEN json_valid(props) THEN
+        |    json_extract_string(props, '$.k') END AS DOUBLE) AS k0 FROM events),
+        |e AS (SELECT event_type,
         |  CASE WHEN NOT isnan(value) THEN value END AS value,
-        |  CAST(CASE WHEN json_valid(props) THEN
-        |    json_extract_string(props, '$.k') END AS DOUBLE) AS k FROM events)
+        |  CASE WHEN NOT isnan(k0) THEN k0 END AS k FROM e0)
         |SELECT event_type,
         | floor((stddev_samp(value))*1000000.0 + 0.5)/1000000.0 AS sd,
         | floor((var_samp(value))*1000000.0 + 0.5)/1000000.0 AS vr,

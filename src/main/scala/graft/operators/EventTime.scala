@@ -192,7 +192,11 @@ object EventTime {
     // grid rows nobody asked for (the round-7 dirty corpus caught exactly
     // that with a 1900-01-01 poison row — 1.09M hours/type). The 8760 h
     // (1 y) default is ~290× the fixture span, so clean-corpus results are
-    // untouched; the oracle mirrors the same greatest() clamp.
+    // untouched; the oracle mirrors the same greatest() clamp AT THE
+    // DEFAULT — parity is defined at maxSpanHours=8760 (the oracle SQL is
+    // static); re-dialing the clamp changes declared output size by
+    // design and must not be pointed at the parity gate (ClampOctave's
+    // dial sweep measures exactly that rows track the dial).
     val maxSpanHours =
       s.conf.get("spark.graft.resample.maxSpanHours", "8760").toInt
     val bounds = obs.agg(min(col("hr")).as("mn0"), max(col("hr")).as("mx"))

@@ -412,21 +412,28 @@ object Relational {
   /** CUBE over event_type × json-derived bucket. */
   def qCube(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      // try_cast: one non-numeric $.k poison string must not ANSI-kill the
+      // job (nulls identically in both modes; oracle TRY_CAST mirrors)
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
       .withColumn("k_bucket", col("k") % 5)
       .cube(col("event_type"), col("k_bucket"))
       // roll-up markers come from grouping(), not from coalescing the
       // grouped value: a DATA null (missing/malformed props, null
       // event_type) must not collide with the subtotal sentinel, or the
       // presentation ORDER BY stops being total and row order diverges
-      // between engines (no-op on the fixtures, which have no null keys)
+      // between engines (no-op on the fixtures, which have no null keys).
+      // Sentinels sit at -5/-6: both engines' % keeps the dividend's sign,
+      // so a REAL bucket is always in [-4, 4] and the sentinels are
+      // provably outside the data domain — the r8 fuzz extension (negative
+      // $.k values) caught the old -1/-2 markers colliding with genuine
+      // negative buckets, which silently de-totalized the ORDER BY
       .agg(grouping(col("event_type")).as("ge"), grouping(col("k_bucket")).as("gk"),
         count(lit(1)).as("n"), Cols.r2(sum(col("value"))).as("sum_value"))
       .select(
         when(col("ge") === 1, lit("ALL"))
           .otherwise(coalesce(col("event_type"), lit("(null)"))).as("etype"),
-        when(col("gk") === 1, lit(-1L))
-          .otherwise(coalesce(col("k_bucket"), lit(-2L))).as("kb"),
+        when(col("gk") === 1, lit(-5L))
+          .otherwise(coalesce(col("k_bucket"), lit(-6L))).as("kb"),
         col("n"), col("sum_value"))
       .orderBy("etype", "kb")
 
@@ -721,12 +728,12 @@ object Relational {
         |ORDER BY rflag NULLS FIRST, lstatus NULLS FIRST""".stripMargin,
     "q_cube" ->
       """WITH e AS (SELECT event_type, value,
-        |   CAST(CASE WHEN json_valid(props) THEN
+        |   TRY_CAST(CASE WHEN json_valid(props) THEN
         |     json_extract_string(props,'$.k') END AS BIGINT) % 5 AS k_bucket FROM events)
         |SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
         |            ELSE coalesce(event_type, '(null)') END AS etype,
-        | CASE WHEN GROUPING(k_bucket) = 1 THEN -1
-        |      ELSE coalesce(k_bucket, -2) END AS kb,
+        | CASE WHEN GROUPING(k_bucket) = 1 THEN -5
+        |      ELSE coalesce(k_bucket, -6) END AS kb,
         | count(*) AS n,
         | floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
         |FROM e GROUP BY CUBE(event_type, k_bucket)

@@ -79,7 +79,11 @@ object Scalars {
   /** JSON extraction from the `events.props` string column. */
   def qJson(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      // try_cast, not cast: a non-numeric $.k string (e.g. "NaN") in ONE
+      // poison row would otherwise kill the whole job under ANSI (Spark 4
+      // default); try_cast nulls it identically in both ANSI modes and the
+      // oracle's TRY_CAST mirrors it
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("k")).as("sum_k"),
@@ -176,7 +180,7 @@ object Scalars {
         |FROM c GROUP BY tier ORDER BY tier""".stripMargin,
     "q_json" ->
       """WITH e AS (SELECT event_type,
-        |  CAST(CASE WHEN json_valid(props) THEN
+        |  TRY_CAST(CASE WHEN json_valid(props) THEN
         |    json_extract_string(props, '$.k') END AS BIGINT) AS k FROM events)
         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
         | count(DISTINCT k) AS n_k,

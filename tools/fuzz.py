@@ -79,7 +79,16 @@ def mk_props(rng):
         return '{"nested":{"a":1}}'      # Spark nulls the map (canonicalized)
     if r < 0.35:
         return '{"f":1.5,"s":"str"}'     # non-integral values, same class
-    ks = rng.sample(["a", "b", "c", "d", "k1", "k2"], rng.randint(1, 4))
+    if r < 0.38:
+        # a non-numeric $.k payload: must NULL via try_cast on both engines
+        # (an unguarded ANSI cast would kill the whole job on this one row)
+        return '{"k":"NaN"}'
+    # "k" in the pool so $.k resolves to a real integer on many rows —
+    # the q_json/q_cube/q_stats_moments extraction axis is exercised, not
+    # just the missing-key NULL path. Values stay integral: fractional k
+    # strings are an engine-defined non-goal (DuckDB TRY_CAST rounds '1.5'
+    # to BIGINT 2 where Spark's try_cast nulls it).
+    ks = rng.sample(["a", "b", "c", "d", "k", "k1", "k2"], rng.randint(1, 4))
     return "{" + ",".join(f'"{k}":{rng.randint(-50, 500)}' for k in ks) + "}"
 
 
