@@ -494,9 +494,11 @@ object TrainingData {
     * feature struct out, one decoder handle per partition amortized over an
     * iterator of rows (never per-row init), case-class `Encoder` giving
     * Tungsten a flat columnar-friendly schema. The decode itself is a
-    * deterministic STUB (see [[StubDecoder]]); the corpus is ASCII, so
-    * byte values equal code points and the DuckDB oracle replays the
-    * arithmetic with `ord()`. */
+    * deterministic STUB (see [[StubDecoder]]) over the text's UTF-8
+    * bytes; the DuckDB oracle replays the byte-sum arithmetic by
+    * hex-encoding the blob and summing hex pairs — a true byte sum, NOT
+    * a code-point sum (`ord()`), which diverges the moment the dirty or
+    * fuzz corpora inject non-ASCII text (multi-byte CJK/emoji). */
   def qMediaDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)

@@ -80,6 +80,57 @@ def normalize(v):
         return "NaN"
     return v
 
+# Oracle-engine pin: the q_win_frame oracle's MATERIALIZED-CTE +
+# null-group-union form works around two MEASURED DuckDB 1.0.0 behaviors
+# (CTE-sharing ignoring an IS NOT NULL filter under a window; parallel
+# window sort placing a NULL ordering key nondeterministically). A DuckDB
+# upgrade could silently shift either; the canary below diagnoses an
+# engine change instead of leaving it to be debugged out of a red
+# CORRECTNESS artifact.
+PINNED_DUCKDB = "1.0.0"
+
+def engine_canary(con):
+    warns = []
+    if duckdb.__version__ != PINNED_DUCKDB:
+        warns.append(f"duckdb {duckdb.__version__} != pinned {PINNED_DUCKDB}"
+                     " — oracle workarounds were measured on the pin")
+    # The workaround form itself must be run-to-run stable on THIS engine:
+    # a windowed running sum over non-null keys unioned with the null-key
+    # group carried outside the window (the q_win_frame shape, minimized).
+    canary_sql = """
+        WITH daily AS MATERIALIZED (SELECT * FROM (VALUES
+            (DATE '2024-01-01', 1.0), (DATE '2024-01-02', 2.0),
+            (DATE '2024-01-03', 4.0), (NULL, 8.0)) v(day, rev)),
+        w AS (
+          SELECT day, sum(rev) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+          FROM daily WHERE day IS NOT NULL
+          UNION ALL
+          SELECT NULL, CAST(NULL AS DOUBLE) FROM daily WHERE day IS NULL)
+        SELECT * FROM w ORDER BY day NULLS FIRST"""
+    runs = {str(con.sql(canary_sql).fetchall()) for _ in range(5)}
+    if len(runs) != 1:
+        warns.append(f"win_frame workaround form UNSTABLE across runs: {runs}")
+    else:
+        expect = "[(None, None), (datetime.date(2024, 1, 1), 1.0), " \
+                 "(datetime.date(2024, 1, 2), 3.0), (datetime.date(2024, 1, 3), 7.0)]"
+        if runs != {expect}:
+            warns.append(f"win_frame workaround values shifted: {runs}")
+    # The hazard the workaround exists for: the filtered-CTE window must
+    # NOT see the null-key row (4 windowed rows would mean the engine's
+    # CTE sharing leaked the filter away again).
+    leak = con.sql("""
+        WITH daily AS MATERIALIZED (SELECT * FROM (VALUES
+            (DATE '2024-01-01', 1.0), (NULL, 8.0)) v(day, rev))
+        SELECT count(*) FROM (
+          SELECT sum(rev) OVER (ORDER BY day) AS r
+          FROM daily WHERE day IS NOT NULL)""").fetchone()[0]
+    if leak != 1:
+        warns.append(f"MATERIALIZED CTE filter leak: windowed {leak} rows, expected 1")
+    for w in warns:
+        print(f"CANARY {w}")
+    return warns
+
 def main():
     if "--selftest" in sys.argv:
         selftest()
@@ -87,6 +138,7 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    engine_canary(con)
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
