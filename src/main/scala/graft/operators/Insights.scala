@@ -673,16 +673,22 @@ object Insights {
     val est = when(size(col("sk")) < K, size(col("sk")).cast("double"))
       .otherwise(lit((K - 1).toDouble) * lit(P.toDouble) /
         element_at(col("sk"), K).cast("double"))
-    perType.unionByName(allRow)
+    // ORDER on (is_all, raw scope): a data event_type literally equal to
+    // 'ALL' renders identically to the merged grand row; sorting on the
+    // rendered string alone would tie there and de-totalize row order
+    // (r8 fuzz 'ALL'-injection axis). The marker is sort-only, not output.
+    perType.withColumn("is_all", lit(0))
+      .unionByName(allRow.withColumn("is_all", lit(1)))
       .withColumn("e", est)
-      .select(col("scope"), col("exact").as("exact_distinct"),
+      .select(col("is_all"), col("scope"), col("exact").as("exact_distinct"),
         size(col("sk")).cast("long").as("sketch_size"),
         Cols.r2(col("e")).as("est_distinct"),
         // an empty scope (the ALL row of an empty feed) has exact = est = 0;
         // its relative error is 0 by definition, not a division by zero
         Cols.r6(when(col("exact") === 0, lit(0.0))
           .otherwise(abs(col("e") - col("exact")) / col("exact"))).as("rel_err"))
-      .orderBy("scope")
+      .orderBy(col("is_all"), col("scope").asc_nulls_first)
+      .drop("is_all")
   }
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -758,13 +764,14 @@ object Insights {
         |                ELSE 127.0 * 2147483647.0
         |                  / max(CASE WHEN rk = 128 THEN h END) END AS e
         |         FROM ur),
-        |u AS (SELECT * FROM per UNION ALL SELECT * FROM uall)
+        |u AS (SELECT 0 AS is_all, * FROM per
+        |      UNION ALL SELECT 1, * FROM uall)
         |SELECT scope, exact AS exact_distinct, sketch_size,
         |  floor(e * 100.0 + 0.5) / 100.0 AS est_distinct,
         |  CASE WHEN exact = 0 THEN 0.0
         |       ELSE floor((abs(e - exact) / exact) * 1000000.0 + 0.5) / 1000000.0
         |  END AS rel_err
-        |FROM u ORDER BY scope NULLS FIRST""".stripMargin,
+        |FROM u ORDER BY is_all, scope NULLS FIRST""".stripMargin,
     "q_basket_pairs" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |n AS (SELECT count(DISTINCT o) AS n_orders FROM it),

@@ -401,13 +401,21 @@ object Relational {
       .agg(grouping(col("l_returnflag")).as("gf"),
         grouping(col("l_linestatus")).as("gl"),
         Cols.r2(sum(revenue)).as("rev"), count(lit(1)).as("n"))
+      // ORDER on (grouping flags, RAW nullable keys), not on the rendered
+      // sentinel strings: a data value literally equal to 'ALL'/'(null)'
+      // renders identically to a subtotal/null-group row, and an ORDER BY
+      // over the rendering de-totalizes on exactly that tie (the r8 fuzz
+      // 'ALL'-injection axis; same bug class as q_cube's numeric
+      // sentinels). The rendered presentation is unchanged — only the sort
+      // key is collision-free (the q_grouping_sets discipline).
+      .orderBy(col("gf"), col("gl"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
       .select(
         when(col("gf") === 1, lit("ALL"))
           .otherwise(coalesce(col("l_returnflag"), lit("(null)"))).as("rflag"),
         when(col("gl") === 1, lit("ALL"))
           .otherwise(coalesce(col("l_linestatus"), lit("(null)"))).as("lstatus"),
         col("rev"), col("n"))
-      .orderBy("rflag", "lstatus")
 
   /** CUBE over event_type × json-derived bucket. */
   def qCube(s: SparkSession, d: String): DataFrame =
@@ -429,13 +437,18 @@ object Relational {
       // negative buckets, which silently de-totalized the ORDER BY
       .agg(grouping(col("event_type")).as("ge"), grouping(col("k_bucket")).as("gk"),
         count(lit(1)).as("n"), Cols.r2(sum(col("value"))).as("sum_value"))
+      // ORDER on (flags, RAW keys), not the rendering: a literal 'ALL' or
+      // '(null)' event_type value renders identically to a subtotal/null
+      // row and would de-totalize an etype-string sort (the kb sentinels
+      // are already collision-free numerically; the string side cannot be)
+      .orderBy(col("ge"), col("gk"), col("event_type").asc_nulls_first,
+        col("k_bucket").asc_nulls_first)
       .select(
         when(col("ge") === 1, lit("ALL"))
           .otherwise(coalesce(col("event_type"), lit("(null)"))).as("etype"),
         when(col("gk") === 1, lit(-5L))
           .otherwise(coalesce(col("k_bucket"), lit(-6L))).as("kb"),
         col("n"), col("sum_value"))
-      .orderBy("etype", "kb")
 
   /** HAVING: post-aggregation filter on the (rounded) aggregate. */
   def qHaving(s: SparkSession, d: String): DataFrame =
@@ -725,7 +738,8 @@ object Relational {
         | count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |HAVING count(*) > 0
-        |ORDER BY rflag NULLS FIRST, lstatus NULLS FIRST""".stripMargin,
+        |ORDER BY GROUPING(l_returnflag), GROUPING(l_linestatus),
+        |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_cube" ->
       """WITH e AS (SELECT event_type, value,
         |   TRY_CAST(CASE WHEN json_valid(props) THEN
@@ -738,7 +752,8 @@ object Relational {
         | floor((sum(value))*100.0 + 0.5)/100.0 AS sum_value
         |FROM e GROUP BY CUBE(event_type, k_bucket)
         |HAVING count(*) > 0
-        |ORDER BY etype, kb""".stripMargin,
+        |ORDER BY GROUPING(event_type), GROUPING(k_bucket),
+        |  event_type NULLS FIRST, k_bucket NULLS FIRST""".stripMargin,
     // NaN propagates through the rounding folds on both engines (r2/r6
     // went NaN-transparent in round 7; DuckDB floor(NaN) is NaN natively),
     // and NaN compares GREATER than any value on both engines, so the

@@ -38,9 +38,14 @@ NATIONS = ["ALGERIA", "ARGENTINA", "BRAZIL", "CANADA", "EGYPT", "ETHIOPIA",
 SEGMENTS = ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE", ""]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECI", "5-LOW", "", None]
 STATUSES = ["O", "F", "P", "", None]
-FLAGS = ["A", "N", "R", "", None]
-LINESTATUS = ["O", "F", None]
-ETYPES = ["view", "click", "purchase", "scroll", "xy", "", None]
+# "ALL" / "(null)" are LITERAL DATA values that collide with the rendered
+# subtotal / null-group sentinels of q_rollup / q_cube / q_kmv_distinct —
+# the r8 axis that forced those operators to ORDER on (grouping flags,
+# raw keys) instead of the rendering
+FLAGS = ["A", "N", "R", "", None, "ALL", "(null)"]
+LINESTATUS = ["O", "F", None, "ALL"]
+ETYPES = ["view", "click", "purchase", "scroll", "xy", "", None,
+          "ALL", "(null)"]
 LANGS = ["en", "en", "en", "de", "fr", "zh", "multi", "", None]
 SOURCES = ["web", "crawl", "books", "", None]
 BRANDS = ["Brand#11", "Brand#12", "Brand#23", "Brand#34", "Brand#55"]
