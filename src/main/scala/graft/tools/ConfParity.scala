@@ -37,6 +37,9 @@ import graft.SparkEntry
   *                 aggregates (MinHashAgg, BloomAgg, BottomKAgg, ...) run
   *                 under SortAggregate: exercises their serialize/merge
   *                 path in a different grouping regime.
+  *   - noansi / novecread (round 8): ANSI mode off, row-based parquet read.
+  *   - casesens / maplastwin / nopushdown (round 8): case-sensitive
+  *                 analysis, LAST_WIN map keys, parquet filter pushdown off.
   *
   * Queries with no oracle SQL entry (the declared approximate sketches)
   * are compared on row count + column names only — their cell values are
@@ -81,6 +84,22 @@ object ConfParity {
     // decode behavior at the scan.
     Arm("novecread", Map(
       "spark.sql.parquet.enableVectorizedReader" -> "false")),
+    // Round-8 arms: the remaining admin-pinnable semantics knobs.
+    // Case-sensitive analysis: every identifier the operators emit must
+    // resolve byte-identically (a `Value` vs `value` slip is invisible
+    // under the default case-insensitive resolver but an AnalysisException
+    // kill on a cluster whose admins pin caseSensitive=true).
+    Arm("casesens", Map("spark.sql.caseSensitive" -> "true")),
+    // Map duplicate-key policy: default EXCEPTION kills the job on a
+    // duplicate map key, LAST_WIN silently rewrites the map. Zero diffs
+    // proves no declared query ever constructs a duplicate-keyed map —
+    // i.e. the surface's map outputs don't depend on the policy at all.
+    Arm("maplastwin", Map("spark.sql.mapKeyDedupPolicy" -> "LAST_WIN")),
+    // Parquet filter pushdown off: every predicate re-evaluates Spark-side
+    // on unfiltered row groups. Zero diffs proves no result leans on the
+    // pushed filters' parquet-level NULL/NaN comparison semantics (a
+    // classic cross-layer divergence class at the scan).
+    Arm("nopushdown", Map("spark.sql.parquet.filterPushdown" -> "false")),
   )
 
   /** Negative control, NOT in the default arm set: a session-timezone flip
