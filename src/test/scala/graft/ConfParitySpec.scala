@@ -14,6 +14,10 @@ package graft
   *    vocab zipWithIndex ids, sampling buckets and window results must
   *    not depend on the scan partitioning (at 100 TB the split count is
   *    three orders of magnitude higher than local).
+  *  - noansi: spark.sql.ansi.enabled=false — the round-8 sweep caught a
+  *    real coupling here (legacy size(NULL) = -1 leaking into token
+  *    counts); q_token_count and q_bm25 are in the watch list precisely
+  *    because they were the queries that moved.
   *
   * The comparator is proven non-vacuous by ConfParity's `negctl` arm (a
   * session-timezone flip produces 20 diffs — see BASELINE.md). */
@@ -24,9 +28,10 @@ class ConfParitySpec extends SparkSpec {
   private val watchQueries = Seq(
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram", "q_dedup_embed",
     "q_sim_topk", "q_ann_ivf", "q_topk_group_native", "q_bloom_join",
-    "q_fingerprint", "q_sample", "q_dataset_split", "q_win_frame")
+    "q_fingerprint", "q_sample", "q_dataset_split", "q_win_frame",
+    "q_token_count", "q_bm25")
 
-  private val armNames = Seq("nocodegen", "tinysplit")
+  private val armNames = Seq("nocodegen", "tinysplit", "noansi")
 
   private def resetDerived(): Unit = {
     graft.operators.TrainingData.unpersistAll()
