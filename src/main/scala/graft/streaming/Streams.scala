@@ -120,6 +120,133 @@ object Streams {
           " AND click_ts <= imp_ts + interval 1 hour"))
       .select(col("imp_id"), col("user_id"), col("imp_ts"), col("click_ts"))
 
+  /** Streaming corpus-ingestion dedup — the continuous twin of
+    * [[graft.operators.TrainingData.qIncrementalDedup]]: each micro-batch
+    * of new documents is checked against a PERSISTENT history asset
+    * (content-hash set, MinHash band index, shingle arrays) and only
+    * accepted (non-duplicate) docs extend the history. This is the loop a
+    * training-data pipeline runs forever: the daily cost is O(batch)
+    * probes against pre-bucketed assets, never a corpus self-join.
+    *
+    * Tiers mirror the batch operator: exact = content-hash semi-join
+    * against the history hash set; near = 8-lane/2-band MinHash band probe
+    * against the history band index, candidates verified with an EXACT
+    * char-5-gram Jaccard ≥ 0.8 (the sketch generates candidates, never
+    * the verdict). One deliberate difference: signatures here hash
+    * shingles with the one-pass [[graft.functions.ShingleHashes]] rolling
+    * hash instead of the batch op's dense dictionary ids — a streaming
+    * history can't rebuild a global `zipWithIndex` dictionary per batch,
+    * and the sketch only needs a stable 64-bit id per shingle, which the
+    * rolling hash provides without any shared state. Both tiers compare
+    * the batch to HISTORY only (intra-batch twins all admit and flag on
+    * the NEXT batch), exactly like the batch operator's batch-vs-history
+    * contract.
+    *
+    * Replay safety (the `foreachBatch` retry case): every write —
+    * statuses and all three asset extensions — lands in a
+    * `src_batch=<id>` partition directory with mode=overwrite, and every
+    * history read filters `src_batch < id`. A replayed batch therefore
+    * recomputes its verdicts against the IDENTICAL history view and
+    * overwrites its own partitions: no duplicate assets, no
+    * self-flagging, bit-identical statuses.
+    *
+    * Returns the batch's status rows
+    * (doc_id, lang, exact_dup, near_dup, status). */
+  def dedupIngestBatch(batch: DataFrame, assetDir: String,
+      batchId: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    val s = batch.sparkSession
+    def hist(sub: String, schema: StructType): DataFrame = {
+      val p = java.nio.file.Paths.get(s"$assetDir/$sub")
+      val df =
+        if (java.nio.file.Files.exists(p)) s.read.parquet(p.toString)
+        else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema)
+      df.where(col("src_batch") < batchId)
+    }
+    val hashed = batch.select(col("doc_id"), col("lang"), col("text"),
+      sha2(lower(trim(col("text"))), 256).as("h"))
+    val histH = hist("hashes", StructType(Seq(
+        StructField("h", StringType), StructField("src_batch", LongType))))
+      .select(col("h")).distinct().withColumn("ex", lit(true))
+    val exact = hashed.join(histH, Seq("h"), "left")
+      .select(col("doc_id"), col("lang"), col("h"),
+        coalesce(col("ex"), lit(false)).as("exact_dup"))
+
+    val shingles = graft.functions.ShingleHashes.shingles(s) _
+    val sigFn = graft.functions.MinHashAgg.minhashSig(s) _
+    val interCount = graft.functions.SortedIntersectCount.interCount(s) _
+    val arr = hashed.where(length(col("text")) >= 5)
+      .select(col("doc_id"), col("lang"), shingles(col("text"), 5).as("shs"))
+    val mh = arr.select(col("doc_id"), col("lang"), explode(col("shs")).as("hs"))
+      .groupBy(col("doc_id"), col("lang")).agg(sigFn(col("hs")).as("sig"))
+    // same 2-band × 4-lane shape as the batch operator's declared sketch
+    val bandsNew = mh.select(col("doc_id"), col("lang"),
+      explode(array(
+        struct(lit(0).as("band"), col("sig")(0).as("x0"), col("sig")(1).as("x1"),
+          col("sig")(2).as("x2"), col("sig")(3).as("x3")),
+        struct(lit(1).as("band"), col("sig")(4).as("x0"), col("sig")(5).as("x1"),
+          col("sig")(6).as("x2"), col("sig")(7).as("x3")))).as("b"))
+      .select((Seq(col("doc_id"), col("lang"), col("b.band").as("band")) ++
+        (0 until 4).map(i => col(s"b.x$i").as(s"x$i"))): _*)
+    val bandSchema = StructType(Seq(StructField("b_id", LongType),
+      StructField("lang", StringType), StructField("band", IntegerType),
+      StructField("x0", LongType), StructField("x1", LongType),
+      StructField("x2", LongType), StructField("x3", LongType),
+      StructField("src_batch", LongType)))
+    val cand = bandsNew
+      .join(hist("bands", bandSchema)
+          .select(col("b_id"), col("lang"), col("band"),
+            col("x0"), col("x1"), col("x2"), col("x3")),
+        Seq("lang", "band", "x0", "x1", "x2", "x3"))
+      .select(col("doc_id"), col("b_id")).distinct()
+    val histA = hist("arrays", StructType(Seq(StructField("b_id", LongType),
+        StructField("shs", ArrayType(LongType)),
+        StructField("src_batch", LongType))))
+      .select(col("b_id"), col("shs").as("shb"))
+    val near = cand
+      .join(arr.select(col("doc_id"), col("shs").as("sha")), "doc_id")
+      .join(histA, "b_id")
+      .withColumn("c", interCount(col("sha"), col("shb")))
+      .where(col("c").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("c")).cast("double") >= 0.8)
+      .select(col("doc_id")).distinct().withColumn("nr", lit(true))
+
+    val status = exact.join(near, Seq("doc_id"), "left")
+      .withColumn("near_dup", coalesce(col("nr"), lit(false)))
+      .select(col("doc_id"), col("lang"), col("h"), col("exact_dup"),
+        col("near_dup"),
+        when(col("exact_dup"), "exact_dup").when(col("near_dup"), "near_dup")
+          .otherwise("new").as("status"))
+    status.write.mode("overwrite")
+      .parquet(s"$assetDir/status/src_batch=$batchId")
+    // the audit log just written is the single materialized truth; asset
+    // extensions derive from it so a crash between writes replays cleanly
+    val written = s.read.parquet(s"$assetDir/status/src_batch=$batchId")
+    val accepted = written.where(col("status") === "new")
+    accepted.select(col("h")).distinct()
+      .write.mode("overwrite").parquet(s"$assetDir/hashes/src_batch=$batchId")
+    bandsNew.join(accepted.select(col("doc_id")), "doc_id")
+      .withColumnRenamed("doc_id", "b_id")
+      .write.mode("overwrite").parquet(s"$assetDir/bands/src_batch=$batchId")
+    arr.join(accepted.select(col("doc_id")), "doc_id")
+      .select(col("doc_id").as("b_id"), col("shs"))
+      .write.mode("overwrite").parquet(s"$assetDir/arrays/src_batch=$batchId")
+    written.select(col("doc_id"), col("lang"), col("exact_dup"),
+      col("near_dup"), col("status"))
+  }
+
+  /** `writeStream` wiring for [[dedupIngestBatch]]: the micro-batch id
+    * Spark hands `foreachBatch` is the replay-stable partition key. */
+  def dedupIngestQuery(docs: DataFrame, assetDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        { dedupIngestBatch(b, assetDir, id); () })
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
   case class Ev(user_id: Long, event_type: String, ts: Timestamp)
   case class FunnelState(signupUs: Option[Long], purchaseUs: Option[Long])
   case class Conversion(user_id: Long, signup_us: Long, purchase_us: Long,

@@ -278,4 +278,76 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("dirty_dedup").collect().nonEmpty)
     } finally qD.stop()
   }
+
+  private val baseText =
+    "the quick brown fox jumps over the lazy dog while seven wizards " +
+      "brew strong potions beside the glass river and count shining stars "
+  private val otherText =
+    "completely different content about databases and distributed " +
+      "systems joining shuffling aggregating partitions at petabyte scale "
+  // ~260 distinct char-5-grams; a few appended chars keep exact Jaccard
+  // against the unsuffixed text ≈ 0.97, far above the 0.8 verify bound
+  private val longText = baseText + otherText
+
+  test("streaming dedup ingest flags cross-batch twins through foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupingest").toString
+    val assets = dir + "/assets"; val ckpt = dir + "/ckpt"
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.dedupIngestQuery(
+      in.toDF.toDF("doc_id", "lang", "text"), assets, ckpt)
+    try {
+      // batch 0: four originals — everything admits
+      in.addData((1L, "en", longText), (2L, "en", otherText * 3),
+        (3L, "de", baseText * 2), (4L, "en", "tiny"))
+      q.processAllAvailable()
+      // batch 1: an exact twin of 2, a near twin of 1 (a short suffix on a
+      // long text), the SAME near-twin text under a different lang (bands
+      // key on lang: must NOT match doc 1 and must admit), a fresh doc
+      in.addData((11L, "en", longText + "zz9q7"),
+        (12L, "en", otherText * 3), (13L, "fr", longText + "zz9q7"),
+        (14L, "en", otherText.take(40) + baseText.takeRight(40)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val st = spark.read.parquet(assets + "/status")
+      .where(col("src_batch") === 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(st == Map(11L -> "near_dup", 12L -> "exact_dup",
+      13L -> "new", 14L -> "new"), s"batch-1 statuses: $st")
+    val b0 = spark.read.parquet(assets + "/status")
+      .where(col("src_batch") === 0)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(b0.values.forall(_ == "new"), s"batch-0 statuses: $b0")
+    // only accepted docs extended the history hash set: 4 from batch 0
+    // plus the two accepted in batch 1 (13 and 14)
+    assert(spark.read.parquet(assets + "/hashes").count() == 6)
+  }
+
+  test("dedup ingest batch replay is idempotent: same verdicts, no asset dups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupreplay").toString
+    val assets = dir + "/assets"
+    def docs(rows: (Long, String, String)*) =
+      spark.createDataFrame(rows).toDF("doc_id", "lang", "text")
+    Streams.dedupIngestBatch(
+      docs((1L, "en", longText), (2L, "en", otherText * 3)), assets, 0L)
+    def run1() = Streams.dedupIngestBatch(
+      docs((11L, "en", longText), (12L, "en", longText + "zz9q7")),
+      assets, 1L)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    val first = run1()
+    assert(first == Map(11L -> "exact_dup", 12L -> "near_dup"), s"got $first")
+    // the retry case foreachBatch must tolerate: re-running the same
+    // batch id recomputes against the same history view (src_batch < 1)
+    // and overwrites its own partitions — verdicts identical, assets not
+    // duplicated (11/12 were dups, so history stays at batch 0's 2 docs)
+    val replay = run1()
+    assert(replay == first, "replayed verdicts diverge")
+    assert(spark.read.parquet(assets + "/hashes").count() == 2)
+    assert(spark.read.parquet(assets + "/arrays").count() == 2)
+    // a later batch still dedups against history extended by ACCEPTED docs
+    val b2 = Streams.dedupIngestBatch(
+      docs((21L, "en", otherText * 3)), assets, 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(b2 == Map(21L -> "exact_dup"), s"got $b2")
+  }
 }
