@@ -129,10 +129,18 @@ object Streams {
     * probes against pre-bucketed assets, never a corpus self-join.
     *
     * Tiers mirror the batch operator: exact = content-hash semi-join
-    * against the history hash set; near = 8-lane/2-band MinHash band probe
-    * against the history band index, candidates verified with an EXACT
-    * char-5-gram Jaccard ≥ 0.8 (the sketch generates candidates, never
-    * the verdict). One deliberate difference: signatures here hash
+    * against the history hash set; near = MinHash band probe against the
+    * history band index, candidates verified with an EXACT char-5-gram
+    * Jaccard ≥ 0.8 (the sketch generates candidates, never the verdict).
+    * The sketch geometry follows the same production dials as the batch
+    * family — `spark.graft.minhash.k` lanes / `.r` rows per band
+    * (defaults 8/4, the declared sketch; k=60,r=5 is the measured θ=0.8
+    * production point, BASELINE.md round-7 S-curve). Because the history
+    * BAND INDEX is persisted, the dial is fixed for the lifetime of an
+    * asset directory: the first batch records (k, r) in
+    * `<assetDir>/sketch.conf` and every later batch requires a matching
+    * session conf (a silent mismatch would probe r-lane keys against an
+    * index bucketed at a different r — candidates would quietly vanish). One deliberate difference: signatures here hash
     * shingles with the one-pass [[graft.functions.ShingleHashes]] rolling
     * hash instead of the batch op's dense dictionary ids — a streaming
     * history can't rebuild a global `zipWithIndex` dictionary per batch,
@@ -173,32 +181,49 @@ object Streams {
       .select(col("doc_id"), col("lang"), col("h"),
         coalesce(col("ex"), lit(false)).as("exact_dup"))
 
+    // Sketch geometry from the production dials, pinned per asset dir:
+    // the persisted band index only matches probes built at the same (k, r).
+    val k = s.conf.get("spark.graft.minhash.k", "8").toInt
+    val r = s.conf.get("spark.graft.minhash.r", "4").toInt
+    require(k > 0 && r > 0 && k % r == 0,
+      s"spark.graft.minhash: k ($k) must be a positive multiple of r ($r)")
+    val marker = java.nio.file.Paths.get(s"$assetDir/sketch.conf")
+    if (java.nio.file.Files.exists(marker)) {
+      val saved = java.nio.file.Files.readString(marker).trim
+      require(saved == s"$k,$r",
+        s"asset dir $assetDir was built with (k,r)=($saved) but the session " +
+          s"conf says ($k,$r); the band index is only probeable at its own " +
+          "geometry — use a fresh asset dir to re-sketch")
+    } else {
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.writeString(marker, s"$k,$r")
+    }
     val shingles = graft.functions.ShingleHashes.shingles(s) _
-    val sigFn = graft.functions.MinHashAgg.minhashSig(s) _
+    val sigFn = graft.functions.MinHashAgg.minhashSigK(s, k) _
     val interCount = graft.functions.SortedIntersectCount.interCount(s) _
     val arr = hashed.where(length(col("text")) >= 5)
       .select(col("doc_id"), col("lang"), shingles(col("text"), 5).as("shs"))
     val mh = arr.select(col("doc_id"), col("lang"), explode(col("shs")).as("hs"))
       .groupBy(col("doc_id"), col("lang")).agg(sigFn(col("hs")).as("sig"))
-    // same 2-band × 4-lane shape as the batch operator's declared sketch
+    val bandStructs = (0 until k / r).map { j =>
+      struct((lit(j).as("band") +:
+        (0 until r).map(i => col("sig")(r * j + i).as(s"x$i"))): _*)
+    }
+    val xCols = (0 until r).map(i => s"x$i")
     val bandsNew = mh.select(col("doc_id"), col("lang"),
-      explode(array(
-        struct(lit(0).as("band"), col("sig")(0).as("x0"), col("sig")(1).as("x1"),
-          col("sig")(2).as("x2"), col("sig")(3).as("x3")),
-        struct(lit(1).as("band"), col("sig")(4).as("x0"), col("sig")(5).as("x1"),
-          col("sig")(6).as("x2"), col("sig")(7).as("x3")))).as("b"))
+        explode(array(bandStructs: _*)).as("b"))
       .select((Seq(col("doc_id"), col("lang"), col("b.band").as("band")) ++
-        (0 until 4).map(i => col(s"b.x$i").as(s"x$i"))): _*)
-    val bandSchema = StructType(Seq(StructField("b_id", LongType),
-      StructField("lang", StringType), StructField("band", IntegerType),
-      StructField("x0", LongType), StructField("x1", LongType),
-      StructField("x2", LongType), StructField("x3", LongType),
-      StructField("src_batch", LongType)))
+        xCols.map(c => col(s"b.$c").as(c))): _*)
+    val bandSchema = StructType(
+      (Seq(StructField("b_id", LongType), StructField("lang", StringType),
+        StructField("band", IntegerType)) ++
+        xCols.map(c => StructField(c, LongType))) :+
+        StructField("src_batch", LongType))
     val cand = bandsNew
       .join(hist("bands", bandSchema)
-          .select(col("b_id"), col("lang"), col("band"),
-            col("x0"), col("x1"), col("x2"), col("x3")),
-        Seq("lang", "band", "x0", "x1", "x2", "x3"))
+          .select((Seq(col("b_id"), col("lang"), col("band")) ++
+            xCols.map(col)): _*),
+        Seq("lang", "band") ++ xCols)
       .select(col("doc_id"), col("b_id")).distinct()
     val histA = hist("arrays", StructType(Seq(StructField("b_id", LongType),
         StructField("shs", ArrayType(LongType)),

@@ -350,4 +350,34 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
     assert(b2 == Map(21L -> "exact_dup"), s"got $b2")
   }
+
+  test("dedup ingest honors the production minhash dials and pins asset geometry") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupdials").toString
+    val assets = dir + "/assets"
+    def docs(rows: (Long, String, String)*) =
+      spark.createDataFrame(rows).toDF("doc_id", "lang", "text")
+    spark.conf.set("spark.graft.minhash.k", "60")
+    spark.conf.set("spark.graft.minhash.r", "5")
+    try {
+      Streams.dedupIngestBatch(docs((1L, "en", longText)), assets, 0L)
+      // 12 bands of 5 lanes per doc in the persisted index
+      assert(spark.read.parquet(assets + "/bands")
+        .where(col("src_batch") === 0).count() == 12)
+      val st = Streams.dedupIngestBatch(
+        docs((11L, "en", longText + "zz9q7"), (12L, "en", otherText * 2)),
+        assets, 1L)
+        .collect().map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+      assert(st == Map(11L -> "near_dup", 12L -> "new"), s"got $st")
+      // the (k, r) the index was built at is pinned: re-dialing the
+      // session mid-directory must refuse, not silently probe nothing
+      spark.conf.set("spark.graft.minhash.r", "4")
+      val e = intercept[IllegalArgumentException] {
+        Streams.dedupIngestBatch(docs((21L, "en", baseText)), assets, 2L)
+      }
+      assert(e.getMessage.contains("re-sketch"))
+    } finally {
+      spark.conf.unset("spark.graft.minhash.k")
+      spark.conf.unset("spark.graft.minhash.r")
+    }
+  }
 }
