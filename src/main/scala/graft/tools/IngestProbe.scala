@@ -19,12 +19,15 @@ import graft.streaming.Streams
   * history probe actually bites on real data rather than admitting
   * everything.
   *
-  * Usage: runMain graft.tools.IngestProbe [sfDir] [nBatches]
+  * Usage: runMain graft.tools.IngestProbe [sfDir] [nBatches] [k] [r]
+  * (k/r set the `spark.graft.minhash.*` dials — e.g. `60 5` probes the
+  * θ=0.8 production lane geometry through the identical loop)
   */
 object IngestProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(6)
+    val dials = args.drop(2).take(2).map(_.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,6 +38,10 @@ object IngestProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (dials.length == 2) {
+      spark.conf.set("spark.graft.minhash.k", dials(0).toString)
+      spark.conf.set("spark.graft.minhash.r", dials(1).toString)
+    }
 
     val assetDir = java.nio.file.Files
       .createTempDirectory("graft-ingest-probe").toString
