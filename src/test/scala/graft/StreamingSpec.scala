@@ -351,6 +351,26 @@ class StreamingSpec extends SparkSpec {
     assert(b2 == Map(21L -> "exact_dup"), s"got $b2")
   }
 
+  test("dedup ingest is total on an empty micro-batch (dry trigger)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupdry").toString
+    val assets = dir + "/assets"
+    def docs(rows: (Long, String, String)*) =
+      spark.createDataFrame(rows).toDF("doc_id", "lang", "text")
+    val empty = docs((0L, "x", "y")).limit(0)
+    // an empty FIRST batch (no history yet) and an empty LATER batch must
+    // both no-op cleanly — a dry trigger happens daily in production
+    assert(Streams.dedupIngestBatch(empty, assets, 0L).count() == 0)
+    val st = Streams.dedupIngestBatch(docs((1L, "en", longText)), assets, 1L)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(st == Map(1L -> "new"))
+    assert(Streams.dedupIngestBatch(empty, assets, 2L).count() == 0)
+    // the dry batches contributed nothing to history
+    assert(spark.read.parquet(assets + "/hashes").count() == 1)
+    val again = Streams.dedupIngestBatch(docs((2L, "en", longText)), assets, 3L)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(again == Map(2L -> "exact_dup"), s"got $again")
+  }
+
   test("dedup ingest honors the production minhash dials and pins asset geometry") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedupdials").toString
     val assets = dir + "/assets"
