@@ -91,28 +91,135 @@ object Hygiene {
 
   /** Blocked fuzzy record linkage (entity resolution): candidate pairs
     * only within a (nation, market segment) block, matched at name edit
-    * distance ≤ 2. The block is what makes linkage scale: candidates are
-    * Σ block² instead of n², and the edit distance — the expensive kernel —
-    * runs on candidates only. Block keys are a recall/cost dial; a skewed
-    * block would get a salt or a sorted-neighborhood pass, same as
-    * q_join_salted.
+    * distance ≤ 2. The block bounds candidates to Σ block² instead of n² —
+    * but block sizes grow LINEARLY with the corpus (the key space is
+    * fixed at ~125 blocks), so Σ block² is still quadratic in n: measured
+    * 88 → 8,965 → 901,746 candidate pairs across sf0.001/0.01/0.1 (×100
+    * per 10× data). `spark.graft.linkage.strategy` selects the candidate
+    * generator; all three produce the IDENTICAL match set (every
+    * candidate passes the same bounded Levenshtein verify — O(len·k)
+    * banded DP, −1 past the bound — and RecordLinkageBlockSpec pins the
+    * three-way equality on clean + adversarial corpora):
     *
-    * Both engines evaluate the same classic Levenshtein, so the match set
-    * is bit-identical by construction. */
+    *  - `block` (default): the plain within-block join. Fastest at every
+    *    locally testable SF (the quadratic candidate mass is still cheap
+    *    next to the fixed costs) and the declared bench shape.
+    *  - `band`: end-anchored band pigeonhole — the last 9 chars split
+    *    into three disjoint 3-char bands; ≤ 2 edits damage ≤ 2 bands, the
+    *    survivor appears at end-relative shift ≤ 2, so candidates come
+    *    from an equi-join on (block, band idx, band text) vs ±2-shift
+    *    probe substrings (short names take a per-block catch-all lane).
+    *    Sound always; MEASURED USELESS on this corpus (LinkageAb:
+    *    cand_band == cand_plain at every SF) because the fixture's
+    *    zero-padded sequential IDs make band 0 a constant "000" — one
+    *    entropy-free band reverts any-band-OR blocking to all-pairs.
+    *    Kept as the lane for corpora whose name entropy spreads across
+    *    the band region; the measurement is the documentation.
+    *  - `symdel`: symmetric deletion neighborhoods (the SymSpell
+    *    technique). ed(a,b) ≤ 2 ⟹ deleting ≤ 2 chars from EACH side can
+    *    equalize them (map an optimal script: substitution → delete on
+    *    both sides, indel → delete on one), so each name emits its
+    *    ≤2-deletion variants (1 + L + C(L,2), deduped in-row) and
+    *    candidates are the within-block self-join on variant equality.
+    *    Immune to the constant-prefix/suffix failure mode of positional
+    *    schemes — a shared variant certifies closeness directly. Linear
+    *    ~L²/2-row inflation buys a near-true-pair candidate set: the
+    *    asymptotic lane once Σ block² outgrows n·172 (see LinkageAb for
+    *    the measured crossover). */
   def qRecordLinkage(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_mktsegment"))
-    c.toDF("a_key", "a_name", "nationkey", "segment")
-      .join(c.toDF("b_key", "b_name", "nationkey", "segment"),
-        Seq("nationkey", "segment"))
-      .where(col("a_key") < col("b_key"))
-      // the bounded variant: a banded DP that abandons a pair the moment
-      // its distance must exceed 2 — O(len·k) on the candidate mass vs
-      // O(len²) for the unbounded kernel (returns −1 past the bound, and
-      // the true distance when within it, so the match set and the
-      // reported distances are identical to the unbounded formulation the
-      // oracle runs)
+    val strategy =
+      s.conf.get("spark.graft.linkage.strategy", "block")
+    require(Set("block", "band", "symdel")(strategy),
+      s"spark.graft.linkage.strategy must be block|band|symdel, got $strategy")
+    val cand =
+      if (strategy == "block")
+        c.toDF("a_key", "a_name", "nationkey", "segment")
+          .join(c.toDF("b_key", "b_name", "nationkey", "segment"),
+            Seq("nationkey", "segment"))
+          .where(col("a_key") < col("b_key"))
+      else if (strategy == "symdel") {
+        val base = c.toDF("key", "name", "nationkey", "segment")
+          .where(col("name").isNotNull)
+          .withColumn("len", length(col("name")))
+        // all ≤2-deletion variants, built in-row; `pos` guards the empty
+        // string (sequence(1, 0) would count DOWN in Spark)
+        val variants =
+          "array_distinct(array(name) || " +
+            "coalesce(transform(pos, i -> " +
+            "  concat(substring(name, 1, i - 1), substring(name, i + 1, len))" +
+            "), array()) || " +
+            "coalesce(flatten(transform(pos, i -> " +
+            "  transform(filter(pos, j -> j > i), j -> " +
+            "    concat(substring(name, 1, i - 1), " +
+            "           substring(name, i + 1, j - i - 1), " +
+            "           substring(name, j + 1, len)))" +
+            ")), array()))"
+        val v = base
+          .withColumn("pos",
+            expr("case when len >= 1 then sequence(1, len) end"))
+          .select(col("key"), col("name"), col("nationkey"), col("segment"),
+            explode(expr(variants)).as("v"))
+        v.toDF("a_key", "a_name", "nationkey", "segment", "v")
+          .join(v.toDF("b_key", "b_name", "nationkey", "segment", "v"),
+            Seq("nationkey", "segment", "v"))
+          .where(col("a_key") < col("b_key"))
+          .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"),
+            col("nationkey"), col("segment"))
+          .distinct()
+      } else {
+        val base = c.toDF("key", "name", "nationkey", "segment")
+          .where(col("name").isNotNull)
+          .withColumn("len", length(col("name")))
+        // exact bands: band j = 3 chars ending (6 − 3j) from the end
+        val bandStructs = (0 until 3).map { j =>
+          struct(lit(j).as("j"),
+            expr(s"substring(name, len - ${8 - 3 * j}, 3)").as("bs"))
+        }
+        val idx = base.where(col("len") >= 9)
+          .select(col("key").as("b_key"), col("name").as("b_name"),
+            col("nationkey"), col("segment"),
+            explode(array(bandStructs: _*)).as("b"))
+          .select(col("b_key"), col("b_name"), col("nationkey"),
+            col("segment"), col("b.j").as("j"), col("b.bs").as("bs"))
+        // probe substrings: band j's position shifted by δ ∈ [−2, 2];
+        // invalid starts/overruns yield <3-char strings and are dropped
+        // a start that clamps to <1 yields a <3-char or duplicate-position
+        // substring — the length filter drops the former and the latter is a
+        // harmless candidate superset (soundness needs only the VALID
+        // positions to be present)
+        val probeStructs = for (j <- 0 until 3; delta <- -2 to 2) yield
+          struct(lit(j).as("j"),
+            expr(s"substring(name, len - ${8 - 3 * j} + $delta, 3)").as("bs"))
+        val probe = base.where(col("len") >= 9)
+          .select(col("key").as("a_key"), col("name").as("a_name"),
+            col("nationkey"), col("segment"),
+            explode(array(probeStructs: _*)).as("p"))
+          .where(length(col("p.bs")) === 3)
+          .select(col("a_key"), col("a_name"), col("nationkey"),
+            col("segment"), col("p.j").as("j"), col("p.bs").as("bs"))
+        val bandPairs = probe
+          .join(idx, Seq("nationkey", "segment", "j", "bs"))
+          .where(col("a_key") < col("b_key"))
+        // catch-all lane for names the scheme can't cover
+        val short = base.where(col("len") < 11)
+        val shortPairs = short
+          .select(col("key").as("a_key"), col("name").as("a_name"),
+            col("nationkey"), col("segment"))
+          .join(short.select(col("key").as("b_key"),
+              col("name").as("b_name"), col("nationkey"), col("segment")),
+            Seq("nationkey", "segment"))
+          .where(col("a_key") < col("b_key"))
+        bandPairs
+          .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"),
+            col("nationkey"), col("segment"))
+          .union(shortPairs.select(col("a_key"), col("a_name"), col("b_key"),
+            col("b_name"), col("nationkey"), col("segment")))
+          .distinct()
+      }
+    cand
       .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 2))
       .where(col("dist") >= 0)
       .select(col("a_key"), col("b_key"), col("nationkey").cast("int"),
