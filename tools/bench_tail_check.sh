@@ -23,6 +23,27 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 \
 SPARK_GRAFT_CPUS=8 SPARK_GRAFT_BENCH_REPS=1 \
 SPARK_GRAFT_BENCH_WARNFLOOD=1 \
 sbt --batch "runMain graft.Bench" >"$out" 2>&1 || { tail -5 "$out"; exit 1; }
+# r8 postmortem: the broken layer was never Bench's ordering — sbt's run
+# logger prefixed every stdout line with "[info] " and appended
+# "[success] Total time: …" as the true last line, so a driver that
+# json.loads-es the RAW last line failed three rounds running. build.sbt
+# now sets `run / outputStrategy := Some(StdoutOutput)` and
+# `Global / showSuccess := false`; assert the RAW stream here, exactly as
+# the driver sees it: the last non-empty line must json-parse to
+# metric=="total", with no sbt decoration anywhere near the tail.
+raw_last=$(grep -v '^[[:space:]]*$' "$out" | tail -1)
+printf '%s' "$raw_last" | python3 -c '
+import json, sys
+s = sys.stdin.read()
+d = json.loads(s)
+assert d["metric"] == "total", d
+' || { echo "FAIL: RAW last line of combined stream is not the parseable compact total: ${raw_last:0:200}"; exit 1; }
+if grep -q '^\[success\]' "$out"; then
+  echo "FAIL: sbt [success] epilogue present (showSuccess leak)"; exit 1
+fi
+if grep -q '^\[info\] {"metric"' "$out"; then
+  echo "FAIL: sbt [info] prefix decorates the JSON lines (outputStrategy leak)"; exit 1
+fi
 last_json=$(grep -o '{"metric":"[a-z]*".*}' "$out" | tail -1)
 case "$last_json" in
   '{"metric":"total"'*) ;;
