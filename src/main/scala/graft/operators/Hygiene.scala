@@ -127,13 +127,31 @@ object Hygiene {
     *    asymptotic lane once Σ block² outgrows n·172 (see LinkageAb for
     *    the measured crossover). */
   def qRecordLinkage(s: SparkSession, d: String): DataFrame = {
+    val strategy =
+      s.conf.get("spark.graft.linkage.strategy", "block")
+    linkageCandidates(s, d, strategy)
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 2))
+      .where(col("dist") >= 0)
+      .select(col("a_key"), col("b_key"), col("nationkey").cast("int"),
+        col("segment"), col("dist").cast("long"))
+      .orderBy("a_key", "b_key")
+  }
+
+  /** Candidate-pair generator behind [[qRecordLinkage]], shared with the
+    * [[graft.tools.LinkageAb]] measurement tool so the tool's reported
+    * candidate counts are BY CONSTRUCTION the ones the operator executes
+    * (they were copy-pasted before round 9 and could silently drift).
+    * Returns (a_key, a_name, b_key, b_name, nationkey, segment) with
+    * a_key < b_key; every strategy yields a candidate SUPERSET of the true
+    * ed ≤ 2 within-block pairs — the bounded-Levenshtein verify in
+    * qRecordLinkage is the single source of truth for matches. */
+  def linkageCandidates(s: SparkSession, d: String,
+      strategy: String): DataFrame = {
+    require(Set("block", "band", "symdel")(strategy),
+      s"spark.graft.linkage.strategy must be block|band|symdel, got $strategy")
     val c = customer(s, d)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_mktsegment"))
-    val strategy =
-      s.conf.get("spark.graft.linkage.strategy", "block")
-    require(Set("block", "band", "symdel")(strategy),
-      s"spark.graft.linkage.strategy must be block|band|symdel, got $strategy")
     val cand =
       if (strategy == "block")
         c.toDF("a_key", "a_name", "nationkey", "segment")
@@ -219,12 +237,8 @@ object Hygiene {
             col("b_name"), col("nationkey"), col("segment")))
           .distinct()
       }
-    cand
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 2))
-      .where(col("dist") >= 0)
-      .select(col("a_key"), col("b_key"), col("nationkey").cast("int"),
-        col("segment"), col("dist").cast("long"))
-      .orderBy("a_key", "b_key")
+    cand.select(col("a_key"), col("a_name"), col("b_key"), col("b_name"),
+      col("nationkey"), col("segment"))
   }
 
   /** Cross-document long-substring duplication (the signal behind

@@ -164,10 +164,17 @@ object Streams {
       batchId: Long): DataFrame = {
     import org.apache.spark.sql.types._
     val s = batch.sparkSession
+    // All asset-dir metadata I/O goes through the Hadoop FileSystem API, not
+    // java.nio — assetDir is a Spark path (hdfs://, s3a://, file:/), and a
+    // driver-local Files.exists on a remote URI is always false, which would
+    // silently present an EMPTY history every batch and admit all duplicates
+    // as "new" in exactly the production deployment this loop targets.
+    val fs = new org.apache.hadoop.fs.Path(assetDir)
+      .getFileSystem(s.sessionState.newHadoopConf())
     def hist(sub: String, schema: StructType): DataFrame = {
-      val p = java.nio.file.Paths.get(s"$assetDir/$sub")
+      val p = new org.apache.hadoop.fs.Path(s"$assetDir/$sub")
       val df =
-        if (java.nio.file.Files.exists(p)) s.read.parquet(p.toString)
+        if (fs.exists(p)) s.read.parquet(p.toString)
         else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema)
       df.where(col("src_batch") < batchId)
@@ -187,16 +194,19 @@ object Streams {
     val r = s.conf.get("spark.graft.minhash.r", "4").toInt
     require(k > 0 && r > 0 && k % r == 0,
       s"spark.graft.minhash: k ($k) must be a positive multiple of r ($r)")
-    val marker = java.nio.file.Paths.get(s"$assetDir/sketch.conf")
-    if (java.nio.file.Files.exists(marker)) {
-      val saved = java.nio.file.Files.readString(marker).trim
+    val marker = new org.apache.hadoop.fs.Path(s"$assetDir/sketch.conf")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val saved =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
       require(saved == s"$k,$r",
         s"asset dir $assetDir was built with (k,r)=($saved) but the session " +
           s"conf says ($k,$r); the band index is only probeable at its own " +
           "geometry — use a fresh asset dir to re-sketch")
     } else {
-      java.nio.file.Files.createDirectories(marker.getParent)
-      java.nio.file.Files.writeString(marker, s"$k,$r")
+      val out = fs.create(marker, /*overwrite=*/ false)
+      try out.write(s"$k,$r".getBytes("UTF-8")) finally out.close()
     }
     val shingles = graft.functions.ShingleHashes.shingles(s) _
     val sigFn = graft.functions.MinHashAgg.minhashSigK(s, k) _

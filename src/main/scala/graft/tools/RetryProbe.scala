@@ -91,6 +91,13 @@ object RetryProbe {
     val results = Seq("map", "reduce").map { arm =>
       reset()
       val got = pipeline(spark, sfDir, arm)
+      // The TaskEnd listener runs on the async listener bus; the count can
+      // lag the action's return, which would report a genuinely injected
+      // failure as 0 and spuriously mark the arm vacuous. The bus drain API
+      // is private[spark], so poll the counter with a bounded wait instead.
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (failedTasks.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
       val nFail = failedTasks.get()
       val same = got == base
       println(s"""{"metric":"retry_probe_arm","arm":"$arm","failed_tasks":$nFail,"identical":$same}""")

@@ -64,8 +64,12 @@ object SurfaceScaling {
       spark.catalog.clearCache()
       val w0 = System.nanoTime()
       warmQs.foreach { q =>
+        // NonFatal only: an OutOfMemoryError must abort the sweep, not be
+        // recorded as a per-query failure on a possibly-corrupted JVM whose
+        // subsequent timings would silently skew every scaling ratio.
         try SparkEntry.queries(q)(spark, dir).count()
-        catch { case _: Throwable => }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"warm $q failed: $e") }
       }
       val warm = (System.nanoTime() - w0) / 1e9
       val times = scala.collection.mutable.Map[String, List[Double]]()
@@ -73,7 +77,8 @@ object SurfaceScaling {
       for (_ <- 1 to reps; q <- order) {
         val t0 = System.nanoTime()
         val ok = try { SparkEntry.queries(q)(spark, dir).count(); true }
-                 catch { case _: Throwable => false }
+                 catch { case scala.util.control.NonFatal(e) =>
+                   System.err.println(s"$q failed: $e"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         if (ok) times(q) = dt :: times(q)
       }
