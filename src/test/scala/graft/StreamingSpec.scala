@@ -351,6 +351,76 @@ class StreamingSpec extends SparkSpec {
     assert(b2 == Map(21L -> "exact_dup"), s"got $b2")
   }
 
+  test("dedup ingest query recovers from a crash between asset write and batch commit") {
+    // The r8 replay spec proved idempotence at the dedupIngestBatch level;
+    // this is the END-TO-END claim: a real StreamingQuery dies AFTER the
+    // batch's asset partitions are written but BEFORE the engine commits
+    // the batch to the checkpoint (the exact window a lost driver hits),
+    // restarts from the checkpoint, replays the uncommitted batch — and
+    // the asset directory plus statuses come out identical to a run that
+    // never crashed.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupcrash").toString
+    val assets = dir + "/assets"; val ckpt = dir + "/ckpt"
+    val cleanAssets = dir + "/assets_clean"; val cleanCkpt = dir + "/ckpt_clean"
+    val batch0 = Seq((1L, "en", longText), (2L, "en", otherText * 3))
+    val batch1 = Seq((11L, "en", longText + "zz9q7"), (12L, "en", otherText * 3),
+      (13L, "en", baseText.take(40) + otherText.takeRight(40)))
+
+    // interrupted run: foreachBatch finishes the asset write for batch 1,
+    // then the "driver dies" before the engine records the commit
+    val in = MemoryStream[(Long, String, String)]
+    @volatile var crashed = false
+    def start() = in.toDF.toDF("doc_id", "lang", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streams.dedupIngestBatch(b, assets, id)
+        if (id == 1L && !crashed) {
+          crashed = true
+          throw new RuntimeException("injected crash after asset write")
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    val q1 = start()
+    in.addData(batch0: _*)
+    q1.processAllAvailable()
+    in.addData(batch1: _*)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable(); q1.awaitTermination()
+    }
+    assert(crashed, "the injected crash never fired")
+    // batch 1's assets ARE on disk (that is the window under test) but the
+    // checkpoint has no commit for it
+    assert(spark.read.parquet(assets + "/status")
+      .where(col("src_batch") === 1).count() == 3)
+    // restart from the same checkpoint: the engine replays batch 1
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+
+    // uninterrupted twin over the same data
+    val in2 = MemoryStream[(Long, String, String)]
+    val qc = Streams.dedupIngestQuery(
+      in2.toDF.toDF("doc_id", "lang", "text"), cleanAssets, cleanCkpt)
+    in2.addData(batch0: _*); qc.processAllAvailable()
+    in2.addData(batch1: _*); qc.processAllAvailable(); qc.stop()
+
+    // full asset-state equality, every subdirectory, both directions
+    for (sub <- Seq("status", "hashes", "bands", "arrays")) {
+      val a = spark.read.parquet(s"$assets/$sub")
+      val b = spark.read.parquet(s"$cleanAssets/$sub")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$sub diverges between crashed-and-recovered and clean runs")
+    }
+    // and the verdicts are the expected ones (11 near of 1, 12 exact of 2,
+    // 13 new — the recombined halves share no 5-gram mass above 0.8)
+    val st = spark.read.parquet(assets + "/status")
+      .where(col("src_batch") === 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(st == Map(11L -> "near_dup", 12L -> "exact_dup", 13L -> "new"),
+      s"recovered batch-1 statuses: $st")
+  }
+
   test("dedup ingest is total on an empty micro-batch (dry trigger)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedupdry").toString
     val assets = dir + "/assets"
