@@ -24,6 +24,23 @@ import org.apache.spark.sql.SparkSession
   *    self-describing.
   */
 object Bench {
+  /** Shared-asset warm list — the single definition, referenced by
+    * SurfaceScaling and WarmAudit so the copies can't drift. Contract
+    * (r9, measured by WarmAudit at sf0.1): one entry per MULTI-consumer
+    * corpus-snapshot asset's first-toucher, nothing else. Assets with one
+    * consumer need no warming — their population cost belongs to their
+    * only query and the median-of-reps sheds the first-touch rep; the r8
+    * list warmed 8 such entries (including q_token_count, which populates
+    * NO cached asset at all) and spent 22–28 s of the driver's 48–70 s
+    * warmup on them. Coverage: q_tfidf→allToks(×3), q_dedup_near→
+    * docToks(×5)+nearPairs(×2), q_dedup_minhash→vocab(×3, an asset the
+    * r8 list MISSED — its population was charged to whichever consumer
+    * ran first), q_range_bin→eventSessions(×2), q_basket_pairs→
+    * basketPairs(×3). Re-run WarmAudit after adding/re-wiring any
+    * cached() asset. */
+  val warmQs = Seq("q_tfidf", "q_dedup_near", "q_dedup_minhash",
+    "q_range_bin", "q_basket_pairs")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,20 +61,17 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
     catch { case _: Throwable => }
-    // Shared-asset warm-up: the TrainingData.cached() intermediates (token
-    // tables, shingle arrays, prefix sets, candidate pairs) are corpus-
-    // snapshot assets amortized across the whole suite — at cluster scale
-    // you materialize them once, not once per query. Populating them before
-    // the timing loop makes per-query numbers measure INCREMENTAL cost and
-    // stop depending on map iteration order (r3 verdict: cache population
-    // was charged to whichever query ran first). The population cost is
-    // NOT hidden: it is reported separately as warmup_sec below. The warm
-    // list is the first-toucher of every named cache in
-    // TrainingData/LlmPipeline/CorpusFilters.
-    val warmQs = Seq("q_token_count", "q_tfidf", "q_dedup_near",
-      "q_dedup_ngram", "q_contamination", "q_mix_weights", "q_ann_ivf",
-      "q_range_bin", "q_line_dedup", "q_substring_dup", "q_basket_pairs",
-      "q_incremental_dedup")
+    // Shared-asset warm-up: the TrainingData.cached() intermediates are
+    // corpus-snapshot assets amortized across the suite — at cluster scale
+    // you materialize them once, not once per query. Populating the
+    // MULTI-consumer ones before the timing loop makes per-query numbers
+    // measure INCREMENTAL cost and stop depending on map iteration order
+    // (r3 verdict: cache population was charged to whichever consumer ran
+    // first). The population cost is NOT hidden: it is reported separately
+    // as warmup_sec below, and single-consumer assets' population lands in
+    // their own query's rep 1 (visible as the queries-vs-queries_min
+    // spread; the median is the incremental cost). See `warmQs` scaladoc
+    // and graft.tools.WarmAudit for the measured basis.
     val w0 = System.nanoTime()
     warmQs.foreach { q =>
       try SparkEntry.queries(q)(spark, sfDir).count()

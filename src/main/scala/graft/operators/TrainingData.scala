@@ -62,8 +62,23 @@ object TrainingData {
   private val shared =
     scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
   private[operators] def cached(name: String, s: SparkSession, d: String)
-    (build: => DataFrame): DataFrame =
+    (build: => DataFrame): DataFrame = {
+    accessLog.foreach(_ += name)
     shared.getOrElseUpdate((System.identityHashCode(s), d, name), build.persist())
+  }
+
+  /** Measurement hook for [[graft.tools.WarmAudit]]: while a log is
+    * installed, every `cached()` touch records its asset name, so the tool
+    * can attribute assets to queries (which query populates what, which
+    * assets have >1 consumer — the facts Bench's warm list is built from).
+    * Single-threaded tool use only; nil overhead when unset. */
+  @volatile private var accessLog: Option[scala.collection.mutable.Set[String]] =
+    None
+  private[graft] def loggedAccesses[T](f: => T): (T, Set[String]) = {
+    val log = scala.collection.mutable.Set[String]()
+    accessLog = Some(log)
+    try { val r = f; (r, log.toSet) } finally accessLog = None
+  }
 
   /** Eager localCheckpoint whose materialized blocks are REGISTERED for
     * [[unpersistAll]] teardown. Plain `df.localCheckpoint(true)` persists

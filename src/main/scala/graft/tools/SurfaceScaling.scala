@@ -32,10 +32,7 @@ import graft.SparkEntry
   */
 object SurfaceScaling {
 
-  private val warmQs = Seq("q_token_count", "q_tfidf", "q_dedup_near",
-    "q_dedup_ngram", "q_contamination", "q_mix_weights", "q_ann_ivf",
-    "q_range_bin", "q_line_dedup", "q_substring_dup", "q_basket_pairs",
-    "q_incremental_dedup")
+  private def warmQs = graft.Bench.warmQs
 
   def main(args: Array[String]): Unit = {
     val dirs =
