@@ -122,10 +122,19 @@ object Hygiene {
     *    ≤2-deletion variants (1 + L + C(L,2), deduped in-row) and
     *    candidates are the within-block self-join on variant equality.
     *    Immune to the constant-prefix/suffix failure mode of positional
-    *    schemes — a shared variant certifies closeness directly. Linear
-    *    ~L²/2-row inflation buys a near-true-pair candidate set: the
-    *    asymptotic lane once Σ block² outgrows n·172 (see LinkageAb for
-    *    the measured crossover). */
+    *    schemes — a shared variant certifies closeness directly. The
+    *    ~L²/2-row variant inflation buys a near-true-pair candidate set,
+    *    but the round-9 LinkageCrossover measurement (fixture grown
+    *    honestly to ×10 = ~sf1) REFUTED the extrapolated "asymptotic
+    *    lane" claim: the arms tie at ~sf0.5 and block RE-wins at sf1
+    *    (43 s vs 76 s), because symdel's join cost is Σ cnt(variant)²,
+    *    not the candidate count — an ed ≤ 1 pair shares ~L deletion
+    *    variants and per-variant bucket counts grow with name density,
+    *    so the variant join's output inflates super-linearly exactly
+    *    when blocks densify. Block stays the default at every measured
+    *    scale; symdel remains the lane for corpora with LARGE blocks of
+    *    high-entropy names (where cnt(v) stays small while block² does
+    *    not), which this fixture family never produces. */
   def qRecordLinkage(s: SparkSession, d: String): DataFrame = {
     val strategy =
       s.conf.get("spark.graft.linkage.strategy", "block")
