@@ -168,7 +168,17 @@ object Bench {
     // some layer re-decorates stdout, mirror the compact total line to
     // stderr as the process's very last write — stderr lines carry no sbt
     // "[info] " prefix, so the combined stream still ends in parseable JSON.
+    // The pause is load-bearing (r9 find): sbt pumps the forked stdout and
+    // stderr through two independent threads into one combined stream, so a
+    // stderr write issued immediately after the stdout flush can SPLICE
+    // into the middle of a still-draining stdout line (observed once in a
+    // raw no-batch tail). Child-side flush ordering cannot sequence the
+    // pumps; giving the stdout pump time to drain before the mirror write
+    // makes the mirror land cleanly after it, keeping BOTH tail guarantees:
+    // undecorated stdout ends in totalLine, and the mirror (the process's
+    // final write) is a whole line of its own.
     System.out.flush()
+    Thread.sleep(500)
     System.err.println(totalLine)
     System.err.flush()
   }
