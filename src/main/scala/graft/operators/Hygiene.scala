@@ -101,9 +101,11 @@ object Hygiene {
     * banded DP, −1 past the bound — and RecordLinkageBlockSpec pins the
     * three-way equality on clean + adversarial corpora):
     *
-    *  - `block` (default): the plain within-block join. Fastest at every
-    *    locally testable SF (the quadratic candidate mass is still cheap
-    *    next to the fixed costs) and the declared bench shape.
+    *  - `block` (default): the plain within-block join. Fastest at the
+    *    declared fixture SFs (≤ sf0.1, where the quadratic candidate
+    *    mass is still cheap next to the fixed costs) and the declared
+    *    bench shape; measured ×4 candidates per 2× rows, so it loses
+    *    the wall from ~sf0.2 up (see the symdel note).
     *  - `band`: end-anchored band pigeonhole — the last 9 chars split
     *    into three disjoint 3-char bands; ≤ 2 edits damage ≤ 2 bands, the
     *    survivor appears at end-relative shift ≤ 2, so candidates come
@@ -123,18 +125,24 @@ object Hygiene {
     *    candidates are the within-block self-join on variant equality.
     *    Immune to the constant-prefix/suffix failure mode of positional
     *    schemes — a shared variant certifies closeness directly. The
-    *    ~L²/2-row variant inflation buys a near-true-pair candidate set,
-    *    but the round-9 LinkageCrossover measurement (fixture grown
-    *    honestly to ×10 = ~sf1) REFUTED the extrapolated "asymptotic
-    *    lane" claim: the arms tie at ~sf0.5 and block RE-wins at sf1
-    *    (43 s vs 76 s), because symdel's join cost is Σ cnt(variant)²,
-    *    not the candidate count — an ed ≤ 1 pair shares ~L deletion
-    *    variants and per-variant bucket counts grow with name density,
-    *    so the variant join's output inflates super-linearly exactly
-    *    when blocks densify. Block stays the default at every measured
-    *    scale; symdel remains the lane for corpora with LARGE blocks of
-    *    high-entropy names (where cnt(v) stays small while block² does
-    *    not), which this fixture family never produces. */
+    *    ~L²/2-row variant inflation buys a near-true-pair candidate
+    *    set. Round-9 measurement history, in full because the first
+    *    read was wrong: an initial LinkageCrossover run (fixture grown
+    *    honestly to ×10 = ~sf1) appeared to REFUTE the extrapolated
+    *    asymptotic-lane claim — block re-winning ×1.75 at sf1 — but
+    *    that run was confounded by the explode-blind broadcast mis-plan
+    *    documented at the join below (SymdelPlanProbe: the statically
+    *    chosen broadcast is 6.5× slower than shuffle at sf1 and OOMs at
+    *    sf2). With the variant join pinned to shuffle, the re-measured
+    *    crossover (crossover_v3, 3 reps, matches_agree at every scale)
+    *    is real and EARLY: block wins only at sf0.1 (2.2 s vs 4.5 s);
+    *    symdel wins from sf0.2 (5.0 vs 5.8), ×2.6 at sf0.5, ×3.6 at
+    *    sf1 (9.5 vs 34.3), ×4.7 at sf2 (18.1 vs 85.1) with 38× fewer
+    *    candidates — block's candidate mass is exactly quadratic while
+    *    symdel's grows near-linearly. Block stays the DEFAULT because
+    *    the declared bench SFs sit below the crossover; a corpus at
+    *    ≥ sf0.2 of this block density should set
+    *    `spark.graft.linkage.strategy=symdel`. */
   def qRecordLinkage(s: SparkSession, d: String): DataFrame = {
     val strategy =
       s.conf.get("spark.graft.linkage.strategy", "block")
@@ -189,7 +197,16 @@ object Hygiene {
             expr("case when len >= 1 then sequence(1, len) end"))
           .select(col("key"), col("name"), col("nationkey"), col("segment"),
             explode(expr(variants)).as("v"))
+        // The self-join input is EXPLODE-inflated (~172 variants/row) and
+        // Generate's size estimate does not see that, so the static
+        // planner broadcasts a corpus-sized table: measured 6.5× slower
+        // than shuffle at ×10 growth and "Not enough memory to build and
+        // broadcast" (hard failure) at ×20 (round-9 SymdelPlanProbe /
+        // LinkageCrossover). Stats are structurally wrong below an
+        // explode, so this join is hint-pinned to shuffle — the exception
+        // that proves the repo's let-stats-decide rule.
         v.toDF("a_key", "a_name", "nationkey", "segment", "v")
+          .hint("shuffle_merge")
           .join(v.toDF("b_key", "b_name", "nationkey", "segment", "v"),
             Seq("nationkey", "segment", "v"))
           .where(col("a_key") < col("b_key"))
@@ -227,7 +244,10 @@ object Hygiene {
           .where(length(col("p.bs")) === 3)
           .select(col("a_key"), col("a_name"), col("nationkey"),
             col("segment"), col("p.j").as("j"), col("p.bs").as("bs"))
+        // Same explode-blind-stats hazard as the symdel lane (probe side
+        // is ×15, index side ×3): pin the shuffle join.
         val bandPairs = probe
+          .hint("shuffle_merge")
           .join(idx, Seq("nationkey", "segment", "j", "bs"))
           .where(col("a_key") < col("b_key"))
         // catch-all lane for names the scheme can't cover

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.execution.GenerateExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.functions._
 
 /** Pins qRecordLinkage's three candidate strategies
@@ -78,5 +80,44 @@ class RecordLinkageBlockSpec extends SparkSpec {
     for (pair <- Seq((1L, 2L), (1L, 3L), (1L, 4L), (11L, 12L), (14L, 15L)))
       assert(got.contains(pair), s"expected pair $pair in ${got.toSeq.sorted}")
     assert(!got.contains((1L, 16L)), "cross-block pair leaked")
+  }
+
+  /** Round-9 regression pin for the explode-blind-stats mis-plan: the
+    * symdel variant self-join and the band probe-index join both sit
+    * above a Generate (~172× / ~15× row inflation the static size
+    * estimate cannot see), so an unhinted plan broadcasts a corpus-sized
+    * table — measured 6.5× slower at ×10 growth and a hard
+    * "cannot build and broadcast" OOM at ×20 (BASELINE r9 crossover_v3 /
+    * SymdelPlanProbe). The fix is a `shuffle_merge` hint on exactly those
+    * joins; this test fails if a refactor drops the hint or a Spark
+    * upgrade stops honoring it. AQE is disabled because the hazard is the
+    * STATIC planner's choice (AQE re-plans from accurate runtime sizes,
+    * where a broadcast demotion would be legitimate); the plan is
+    * inspected unexecuted, as the static planner leaves it. */
+  test("explode-inflated lanes pin the shuffle join against blind static stats") {
+    val d = sfDir("sf0.001")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (arm <- Seq("symdel", "band")) {
+        val plan = operators.Hygiene.linkageCandidates(spark, d, arm)
+          .queryExecution.executedPlan
+        val blind = plan.collect {
+          case b: BroadcastHashJoinExec
+              if b.exists(_.isInstanceOf[GenerateExec]) => b
+        }
+        assert(blind.isEmpty,
+          s"$arm lane planned a broadcast join over a Generate subtree " +
+            s"(the r9 OOM mis-plan):\n${blind.mkString("\n")}")
+        // the pinned join must actually be there as a sort-merge
+        val pinned = plan.collect {
+          case j: SortMergeJoinExec
+              if j.exists(_.isInstanceOf[GenerateExec]) => j
+        }
+        assert(pinned.nonEmpty,
+          s"$arm lane has no sort-merge join over its Generate — " +
+            s"hint lost?\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }
