@@ -334,7 +334,16 @@ object LlmPipeline {
       .map(t => col("bi") > t &&
         element_at(col("bva"), t + 1) === element_at(col("bvb"), t + 1))
       .reduce(_ || _)
+    // Both self-join inputs are scan → posexplode (×8 band rows, each
+    // carrying the full embedding vector) with no stats boundary below
+    // the join, so the static size estimate is blind to the inflation —
+    // the same explode-blind hazard that mis-broadcast the linkage
+    // symdel lane (BASELINE r9 crossover_v3 / gen_join_audit). Pin the
+    // shuffle: measured a tie at sf0.1 (0.497 vs 0.490 s, BcastAb), and
+    // it closes the OOM window at the grown scales this band join
+    // exists for.
     banded.toDF("a_id", "ea", "na", "bva", "bi", "bv")
+      .hint("shuffle_merge")
       .join(banded.toDF("b_id", "eb", "nb", "bvb", "bi", "bv"), Seq("bi", "bv"))
       .where(col("a_id") < col("b_id"))
       .where(!lowerBandMatches)

@@ -181,8 +181,16 @@ object Relational {
         count(lit(1)).as("user_events"))
     val aggSalted = agg.withColumn("salt",
       explode(sequence(lit(0L), lit(SALT - 1))))
+    // Pin the salted SHUFFLE — the shape this operator exists to
+    // demonstrate (same pin rationale as qBloomJoin's shuffle_hash). The
+    // static planner otherwise broadcasts the ×SALT-exploded aggregate
+    // at fixture SFs (gen_join_audit r9), which makes the salt
+    // replication pure overhead with none of its benefit: a broadcast
+    // join never shuffles, so there is no per-key partition to bound.
+    // The explode also sits above the aggregate with no stats boundary,
+    // so the estimate is ×SALT-blind on top.
     ev.withColumn("salt", pmod(xxhash64(col("event_id")), lit(SALT)))
-      .join(aggSalted, Seq("user_id", "salt"))
+      .join(aggSalted.hint("shuffle_hash"), Seq("user_id", "salt"))
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         col("user_total"), col("user_events"))
       .orderBy("event_id")
