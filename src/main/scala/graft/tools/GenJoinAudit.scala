@@ -29,8 +29,10 @@ import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
   */
 object GenJoinAudit {
   /** Node chain from `root` down to the first GenerateExec in each
-    * broadcast subtree: class names only, cache boundaries marked. */
-  private def chains(root: SparkPlan): Seq[String] = {
+    * broadcast subtree: class names only, cache boundaries marked.
+    * Public because GenJoinAuditSpec pins the triage criterion over the
+    * full surface with the same walker. */
+  def chains(root: SparkPlan): Seq[String] = {
     def descend(p: SparkPlan): Seq[SparkPlan] = p match {
       case c: InMemoryTableScanExec => Seq(c.relation.cachedPlan)
       case other => other.children
