@@ -24,4 +24,7 @@ private[graft] object FnArgs {
 
   def literalDouble(e: Expression, fn: String, arg: String): Double =
     folded(e, fn, arg).asInstanceOf[Number].doubleValue()
+
+  def literalLong(e: Expression, fn: String, arg: String): Long =
+    folded(e, fn, arg).asInstanceOf[Number].longValue()
 }

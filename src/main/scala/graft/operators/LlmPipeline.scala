@@ -297,28 +297,78 @@ object LlmPipeline {
       .orderBy("a_id", "b_id")
   }
 
-  /** Embedding-cosine near-dup: candidate pairs from 8 AXIS-ALIGNED SIGN-LSH
-    * bands (band t = the sign bits of dims 8t..8t+7; a pair is a candidate
-    * iff some band matches exactly), then exact cosine >= 0.4 on candidates
-    * only. Sketch-tier semantics like [[TrainingData.qDedupMinhash]]: the
-    * declared result is what the (deterministic) sketch finds — recall is
-    * tuned by band count/width, and the DuckDB oracle replays the identical
-    * pipeline. Bands bound the join to same-bucket pairs (~3% of all pairs
-    * here) with NO blocking key needed — at 100 TB this is the shape that
-    * replaces the label-blocked quadratic of [[qSimPairs]]. */
+  /** Embedding-cosine near-dup: candidate pairs from AXIS-ALIGNED SIGN-LSH
+    * bands (default 8 bands × 8 bits: band t = the sign bits of dims
+    * 8t..8t+7; a pair is a candidate iff some band matches exactly), then
+    * exact cosine >= 0.4 on candidates only. Sketch-tier semantics like
+    * [[TrainingData.qDedupMinhash]]: the declared result is what the
+    * (deterministic) sketch finds — recall is tuned by band count/width,
+    * and the DuckDB oracle replays the identical pipeline at the default
+    * geometry. Bands bound the join to same-bucket pairs (~3% of all
+    * pairs here) with NO blocking key needed — at 100 TB this is the
+    * shape that replaces the label-blocked quadratic of [[qSimPairs]],
+    * with `spark.graft.embed.bandBits` widening the bucket space as the
+    * corpus outgrows the default's 2^8-per-band capacity (see the dial
+    * note in the body and the measured growth ladder in BASELINE). */
   def qDedupEmbed(s: SparkSession, d: String): DataFrame = {
     val fdot = graft.functions.FloatVectorDot.dotF(s) _
-    // All 8 packed band values are computed ONCE per vector by the native
+    // BAND GEOMETRY DIAL (round 9): `spark.graft.embed.bandBits` picks
+    // the width of each axis-aligned sign band (64 dims / width bands).
+    // The default 8 is the DECLARED geometry the DuckDB oracle replays —
+    // parity is defined at the default, like qResample's maxSpanHours;
+    // re-dialing changes the declared (sketch-tier) result by design.
+    // Why the dial exists: each band's bucket space is fixed at
+    // 2^width, so with width 8 the per-bucket load — and therefore the
+    // band join's output — grows QUADRATICALLY once the corpus dwarfs
+    // 256·8 buckets (this fixture family's sign bits are near-uniform:
+    // measured Σcnt² within 1.12× of N²/256 per band). Wider bands
+    // re-bound the join mass (collision odds 2^-width for unrelated
+    // vectors) at the cost of per-band recall (a true pair must agree
+    // on all `width` sign bits in some band) — the same
+    // resolution-scales-with-corpus octave as q_dedup_ngram's
+    // sketchBits. Measured ladder in BASELINE (EmbedGrowthProbe).
+    val bandBits = s.conf.get("spark.graft.embed.bandBits", "8").toInt
+    require(Seq(8, 16, 32).contains(bandBits),
+      s"spark.graft.embed.bandBits must be 8, 16 or 32, got $bandBits")
+    // LSH FAMILY DIAL: `spark.graft.embed.lsh` = `axis` (default — the
+    // declared oracle-replayed geometry above) | `proj` (random-
+    // hyperplane SimHash via [[graft.functions.SignProjBands]]). Axis
+    // banding partitions the vector's OWN 64 dims, so its total bit
+    // budget is 64 and the measured ladder (BASELINE, EmbedGrowthProbe)
+    // shows widening bands guts recall exactly when the corpus needs
+    // the width. `proj` draws bands×bits INDEPENDENT hyperplane signs,
+    // so collision odds and recall tune independently of the embedding
+    // dimension — the lane for corpora that saturate axis-8's
+    // 8×2^8-bucket space. Like the geometry dial, re-dialing changes
+    // the declared sketch-tier result by design; parity stays defined
+    // at the default.
+    val lsh = s.conf.get("spark.graft.embed.lsh", "axis")
+    val projBands = s.conf.get("spark.graft.embed.projBands", "16").toInt
+    val projBits = s.conf.get("spark.graft.embed.projBits", "16").toInt
+    val nBands = lsh match {
+      case "axis" => 64 / bandBits
+      case "proj" => projBands
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.embed.lsh must be axis or proj, got $other")
+    }
+    // All packed band values are computed ONCE per vector by the native
     // one-pass [[graft.functions.SignBands]] kernel (a missing dim packs to
     // bit 0, so the dedup comparison below can never hit a null-vs-0
     // divergence — bit-identical to the when/otherwise formulation the
     // DuckDB oracle replays) and CARRIED through the band join as an
-    // array<long> — the dedup predicate is then 7 long equality checks,
-    // not a re-extraction of 112 sign bits per joined row.
+    // array<long> — the dedup predicate is then nBands−1 long equality
+    // checks, not a re-extraction of 64 sign bits per joined row.
+    val bandsCol = lsh match {
+      case "axis" =>
+        graft.functions.SignBands.bands(s)(col("embedding"), nBands, bandBits)
+      case _ =>
+        graft.functions.SignProjBands.bands(s)(
+          col("embedding"), 0x67726166L, nBands, projBits)
+    }
     val banded = embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"),
-        graft.functions.SignBands.bands(s)(col("embedding"), 8, 8).as("bvs"))
+        bandsCol.as("bvs"))
       // a zero-norm (empty/degenerate) or NaN-element vector has no cosine
       // direction — exclude it from the dedup universe up front rather than
       // divide by zero per candidate pair (no-op on any well-formed corpus)
@@ -330,10 +380,12 @@ object LlmPipeline {
     // arrays — same trick as qDedupMinhash/qDedupSimhash. The dot product
     // then runs once per pair and no |pairs|-sized distinct shuffle is
     // needed.
-    val lowerBandMatches = (0 until 7)
-      .map(t => col("bi") > t &&
-        element_at(col("bva"), t + 1) === element_at(col("bvb"), t + 1))
-      .reduce(_ || _)
+    val lowerBandMatches =
+      if (nBands == 1) lit(false) // single band: every pair surfaces once
+      else (0 until nBands - 1)
+        .map(t => col("bi") > t &&
+          element_at(col("bva"), t + 1) === element_at(col("bvb"), t + 1))
+        .reduce(_ || _)
     // Both self-join inputs are scan → posexplode (×8 band rows, each
     // carrying the full embedding vector) with no stats boundary below
     // the join, so the static size estimate is blind to the inflation —
