@@ -379,13 +379,15 @@ object LlmPipeline {
     // LOWEST matching band, decidable per row from the carried packed band
     // arrays — same trick as qDedupMinhash/qDedupSimhash. The dot product
     // then runs once per pair and no |pairs|-sized distinct shuffle is
-    // needed.
-    val lowerBandMatches =
-      if (nBands == 1) lit(false) // single band: every pair surfaces once
-      else (0 until nBands - 1)
-        .map(t => col("bi") > t &&
-          element_at(col("bva"), t + 1) === element_at(col("bvb"), t + 1))
-        .reduce(_ || _)
+    // needed. The predicate is the native zero-allocation
+    // [[graft.functions.BandsMatchBefore]] loop: the unrolled OR-chain
+    // grows with the band count and at 32 bands blew the fused stage out
+    // of whole-stage codegen (measured 101 s vs 6 s at the N=100k growth
+    // rung), while the size-constant HOF formulation allocates three
+    // arrays per joined row (184 s on the declared geometry's 156M-row
+    // join) — see the expression's scaladoc for the three-way numbers.
+    val lowerBandMatches = graft.functions.BandsMatchBefore
+      .matchBefore(s)(col("bva"), col("bvb"), col("bi"))
     // Both self-join inputs are scan → posexplode (×8 band rows, each
     // carrying the full embedding vector) with no stats boundary below
     // the join, so the static size estimate is blind to the inflation —

@@ -94,7 +94,12 @@ object EmbedGrowthProbe {
       // the knob axis banding does NOT have (its band count is 64/width)
       Arm("proj16x8", Map("spark.graft.embed.lsh" -> "proj",
         "spark.graft.embed.projBands" -> "16",
-        "spark.graft.embed.projBits" -> "8"), 16, 8, proj = true))
+        "spark.graft.embed.projBits" -> "8"), 16, 8, proj = true),
+      // frontier point: double the 16-bit bands -> recall back near the
+      // narrow arms at ~2x proj16x16's mass (still ~23x under axis8)
+      Arm("proj32x16", Map("spark.graft.embed.lsh" -> "proj",
+        "spark.graft.embed.projBands" -> "32",
+        "spark.graft.embed.projBits" -> "16"), 32, 16, proj = true))
 
     for (g <- gs) {
       val dir = grownDir(g)
