@@ -33,7 +33,9 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType
   * emit containsNull=false arrays, so this is defensive only).
   */
 case class BandsMatchBefore(left: Expression, right: Expression,
-    pos: Expression) extends TernaryExpression {
+    pos: Expression, width: Int = 1) extends TernaryExpression {
+
+  require(width >= 1, s"width must be >= 1, got $width")
 
   override def first: Expression = left
   override def second: Expression = right
@@ -44,8 +46,8 @@ case class BandsMatchBefore(left: Expression, right: Expression,
       case (ArrayType(LongType, _), ArrayType(LongType, _), IntegerType) =>
         TypeCheckResult.TypeCheckSuccess
       case (a, b, p) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (array<bigint>, array<bigint>, int), got " +
-          s"(${a.simpleString}, ${b.simpleString}, ${p.simpleString})")
+        s"$prettyName requires (array<bigint>, array<bigint>, int[, width]), " +
+          s"got (${a.simpleString}, ${b.simpleString}, ${p.simpleString})")
     }
 
   override def dataType: DataType = BooleanType
@@ -53,30 +55,40 @@ case class BandsMatchBefore(left: Expression, right: Expression,
   override def nullSafeEval(a: Any, b: Any, p: Any): Any = {
     val va = a.asInstanceOf[ArrayData]
     val vb = b.asInstanceOf[ArrayData]
-    val n = math.min(math.min(va.numElements(), vb.numElements()),
-      p.asInstanceOf[Int])
-    var t = 0
-    while (t < n) {
-      if (!va.isNullAt(t) && !vb.isNullAt(t) &&
-        va.getLong(t) == vb.getLong(t)) return true
-      t += 1
+    val lim = math.min(va.numElements(), vb.numElements())
+    val groups = p.asInstanceOf[Int]
+    var j = 0
+    while (j < groups) {
+      var i = 0
+      var all = true
+      while (all && i < width) {
+        val d = j * width + i
+        all = d < lim && !va.isNullAt(d) && !vb.isNullAt(d) &&
+          va.getLong(d) == vb.getLong(d)
+        i += 1
+      }
+      if (all) return true
+      j += 1
     }
     false
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b, p) => {
-      val n = ctx.freshName("n"); val t = ctx.freshName("t")
+      val lim = ctx.freshName("lim"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val all = ctx.freshName("all")
+      val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min(
-         |  java.lang.Math.min($a.numElements(), $b.numElements()), $p);
+         |int $lim = java.lang.Math.min($a.numElements(), $b.numElements());
          |${ev.value} = false;
-         |for (int $t = 0; $t < $n; $t++) {
-         |  if (!$a.isNullAt($t) && !$b.isNullAt($t)
-         |      && $a.getLong($t) == $b.getLong($t)) {
-         |    ${ev.value} = true;
-         |    break;
+         |for (int $j = 0; $j < $p && !${ev.value}; $j++) {
+         |  boolean $all = true;
+         |  for (int $i = 0; $all && $i < $width; $i++) {
+         |    int $d = $j * $width + $i;
+         |    $all = $d < $lim && !$a.isNullAt($d) && !$b.isNullAt($d)
+         |      && $a.getLong($d) == $b.getLong($d);
          |  }
+         |  if ($all) ${ev.value} = true;
          |}
          |""".stripMargin
     })
@@ -84,6 +96,7 @@ case class BandsMatchBefore(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): Expression =
     copy(left = newFirst, right = newSecond, pos = newThird)
+  // width is a constructor constant, not a child — it survives copies
 
   override def prettyName: String = "bands_match_before"
 }
@@ -93,7 +106,9 @@ object BandsMatchBefore {
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => BandsMatchBefore(exprs.head, exprs(1), exprs(2)),
+      name, exprs => BandsMatchBefore(exprs.head, exprs(1), exprs(2),
+        if (exprs.length > 3) FnArgs.literalInt(exprs(3), name, "width")
+        else 1),
       "scala_udf")
 
   /** True iff the two packed band arrays agree at any index < pos. */
@@ -101,5 +116,15 @@ object BandsMatchBefore {
       pos: Column): Column = {
     register(spark)
     call_function(name, a, b, pos)
+  }
+
+  /** Grouped form: true iff any group of `width` consecutive lanes
+    * before group index `pos` agrees completely — the minhash
+    * earlier-band predicate, where band j = lanes j·width..j·width+
+    * width−1 of the carried signatures. */
+  def matchBeforeGrouped(spark: SparkSession)(a: Column, b: Column,
+      pos: Column, width: Int): Column = {
+    register(spark)
+    call_function(name, a, b, pos, org.apache.spark.sql.functions.lit(width))
   }
 }

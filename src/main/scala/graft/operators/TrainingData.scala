@@ -194,26 +194,28 @@ object TrainingData {
         explode(array(bandStructs: _*)).as("b"), col("sig"))
       .select((Seq(col("doc_id"), col("lang"), col("b.band").as("band")) ++
         (0 until r).map(i => col(s"b.x$i").as(s"x$i")) :+ col("sig")): _*)
-    val nMatch = (0 until k)
-      .map(i => when(col("siga")(i) === col("sigb")(i), 1).otherwise(0))
-      .reduce(_ + _)
+    // Match count and earlier-band predicate are the NATIVE kernels
+    // (lanes_equal_count, grouped bands_match_before), not k-term /
+    // (bands−1)·r-term unrolled column expressions: the unrolled forms
+    // scale with the lane dial and at the recommended production dials
+    // measurably degrade the fused post-join stage (+5.7 s at k=64,
+    // +22 s at k=128 on a candidate stream whose raw join costs 1.5 s —
+    // the embed OR-chain codegen-size disease; kernel scaladocs carry
+    // the numbers). Semantics are lane-for-lane the unrolled forms',
+    // pinned by LanesEqualCountSpec/BandsMatchBeforeSpec.
+    val nMatch = graft.functions.LanesEqualCount
+      .lanesEqual(s)(col("siga"), col("sigb"))
     // A pair matching SEVERAL bands would come out once per band; instead
     // of a |pairs|-sized distinct shuffle, keep each pair only at its
     // LOWEST matching band — decidable per row from the carried signatures.
-    def bandMatch(j: Int) = (0 until r)
-      .map(i => col("siga")(r * j + i) === col("sigb")(r * j + i))
-      .reduce(_ && _)
-    val earlierMatch =
-      if (bandsN == 1) lit(0)
-      else (0 until bandsN - 1)
-        .map(j => when(lit(j) < col("band") && bandMatch(j), 1).otherwise(0))
-        .reduce(_ + _)
+    val earlierMatch = graft.functions.BandsMatchBefore
+      .matchBeforeGrouped(s)(col("siga"), col("sigb"), col("band"), r)
     val xCols = (0 until r).map(i => s"x$i")
     val names = (id: String, sg: String) => Seq(id, "lang", "band") ++ xCols :+ sg
     bands.toDF(names("a_id", "siga"): _*)
       .join(bands.toDF(names("b_id", "sigb"): _*), Seq("lang", "band") ++ xCols)
       .where(col("a_id") < col("b_id"))
-      .where(earlierMatch === 0)
+      .where(!earlierMatch)
       .withColumn("est_jac", nMatch.cast("double") / k.toDouble)
       .where(col("est_jac") >= theta)
       .select(col("a_id"), col("b_id"), col("lang"), col("est_jac"))
