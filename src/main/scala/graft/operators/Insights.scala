@@ -300,15 +300,58 @@ object Insights {
     series.unionByName(dayless).orderBy("event_type", "day")
   }
 
-  /** HLL sketch mergeability — THE property that makes approximate distinct
-    * counting distributed: per-(type, day) HLL sketches built independently
-    * (as a 1000-executor cluster would), merged with `hll_union_agg`, must
-    * estimate exactly what one direct pass estimates (register max-merge is
-    * lossless). Emits both estimates and the equality flag per event type.
-    * Oracle-omitted by declaration (sketch internals are engine-specific,
-    * like q_agg_approx); InsightsSpec pins merged == direct AND both within
-    * 5% of the exact distinct count. */
+  /** Sketch mergeability — THE property that makes approximate distinct
+    * counting distributed: per-(type, day) partial sketches built
+    * independently (as a 1000-executor cluster would), merged, must equal
+    * what one direct pass builds. DECLARED over KMV (bottom-k) partials so
+    * the DuckDB oracle replays partial build, merge, estimate AND the
+    * equality flag exactly: k-min of the union of per-day bottom-k sketches
+    * IS the bottom-k of the union (any overall k-minimum is among its own
+    * day's k minima — pigeonhole), so `merge_lossless` compares the full
+    * sketch arrays, not just estimates. The Spark-native HLL path
+    * ([[qHllMergeNative]], `hll_sketch_agg`/`hll_union_agg` register
+    * max-merge) is bound-tested in ScalaTest — HLL register layout is
+    * engine-specific and cannot be oracle-replayed.
+    *
+    * Scale: the partial-build → merge shape is exactly the map/reduce split
+    * a 1000-executor aggregate performs; partials are bounded k-long
+    * arrays, so the merge input is n_partials·k longs regardless of data
+    * size. */
   def qHllMerge(s: SparkSession, d: String): DataFrame = {
+    val K = 128
+    val P = 2147483647L
+    val bk = graft.functions.BottomKAgg.bottomK(s) _
+    def est(sk: Column): Column =
+      when(size(sk) < K, size(sk).cast("double"))
+        .otherwise(lit((K - 1).toDouble) * lit(P.toDouble) /
+          element_at(sk, K).cast("double"))
+    val e = events(s, d)
+      .withColumn("h", (col("user_id") * 2654435761L + 1409L) % P)
+      .where(col("h").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("h"))
+    val perDay = e.groupBy(col("event_type"), col("day"))
+      .agg(bk(col("h"), K).as("sk"))
+    val merged = perDay
+      .select(col("event_type"), explode(col("sk")).as("h"))
+      .groupBy(col("event_type")).agg(bk(col("h"), K).as("skm"))
+    val nPart = perDay.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_partials"))
+    val direct = e.groupBy(col("event_type")).agg(bk(col("h"), K).as("skd"))
+    direct.join(merged, Seq("event_type")).join(nPart, Seq("event_type"))
+      .select(col("event_type"),
+        Cols.r2(est(col("skd"))).as("approx_direct"),
+        Cols.r2(est(col("skm"))).as("approx_merged"),
+        col("n_partials"),
+        (col("skd") === col("skm")).as("merge_lossless"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** The Spark-native HLL++ formulation of [[qHllMerge]]: per-(type, day)
+    * `hll_sketch_agg` partials merged with `hll_union_agg` vs one direct
+    * pass — register max-merge is lossless, so merged == direct. Not
+    * declared (sketch bytes are engine-specific); InsightsSpec pins
+    * merged == direct AND both within 5% of the exact distinct count. */
+  def qHllMergeNative(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
     val direct = ev.groupBy(col("event_type"))
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
@@ -711,6 +754,44 @@ object Insights {
     "q_bfs" -> (qBfs _))
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_hll_merge" ->
+      """WITH e AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    (user_id*2654435761 + 1409) % 2147483647 AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |hh AS (SELECT DISTINCT event_type, h FROM e),
+        |rd AS (SELECT event_type, h,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+        |        count(*) OVER (PARTITION BY event_type) AS nd
+        |       FROM hh),
+        |skd AS (SELECT event_type, list(h ORDER BY h) AS skd,
+        |          max(nd) AS nd, max(CASE WHEN rk = 128 THEN h END) AS u_k
+        |        FROM rd WHERE rk <= 128 GROUP BY 1),
+        |hpd AS (SELECT DISTINCT event_type, day, h FROM e),
+        |rpd AS (SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rk
+        |        FROM hpd),
+        |mh AS (SELECT DISTINCT event_type, h FROM rpd WHERE rk <= 128),
+        |rm AS (SELECT event_type, h,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+        |        count(*) OVER (PARTITION BY event_type) AS nd
+        |       FROM mh),
+        |skm AS (SELECT event_type, list(h ORDER BY h) AS skm,
+        |          max(nd) AS nd, max(CASE WHEN rk = 128 THEN h END) AS u_k
+        |        FROM rm WHERE rk <= 128 GROUP BY 1),
+        |np AS (SELECT event_type, count(*) AS n_partials FROM
+        |         (SELECT DISTINCT event_type, day FROM e) GROUP BY 1)
+        |SELECT d.event_type,
+        |  floor((CASE WHEN d.nd < 128 THEN CAST(d.nd AS DOUBLE)
+        |         ELSE 127.0 * 2147483647.0 / d.u_k END) * 100.0 + 0.5) / 100.0
+        |    AS approx_direct,
+        |  floor((CASE WHEN m.nd < 128 THEN CAST(m.nd AS DOUBLE)
+        |         ELSE 127.0 * 2147483647.0 / m.u_k END) * 100.0 + 0.5) / 100.0
+        |    AS approx_merged,
+        |  np.n_partials,
+        |  (d.skd = m.skm) AS merge_lossless
+        |FROM skd d JOIN skm m ON d.event_type = m.event_type
+        |  JOIN np ON np.event_type = d.event_type
+        |ORDER BY d.event_type NULLS FIRST""".stripMargin,
     "q_bfs" ->
       """WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem),

@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.collection.immutable.ListMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -370,23 +370,102 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderstatus")
 
-  /** Approximate distinct (HyperLogLog++): constant memory per group — the
-    * 100 TB answer to countDistinct. Oracle-omitted (approximate); the spec
-    * asserts the HLL estimate is within 5% of exact. */
-  def qAggApprox(s: SparkSession, d: String): DataFrame =
+  /** Approximate distinct users per event type — DECLARED as the
+    * deterministic KMV (bottom-k) estimate so the DuckDB oracle replays the
+    * sketch, its k-th minimum and the (k−1)·P/u_k estimate bit-for-bit
+    * (the [[graft.operators.Insights.qKmvDistinct]] discipline: bottom-k
+    * state is a pure function of the value SET, partitioning/merge-order
+    * independent). The exact distinct rides along so the row itself shows
+    * the error the k=128 sketch achieved. The Spark-native HyperLogLog++
+    * path is [[qAggApproxHll]], bound-tested in ScalaTest (HLL register
+    * layout is engine-specific and cannot be oracle-replayed).
+    *
+    * Scale: one map-side-combined pass, bounded k-long state per group —
+    * the same constant-memory-per-group story as HLL; exact_users exists
+    * as the verification baseline, droppable at 100 TB. The affine hash is
+    * overflow-safe under ANSI for |user_id| < 3.4e9 (Long.Max / 2654435761),
+    * far above the fixture id domain (see qKmvDistinct's bound analysis). */
+  def qAggApprox(s: SparkSession, d: String): DataFrame = {
+    val K = 128
+    val P = 2147483647L
+    val bk = graft.functions.BottomKAgg.bottomK(s) _
+    val est = when(size(col("sk")) < K, size(col("sk")).cast("double"))
+      .otherwise(lit((K - 1).toDouble) * lit(P.toDouble) /
+        element_at(col("sk"), K).cast("double"))
+    events(s, d)
+      .withColumn("h", (col("user_id") * 2654435761L + 1409L) % P)
+      .groupBy(col("event_type"))
+      .agg(bk(col("h"), K).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), Cols.r2(est).as("approx_users"),
+        col("exact_users"), col("n_events"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** The Spark-native HLL++ formulation of [[qAggApprox]] — constant
+    * memory per group, the 100 TB answer to countDistinct. Not declared
+    * (sketch internals are engine-specific so no oracle can replay it);
+    * QueriesSmokeSpec bounds the estimate within 5% of exact. */
+  def qAggApproxHll(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
-  /** Approximate quantiles (GK sketch, `approx_percentile`): the
-    * constant-memory companion to [[graft.operators.Analytics.qPercentile]]'s
-    * exact interpolated percentiles — at 100 TB the exact version's
-    * per-group sort is the cost you pay only when the answer must be exact.
-    * Oracle-omitted like [[qAggApprox]] (sketch internals differ across
-    * engines); ScalaTest bounds it against the exact percentile instead. */
-  def qAggApproxQuantile(s: SparkSession, d: String): DataFrame =
+  /** Approximate quantiles per event type — DECLARED as a deterministic
+    * fixed-grid summary the DuckDB oracle replays exactly: values fold to
+    * `floor(value/w)` bins (w = 1.0 on the fixture value domain), one
+    * cumulative pass finds the bin holding rank q·n, and the estimate
+    * linearly interpolates inside that bin. Both engines evaluate the
+    * bit-identical IEEE formula (same discipline as [[Cols.r2]]), so the
+    * estimate is cross-engine deterministic by construction — unlike GK /
+    * t-digest whose state depends on merge order. NaN/null measurements
+    * are excluded per the [[Cols.nanNull]] contract; a type with no valid
+    * measurement has no quantile and emits no row (both engines agree).
+    * The Spark-native GK path is [[qAggApproxQuantileNative]],
+    * bound-tested in ScalaTest.
+    *
+    * Scale: state is one row per OCCUPIED bin per group (range/w, not n) —
+    * the fixed-resolution-histogram quantile used at 100 TB when the
+    * answer may be ±w but the pass must be one shuffle; the grid width is
+    * the accuracy/state dial. */
+  def qAggApproxQuantile(s: SparkSession, d: String): DataFrame = {
+    val w = 1.0
+    val b = events(s, d)
+      .where(col("value").isNotNull && !isnan(col("value")))
+      .groupBy(col("event_type"), floor(col("value") / lit(w)).as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val overType = Window.partitionBy(col("event_type"))
+    val cumW = overType.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exactly one bin satisfies cum_prev < q·n <= cum (cum is strictly
+    // increasing, q·n ∈ (0, n]) — the bin holding rank q·n
+    def estAt(q: Double): Column = {
+      val t = col("n").cast("double") * lit(q)
+      val cumPrev = (col("cum") - col("c")).cast("double")
+      when(col("cum") >= t && cumPrev < t,
+        col("bin").cast("double") * lit(w) +
+          lit(w) * (t - cumPrev) / col("c").cast("double"))
+    }
+    b.withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n", sum(col("c")).over(overType))
+      .withColumn("e50", estAt(0.5))
+      .withColumn("e90", estAt(0.9))
+      .groupBy(col("event_type"))
+      .agg(Cols.r6(max(col("e50"))).as("p50_approx"),
+        Cols.r6(max(col("e90"))).as("p90_approx"),
+        max(col("n")).as("n_events"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** The Spark-native GK-sketch formulation of [[qAggApproxQuantile]]
+    * (`approx_percentile`) — the constant-memory companion to
+    * [[graft.operators.Analytics.qPercentile]]'s exact interpolated
+    * percentiles. Not declared (GK internals differ across engines);
+    * QueriesSmokeSpec bounds it against the exact percentile. */
+  def qAggApproxQuantileNative(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(col("event_type"))
       .agg(
@@ -737,6 +816,53 @@ object Relational {
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
         | count(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "q_agg_approx" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |    (user_id*2654435761 + 1409) % 2147483647 AS h FROM events),
+        |hh AS (SELECT DISTINCT event_type, h FROM e WHERE h IS NOT NULL),
+        |r AS (SELECT event_type, h,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+        |        count(*) OVER (PARTITION BY event_type) AS nd
+        |      FROM hh),
+        |sk AS (SELECT event_type, max(CASE WHEN rk = 128 THEN h END) AS u_k,
+        |         max(nd) AS nd FROM r GROUP BY 1),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |         count(*) AS n_events FROM e GROUP BY 1)
+        |SELECT ex.event_type,
+        |  floor((CASE WHEN coalesce(sk.nd, 0) < 128
+        |         THEN CAST(coalesce(sk.nd, 0) AS DOUBLE)
+        |         ELSE 127.0 * 2147483647.0 / u_k END) * 100.0 + 0.5) / 100.0
+        |    AS approx_users,
+        |  exact_users, n_events
+        |FROM ex LEFT JOIN sk
+        |  ON ex.event_type IS NOT DISTINCT FROM sk.event_type
+        |ORDER BY ex.event_type NULLS FIRST""".stripMargin,
+    "q_agg_approx_quantile" ->
+      """WITH v AS (SELECT event_type, value FROM events
+        |           WHERE value IS NOT NULL AND NOT isnan(value)),
+        |b AS (SELECT event_type, floor(value / 1.0) AS bin, count(*) AS c
+        |      FROM v GROUP BY 1, 2),
+        |cum AS (SELECT event_type, bin, c,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |         sum(c) OVER (PARTITION BY event_type) AS n FROM b),
+        |est AS (SELECT event_type,
+        |  max(CASE WHEN cum >= CAST(n AS DOUBLE)*0.5
+        |            AND CAST(cum - c AS DOUBLE) < CAST(n AS DOUBLE)*0.5
+        |       THEN CAST(bin AS DOUBLE)*1.0 + 1.0 *
+        |         (CAST(n AS DOUBLE)*0.5 - CAST(cum - c AS DOUBLE))
+        |           / CAST(c AS DOUBLE) END) AS p50,
+        |  max(CASE WHEN cum >= CAST(n AS DOUBLE)*0.9
+        |            AND CAST(cum - c AS DOUBLE) < CAST(n AS DOUBLE)*0.9
+        |       THEN CAST(bin AS DOUBLE)*1.0 + 1.0 *
+        |         (CAST(n AS DOUBLE)*0.9 - CAST(cum - c AS DOUBLE))
+        |           / CAST(c AS DOUBLE) END) AS p90,
+        |  CAST(max(n) AS BIGINT) AS n_events
+        | FROM cum GROUP BY 1)
+        |SELECT event_type,
+        |  floor(p50*1000000.0 + 0.5)/1000000.0 AS p50_approx,
+        |  floor(p90*1000000.0 + 0.5)/1000000.0 AS p90_approx,
+        |  n_events
+        |FROM est ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_rollup" ->
       """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
         |            ELSE coalesce(l_returnflag, '(null)') END AS rflag,

@@ -166,8 +166,8 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
-  test("q_hll_merge: per-day sketches merge losslessly and estimate within 5% of exact") {
-    val rows = Insights.qHllMerge(spark, d).collect()
+  test("q_hll_merge (native HLL): per-day sketches merge losslessly and estimate within 5% of exact") {
+    val rows = Insights.qHllMergeNative(spark, d).collect()
     assert(rows.nonEmpty)
     val exact = Tables.events(spark, d).groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("ex"))
@@ -178,6 +178,24 @@ class InsightsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_partials") > 1, s"need >1 partial to prove a merge: $r")
       val (a, e) = (r.getAs[Long]("approx_direct"), exact(r.getString(0)))
       assert(math.abs(a - e) <= math.max(1L, (e * 0.05).toLong), s"$a vs $e")
+    }
+  }
+
+  test("q_hll_merge (declared KMV): full-sketch merge equality and estimate within 15% of exact") {
+    val rows = Insights.qHllMerge(spark, d).collect()
+    assert(rows.nonEmpty)
+    val exact = Tables.events(spark, d).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("ex"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("merge_lossless"),
+        s"merged SKETCH must equal direct sketch: $r")
+      assert(r.getAs[Long]("n_partials") > 1, s"need >1 partial to prove a merge: $r")
+      assert(r.getAs[Double]("approx_direct") == r.getAs[Double]("approx_merged"),
+        s"equal sketches must estimate equally: $r")
+      val (a, e) = (r.getAs[Double]("approx_direct"), exact(r.getString(0)))
+      // k=128 KMV: σ ≈ 1/√(k−2) ≈ 8.9%; 15% ≈ 1.7σ on the seeded fixture
+      assert(math.abs(a - e) <= math.max(1.0, e * 0.15), s"$a vs $e")
     }
   }
 

@@ -315,9 +315,14 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q_hll_merge builds sketches as partial+final ObjectHashAggregate (mergeable partials)") {
-    val p = planOf(Insights.qHllMerge(spark, d))
-    val objAggs = p.linesIterator.count(_.contains("ObjectHashAggregate"))
-    assert(objAggs >= 2, s"HLL sketches must combine map-side:\n$p")
+    // both the declared KMV formulation and the native HLL one must
+    // combine map-side — partial+final typed-imperative aggregates
+    for (df <- Seq(Insights.qHllMerge(spark, d),
+                   Insights.qHllMergeNative(spark, d))) {
+      val p = planOf(df)
+      val objAggs = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+      assert(objAggs >= 2, s"sketches must combine map-side:\n$p")
+    }
   }
 
   test("q_pagerank plans no cartesian product across its 5 iterations") {
