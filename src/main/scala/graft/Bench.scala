@@ -72,10 +72,17 @@ object Bench {
     // their own query's rep 1 (visible as the queries-vs-queries_min
     // spread; the median is the incremental cost). See `warmQs` scaladoc
     // and graft.tools.WarmAudit for the measured basis.
+    // Per-asset first-touch seconds ride along in the summary line (r9
+    // verdict item 4): the r9 artifact's 57.7 s warmup on a trimmed warm
+    // list was indistinguishable from a warm-list regression without a
+    // local re-run — per-entry timings make a degraded host window
+    // (uniform inflation) readable straight off the artifact.
     val w0 = System.nanoTime()
-    warmQs.foreach { q =>
+    val warmTimes = warmQs.map { q =>
+      val t0 = System.nanoTime()
       try SparkEntry.queries(q)(spark, sfDir).count()
       catch { case _: Throwable => }
+      q -> (System.nanoTime() - t0) / 1e9
     }
     val warmup = (System.nanoTime() - w0) / 1e9
     // Fixed query order shared by every pass (stable map iteration order
@@ -115,17 +122,19 @@ object Bench {
     val medMap = med.toMap
     val minMap = mins.toMap
     // Watch list with done-criteria (BASELINE.md): q_dedup_ngram <= 5 s,
-    // q_dedup_embed <= 2.5 s, q_record_linkage <= 3 s, q_cube <= 1.5 s at
-    // sf0.1 — the r8 verdict's two named watch items (linkage Σblock²
-    // growth, cube ordering rewrite) are machine-tracked here so every
-    // future artifact tail carries them.
+    // q_dedup_embed <= 2.5 s, q_record_linkage <= 3 s, q_cube <= 1.5 s,
+    // q_topk_group <= 2x q_topk_group_native's median at sf0.1 — the r8
+    // verdict's two named watch items (linkage Σblock² growth, cube
+    // ordering rewrite) and the r9 artifact's one >2x mover (topk_group,
+    // A/B-resolved as host jitter by graft.tools.TopkGroupAb) are
+    // machine-tracked here so every future artifact tail carries them.
     val watchQs = Seq("q_dedup_ngram", "q_dedup_embed", "q_record_linkage",
-      "q_cube")
+      "q_cube", "q_topk_group", "q_topk_group_native")
     val watch = watchQs.flatMap(q => medMap.get(q).map(q -> _))
     val watchMin = watchQs.flatMap(q => minMap.get(q).map(q -> _))
     val failures = med.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val summaryLine = s"""{"metric":"summary","total":$total,"warmup_sec":$warmup,"reps":$reps,"n_queries":${med.size},"slowest":${obj(slowest)},"watch":${obj(watch)},"watch_min":${obj(watchMin)},"failures":$failures}"""
+    val summaryLine = s"""{"metric":"summary","total":$total,"warmup_sec":$warmup,"warm":${obj(warmTimes)},"reps":$reps,"n_queries":${med.size},"slowest":${obj(slowest)},"watch":${obj(watch)},"watch_min":${obj(watchMin)},"failures":$failures}"""
     // Compact total line, printed as the FINAL stdout line (r7 postmortem:
     // BENCH_r07.json was parsed:null because the driver json-parses the
     // {"metric":"total"} line from its 2000-char tail, and the full line's
