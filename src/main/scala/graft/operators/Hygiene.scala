@@ -142,7 +142,18 @@ object Hygiene {
     *    symdel's grows near-linearly. Block stays the DEFAULT because
     *    the declared bench SFs sit below the crossover; a corpus at
     *    ≥ sf0.2 of this block density should set
-    *    `spark.graft.linkage.strategy=symdel`. */
+    *    `spark.graft.linkage.strategy=symdel`.
+    *  - `auto` (r10, the measured crossover operationalized): one cheap
+    *    pre-aggregate computes BOTH lanes' decision variables — block's
+    *    candidate mass Σ cnt·(cnt−1)/2 and symdel's variant-row mass
+    *    Σ (1 + L + C(L,2)) — and picks the lane whose wall the
+    *    crossover_v3 measurement says is lower: symdel iff
+    *    block_pairs > 0.6 · variant_rows (the fixture family sits at
+    *    ratio 0.35 at sf0.1 → block, 0.70 at sf0.2 → symdel, matching
+    *    the measured winner at every scale; see [[linkageAutoChoice]]).
+    *    The dial stays manual-overridable — auto is the default a 100 TB
+    *    deployment would actually run, where no human re-reads a
+    *    crossover table per corpus. */
   def qRecordLinkage(s: SparkSession, d: String): DataFrame = {
     val strategy =
       s.conf.get("spark.graft.linkage.strategy", "block")
@@ -164,8 +175,10 @@ object Hygiene {
     * qRecordLinkage is the single source of truth for matches. */
   def linkageCandidates(s: SparkSession, d: String,
       strategy: String): DataFrame = {
-    require(Set("block", "band", "symdel")(strategy),
-      s"spark.graft.linkage.strategy must be block|band|symdel, got $strategy")
+    require(Set("block", "band", "symdel", "auto")(strategy),
+      s"spark.graft.linkage.strategy must be block|band|symdel|auto, got $strategy")
+    if (strategy == "auto")
+      return linkageCandidates(s, d, linkageAutoChoice(s, d)._1)
     val c = customer(s, d)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_mktsegment"))
@@ -268,6 +281,49 @@ object Hygiene {
       }
     cand.select(col("a_key"), col("a_name"), col("b_key"), col("b_name"),
       col("nationkey"), col("segment"))
+  }
+
+  /** The `auto` strategy's decision, exposed for tools/specs: one
+    * aggregate pass over the customer table computes the two lanes'
+    * measured cost drivers —
+    *  - `block_pairs` = Σ_blocks cnt·(cnt−1)/2, the exact candidate count
+    *    the block lane will verify (its wall is linear in this; measured
+    *    ×4 per ×2 rows on the fixture family), and
+    *  - `variant_rows` = Σ_names (1 + L + C(L,2)), the exact row count the
+    *    symdel explode emits (its wall is near-linear in this; the
+    *    variant-equality join adds little — 38× fewer candidates than
+    *    block at sf2)
+    * — and picks symdel iff block_pairs > 0.6 · variant_rows. The 0.6 is
+    * calibrated on crossover_v3 (BASELINE.md): the walls cross between
+    * sf0.1 (ratio 0.35, block ×2.0 faster) and sf0.2 (ratio 0.70, symdel
+    * ×1.16 faster), and block_pairs doubles per octave relative to
+    * variant_rows, so any threshold in [0.4, 0.7] tracks the measured
+    * winner at every probed scale; 0.6 biases toward block near the tie,
+    * where block is the safer loser (sub-linear penalty) and symdel's
+    * explode constant is the risk.
+    *
+    * The returned stats are ONE row (the third sanctioned bounded
+    * `.collect()` in src/main, after Bench warm-up and the 24×64 IVF
+    * centroid pull): a 2-long aggregate over ≤ |blocks| partials —
+    * driver state is O(1) regardless of corpus size, and the pass itself
+    * is a map-side-combined count/sum, ~free next to either lane. */
+  def linkageAutoChoice(s: SparkSession, d: String): (String, Long, Long) = {
+    val len = length(col("c_name")).cast("double")
+    val r = customer(s, d)
+      .where(col("c_name").isNotNull)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(lit(1.0) + len + len * (len - lit(1.0)) / lit(2.0)).as("vars"))
+      .agg(sum(col("cnt") * (col("cnt") - 1L) / lit(2L)).as("block_pairs"),
+        sum(col("vars")).as("variant_rows"))
+      .collect()(0)
+    // `/` is fractional division in Spark, so both sums come back DOUBLE;
+    // exact for any count below 2^53 (far beyond a collectable corpus)
+    val blockPairs = if (r.isNullAt(0)) 0L else r.getDouble(0).toLong
+    val variantRows = if (r.isNullAt(1)) 0L else r.getDouble(1).toLong
+    val choice =
+      if (blockPairs > 0.6 * variantRows) "symdel" else "block"
+    (choice, blockPairs, variantRows)
   }
 
   /** Cross-document long-substring duplication (the signal behind

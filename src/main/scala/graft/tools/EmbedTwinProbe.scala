@@ -27,23 +27,15 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.EmbedTwinProbe [workDir] [n] [plant]
   */
 object EmbedTwinProbe {
-  def main(args: Array[String]): Unit = {
-    val workDir = args.headOption.getOrElse("/tmp/graft_embed_twins")
-    val n = args.drop(1).headOption.map(_.toInt).getOrElse(20000)
-    val plant = args.drop(2).headOption.map(_.toInt).getOrElse(2000)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+
+  /** Builds (once, idempotent) the planted-twin corpus under
+    * `workDir/n{n}_p{plant}` and returns that dir — shared with
+    * [[graft.EmbedRecallFloorSpec]] so the CI recall floors grade the
+    * exact plant construction the BASELINE table was measured on. */
+  def plantCorpus(spark: SparkSession, workDir: String, n: Int,
+      plant: Int): String = {
     import org.apache.hadoop.fs.{FileSystem, Path}
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-
     val dir = s"$workDir/n${n}_p$plant"
     if (!fs.exists(new Path(s"$dir/embeddings.parquet"))) {
       val base = spark.range(n.toLong)
@@ -80,12 +72,16 @@ object EmbedTwinProbe {
       base.unionByName(twins).coalesce(4)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
+    dir
+  }
 
-    // verify the plant: measured cosine of every planted pair must sit
-    // on its target (float rounding aside)
+  /** (a_id, c, cos) for every planted pair in a [[plantCorpus]] dir —
+    * target cosine and the MEASURED cosine (plant verification). */
+  def plantedPairs(spark: SparkSession, dir: String,
+      plant: Int): org.apache.spark.sql.DataFrame = {
     val fdot = graft.functions.FloatVectorDot.dotF(spark) _
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
-    val planted = e.where(col("vec_id") < plant).toDF("a_id", "va", "la")
+    e.where(col("vec_id") < plant).toDF("a_id", "va", "la")
       .join(e.where(col("vec_id") >= 1000000000L)
           .select((col("vec_id") - 1000000000L).as("a_id"),
             col("embedding").as("vb")),
@@ -96,6 +92,27 @@ object EmbedTwinProbe {
         (fdot(col("va"), col("vb")) /
           (sqrt(fdot(col("va"), col("va"))) * sqrt(fdot(col("vb"), col("vb")))))
           .as("cos"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val workDir = args.headOption.getOrElse("/tmp/graft_embed_twins")
+    val n = args.drop(1).headOption.map(_.toInt).getOrElse(20000)
+    val plant = args.drop(2).headOption.map(_.toInt).getOrElse(2000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = plantCorpus(spark, workDir, n, plant)
+    // verify the plant: measured cosine of every planted pair must sit
+    // on its target (float rounding aside)
+    val planted = plantedPairs(spark, dir, plant)
     val bad = planted.where(abs(col("cos") - col("c")) > 0.001).count()
     println(s"""{"metric":"embed_twin_plant","n":$n,"plant":$plant,"off_target":$bad}""")
 

@@ -115,7 +115,14 @@ object LinkageCrossover {
       val armJson = arms.map(a =>
         f""""$a":{"cand":${cand(a)},"median_sec":${med(times(a))}%.2f,"min_sec":${times(a).min}%.2f}""")
         .mkString(",")
-      println(s"""{"metric":"linkage_crossover","g":$g,"rows":${n0 * g},"true_pairs":${fps("block")._1},"matches_agree":$matchesAgree,"arms":{$armJson}}""")
+      // r10: does the auto dispatch's pre-aggregate decision pick the arm
+      // this very measurement crowns? (ties within 15% count as tracked —
+      // near the crossover both walls are equal by definition)
+      val (choice, bp, vr) = graft.operators.Hygiene.linkageAutoChoice(spark, d)
+      val winner = arms.minBy(a => med(times(a)))
+      val tracks = choice == winner ||
+        med(times(choice)) <= med(times(winner)) * 1.15
+      println(s"""{"metric":"linkage_crossover","g":$g,"rows":${n0 * g},"true_pairs":${fps("block")._1},"matches_agree":$matchesAgree,"auto":{"choice":"$choice","block_pairs":$bp,"variant_rows":$vr,"winner":"$winner","tracks_winner":$tracks},"arms":{$armJson}}""")
     }
     spark.stop()
   }

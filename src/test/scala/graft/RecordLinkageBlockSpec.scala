@@ -27,7 +27,7 @@ class RecordLinkageBlockSpec extends SparkSpec {
 
   private def ab(d: String): Unit = {
     val plain = canon(d) // default strategy = block
-    for (arm <- Seq("band", "symdel")) {
+    for (arm <- Seq("band", "symdel", "auto")) {
       spark.conf.set("spark.graft.linkage.strategy", arm)
       val got = try canon(d)
         finally spark.conf.unset("spark.graft.linkage.strategy")
@@ -119,5 +119,42 @@ class RecordLinkageBlockSpec extends SparkSpec {
             s"hint lost?\n$plan")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  /** The `auto` dispatch (r10): its decision variable must pick the lane
+    * the crossover_v3 measurement says wins — block below the crossover
+    * (the fixtures), symdel above it (block-mass-dominated corpora). The
+    * skew corpus makes block_pairs exceed 0.6·variant_rows without being
+    * large: one block of 60 short names → block_pairs = 1770,
+    * variant_rows = 60·(1+8+28) = 2220, ratio 0.80 → symdel; and the
+    * match set must STILL equal block's on exactly that corpus (the
+    * dispatch can never change answers, only walls). */
+  test("auto dispatch picks block on the fixture, symdel on a block-mass-dominated corpus") {
+    val fix = operators.Hygiene.linkageAutoChoice(spark, sfDir("sf0.001"))
+    assert(fix._1 == "block",
+      s"fixture sits far below the crossover (ratio " +
+        s"${fix._2.toDouble / fix._3}): $fix")
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-linkage-auto").toString
+    val rows = (1L to 60L).map { i =>
+      (i, f"name$i%04d", 1, 0.0, "AUTO")
+    }
+    spark.createDataFrame(rows)
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .withColumn("c_nationkey", col("c_nationkey").cast("int"))
+      .write.mode("overwrite").parquet(dir + "/customer.parquet")
+    val skew = operators.Hygiene.linkageAutoChoice(spark, dir)
+    assert(skew._1 == "symdel",
+      s"one dense block of short names must flip the dispatch: $skew")
+    assert(skew._2 == 60L * 59 / 2, s"block_pairs must be exact: $skew")
+    // the flipped lane still returns block's match set
+    val plain = canon(dir)
+    spark.conf.set("spark.graft.linkage.strategy", "auto")
+    val auto = try canon(dir)
+      finally spark.conf.unset("spark.graft.linkage.strategy")
+    assert(auto == plain,
+      s"auto changed the match set: ${auto.size} vs ${plain.size}")
+    assert(plain.nonEmpty, "vacuous: zero pairs on the skew corpus")
   }
 }
