@@ -23,9 +23,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * three-way numbers for that episode). This is a size-constant
   * zero-allocation loop instead.
   *
-  * Null semantics match the unrolled form: NULL input array → NULL;
-  * a NULL element equals nothing (the `when` fell through to 0);
-  * positions beyond the shorter array count as unequal.
+  * Null semantics: a NULL element equals nothing (the unrolled `when`
+  * fell through to 0 there too); positions beyond the shorter array
+  * count as unequal. A NULL input ARRAY yields NULL — a deliberate
+  * divergence from the unrolled when/otherwise sum it replaced, which
+  * summed k fall-through zeros to 0. The divergence is invisible
+  * through qDedupMinhash (signatures are non-null by construction, and
+  * a null-signature row would be dropped by the est_jac / earlier-band
+  * predicates under either semantics), but do not substitute this
+  * kernel for an unrolled sum where a NULL array must read as 0.
   */
 case class LanesEqualCount(left: Expression, right: Expression)
   extends BinaryExpression {

@@ -345,6 +345,15 @@ object LlmPipeline {
     val lsh = s.conf.get("spark.graft.embed.lsh", "axis")
     val projBands = s.conf.get("spark.graft.embed.projBands", "16").toInt
     val projBits = s.conf.get("spark.graft.embed.projBits", "16").toInt
+    // validated like bandBits above (r9 advice): projBits > 64 would only
+    // surface as a generic AnalysisException from SignProjBands' type
+    // check, and an absurd projBands passes analysis then allocates a
+    // nBands·width·512-byte sign table per task — fail at the conf
+    // boundary with the conf name instead
+    require(projBands >= 1 && projBands <= 256,
+      s"spark.graft.embed.projBands must be in [1, 256], got $projBands")
+    require(projBits >= 1 && projBits <= 64,
+      s"spark.graft.embed.projBits must be in [1, 64], got $projBits")
     val nBands = lsh match {
       case "axis" => 64 / bandBits
       case "proj" => projBands

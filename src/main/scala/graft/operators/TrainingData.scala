@@ -63,7 +63,7 @@ object TrainingData {
     scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
   private[operators] def cached(name: String, s: SparkSession, d: String)
     (build: => DataFrame): DataFrame = {
-    accessLog.foreach(_ += name)
+    accessLog.foreach(_.add(name))
     shared.getOrElseUpdate((System.identityHashCode(s), d, name), build.persist())
   }
 
@@ -71,13 +71,18 @@ object TrainingData {
     * installed, every `cached()` touch records its asset name, so the tool
     * can attribute assets to queries (which query populates what, which
     * assets have >1 consumer — the facts Bench's warm list is built from).
-    * Single-threaded tool use only; nil overhead when unset. */
-  @volatile private var accessLog: Option[scala.collection.mutable.Set[String]] =
-    None
+    * Single-threaded tool use only, but the set is a concurrent one (r9
+    * advice) so a stray concurrent `cached()` call in the same JVM
+    * degrades to a mis-attributed NAME, never a corrupted set. */
+  @volatile private var accessLog
+      : Option[java.util.Set[String]] = None
   private[graft] def loggedAccesses[T](f: => T): (T, Set[String]) = {
-    val log = scala.collection.mutable.Set[String]()
+    val log = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     accessLog = Some(log)
-    try { val r = f; (r, log.toSet) } finally accessLog = None
+    try {
+      val r = f
+      (r, scala.jdk.CollectionConverters.SetHasAsScala(log).asScala.toSet)
+    } finally accessLog = None
   }
 
   /** Eager localCheckpoint whose materialized blocks are REGISTERED for

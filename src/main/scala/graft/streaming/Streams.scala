@@ -200,13 +200,35 @@ object Streams {
       val saved =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
+      // an empty marker means a crash interrupted a pre-r10 non-atomic
+      // write — say so instead of reporting a phantom geometry mismatch
+      require(saved.nonEmpty,
+        s"asset dir $assetDir has an EMPTY sketch.conf marker (an " +
+          "interrupted marker write, not a geometry mismatch); delete the " +
+          "marker or use a fresh asset dir")
       require(saved == s"$k,$r",
         s"asset dir $assetDir was built with (k,r)=($saved) but the session " +
           s"conf says ($k,$r); the band index is only probeable at its own " +
           "geometry — use a fresh asset dir to re-sketch")
     } else {
-      val out = fs.create(marker, /*overwrite=*/ false)
+      // write-then-rename so a crash mid-write can never leave a partial
+      // marker that permanently blocks the asset dir (r9 advice): rename
+      // is atomic on HDFS-like stores and on local FS
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$assetDir/.sketch.conf.tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, /*overwrite=*/ false)
       try out.write(s"$k,$r".getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, marker)) {
+        // a concurrent writer won the rename; their geometry must agree
+        fs.delete(tmp, false)
+        val in = fs.open(marker)
+        val saved =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        require(saved == s"$k,$r",
+          s"asset dir $assetDir was concurrently initialized with " +
+            s"(k,r)=($saved), session conf says ($k,$r)")
+      }
     }
     val shingles = graft.functions.ShingleHashes.shingles(s) _
     val sigFn = graft.functions.MinHashAgg.minhashSigK(s, k) _
