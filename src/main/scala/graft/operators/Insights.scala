@@ -331,13 +331,19 @@ object Insights {
       .select(col("event_type"), to_date(col("ts")).as("day"), col("h"))
     val perDay = e.groupBy(col("event_type"), col("day"))
       .agg(bk(col("h"), K).as("sk"))
+    // n_partials rides the SAME exploded stream as the merge (one scan,
+    // one exchange): each (type, day) partial contributes its ≤ k sketch
+    // elements, so distinct days on that stream = partial count. The
+    // struct wrapper is load-bearing — countDistinct(day) would skip a
+    // null-day partial (ts-null rows form a real group), while a struct
+    // holding a null field is itself non-null and counts on both engines.
     val merged = perDay
-      .select(col("event_type"), explode(col("sk")).as("h"))
-      .groupBy(col("event_type")).agg(bk(col("h"), K).as("skm"))
-    val nPart = perDay.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_partials"))
+      .select(col("event_type"), col("day"), explode(col("sk")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(bk(col("h"), K).as("skm"),
+        countDistinct(struct(col("day"))).as("n_partials"))
     val direct = e.groupBy(col("event_type")).agg(bk(col("h"), K).as("skd"))
-    direct.join(merged, Seq("event_type")).join(nPart, Seq("event_type"))
+    direct.join(merged, Seq("event_type"))
       .select(col("event_type"),
         Cols.r2(est(col("skd"))).as("approx_direct"),
         Cols.r2(est(col("skm"))).as("approx_merged"),

@@ -314,6 +314,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_agg_approx: one scan, KMV + exact distinct in one two-phase pipeline, <= 3 exchanges") {
+    val p = planOf(Relational.qAggApprox(spark, d))
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"sketch and exact baseline must share one scan:\n$p")
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    // distinct expand on (type, user), final agg on type, presentation sort
+    assert(exchanges <= 3, s"expected <= 3 exchanges, got $exchanges:\n$p")
+    val objAggs = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(objAggs >= 2, s"bottom-k must combine map-side:\n$p")
+  }
+
+  test("q_agg_approx_quantile: both quantile windows share one sort; final agg reuses the window partitioning") {
+    val p = planOf(Relational.qAggApproxQuantile(spark, d))
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, p)
+    val windows = p.linesIterator.count(_.matches("""\(\d+\) Window.*"""))
+    assert(windows == 2, s"cumulative + total windows expected:\n$p")
+    val sorts = p.linesIterator.count(_.matches("""\(\d+\) Sort.*"""))
+    assert(sorts == 2, s"one sort must feed BOTH windows (+ the output sort):\n$p")
+    // bin agg, window repartition on type, presentation sort — the final
+    // per-type aggregate must NOT add a fourth (it is already
+    // type-partitioned after the window exchange)
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 3, s"expected exactly 3 exchanges, got $exchanges:\n$p")
+  }
+
+  test("q_hll_merge: n_partials rides the merge stream — two scans total, no third pass") {
+    val p = planOf(Insights.qHllMerge(spark, d))
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 2,
+      s"direct pass + partial pipeline only; a third scan means the " +
+        s"n_partials fold regressed:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_hll_merge builds sketches as partial+final ObjectHashAggregate (mergeable partials)") {
     // both the declared KMV formulation and the native HLL one must
     // combine map-side — partial+final typed-imperative aggregates
