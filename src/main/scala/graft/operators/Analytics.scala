@@ -202,16 +202,21 @@ object Analytics {
     val base = orders(s, d).select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
     val m = col("o_orderkey") % 97
-    val changes = base.where(m === 0).withColumn("op", lit("D"))
-      .unionByName(base.where(m === 1)
-        .withColumn("o_totalprice", Cols.r2(col("o_totalprice") * 1.1))
-        .withColumn("op", lit("U")))
-      .unionByName(base.where(m === 2)
-        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
-        .withColumn("op", lit("I")))
-      .select(col("o_orderkey").as("c_key"), col("o_custkey").as("c_cust"),
-        col("o_orderstatus").as("c_status"), col("o_totalprice").as("c_price"),
-        col("op"))
+    // one filtered pass derives all three op classes in-row — the r1–r9
+    // three-branch union scanned the base once PER op class, so the
+    // changelog cost three extra corpus passes (ScanAudit r10: 4 scans
+    // -> 2; base + changelog is the honest floor while the changelog is
+    // simulated from the base — in production it is its own source)
+    val changes = base.where(m === 0 || m === 1 || m === 2)
+      .select(
+        when(m === 2, col("o_orderkey") + 100000000L)
+          .otherwise(col("o_orderkey")).as("c_key"),
+        col("o_custkey").as("c_cust"),
+        col("o_orderstatus").as("c_status"),
+        when(m === 1, Cols.r2(col("o_totalprice") * 1.1))
+          .otherwise(col("o_totalprice")).as("c_price"),
+        when(m === 0, lit("D")).when(m === 1, lit("U"))
+          .otherwise(lit("I")).as("op"))
     base.join(changes, col("o_orderkey") === col("c_key"), "full_outer")
       .where(col("op").isNull || col("op") =!= "D")
       .select(

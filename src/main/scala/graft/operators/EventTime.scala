@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.Cols
+import graft.operators.TrainingData.CheckpointOps
 
 /** Event-stream operators with batch event-time semantics (SURVEY §2.9).
   *
@@ -182,9 +183,14 @@ object EventTime {
     * bounds; the two interpolation windows run over the GRID (bounded by
     * the time span, not the corpus), partitioned by type. */
   def qResample(s: SparkSession, d: String): DataFrame = {
+    // three consumers (time bounds, the type list, the grid join) —
+    // checkpointed so the raw event stream is scanned ONCE; the hourly
+    // aggregate is |types x hours|-bounded, the canonical materialized
+    // rollup (ScanAudit r10: 3 scans -> 1)
     val obs = events(s, d)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
       .agg(avg(col("value")).as("v"))
+      .trackedCheckpoint()
     // The grid span is CONF-BOUNDED (trailing window from the newest
     // observation), never raw data-bounded: with min/max bounds alone, ONE
     // corrupt pre-epoch timestamp stretches sequence() to a century of

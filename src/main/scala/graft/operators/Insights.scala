@@ -40,22 +40,37 @@ object Insights {
   /** Weekly cohort retention over the event stream: users are cohorted by
     * the ISO week of their FIRST event; for every (cohort week, week
     * offset) cell, the number of cohort members active that week and the
-    * retention fraction. The classic product-analytics matrix, computed in
-    * two map-side-combined shuffles (per-user first event, per-cell count)
-    * plus a calendar-bounded broadcast of cohort sizes. */
+    * retention fraction. The classic product-analytics matrix.
+    *
+    * ONE pass over the event stream: a single user-keyed aggregate
+    * carries both the cohort week (min ts) and the user's distinct active
+    * weeks (a calendar-bounded set — |weeks in the corpus span|, not
+    * events), checkpointed as the per-user activity profile every
+    * downstream derives from. The r1–r9 formulation scanned events three
+    * times (firsts, distinct user-weeks, cohort sizes) and shuffled the
+    * two big streams through a user-keyed self-join; cells now explode
+    * off the profile directly, so the join is gone with the scans
+    * (ScanAudit r10: 3 scans + 1 corpus join -> 1 scan).
+    *
+    * `collect_set(struct(week))` not `collect_set(week)`: a null week (a
+    * corrupt null ts on the dirty corpora) must stay a real activity row
+    * like the old `.distinct()` kept it, and collect_set drops bare
+    * nulls while a struct holding a null field is itself non-null — the
+    * q_hll_merge n_partials discipline. */
   def qRetention(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d)
-    val firsts = ev.groupBy(col("user_id"))
-      .agg(min(col("ts")).as("first_ts"))
-      .select(col("user_id"),
-        to_date(date_trunc("week", col("first_ts"))).as("cohort_week"))
-    val active = ev.select(col("user_id"),
-      to_date(date_trunc("week", col("ts"))).as("week")).distinct()
-    val sizes = firsts.groupBy(col("cohort_week"))
+    val perUser = events(s, d)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("w"))
+      .groupBy(col("user_id"))
+      .agg(min(col("w")).as("first_week"),
+        collect_set(struct(col("w"))).as("weeks"))
+      .trackedCheckpoint()
+    val sizes = perUser.groupBy(col("first_week").as("cohort_week"))
       .agg(count(lit(1)).as("cohort_size"))
-    active.join(firsts, "user_id")
+    perUser.where(col("user_id").isNotNull)
+      .select(col("first_week").as("cohort_week"),
+        explode(col("weeks")).as("wk"))
       .withColumn("week_offset",
-        floor(datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+        floor(datediff(col("wk.w"), col("cohort_week")) / 7).cast("long"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_active"))
       .join(broadcast(sizes), "cohort_week")
@@ -147,31 +162,49 @@ object Insights {
 
   /** BM25 relevance ranking of the corpus for the fixed query
     * "spark hash join" (k1 = 1.2, b = 0.75, the Robertson idf): top-20
-    * docs containing at least one query term. tf is per (doc, term); df and
-    * the corpus stats (N, avgdl) ride bounded broadcasts — df is
-    * query-term-sized and the stats are a single row, so scoring is one
-    * shuffle on doc_id at any corpus size. */
+    * docs containing at least one query term.
+    *
+    * The query-term set is FIXED and tiny, so tf folds in-row: one
+    * map-only projection computes doc length and the three per-term
+    * occurrence counts from a single `split` (no explode, no (doc, term)
+    * shuffle), checkpointed as the per-doc profile. df and the corpus
+    * stats then ride ONE single-row aggregate over the profile
+    * (`sum(tf > 0)` per term IS that term's document frequency), and
+    * scoring is a broadcast of that row back onto the profile — in-row
+    * contribs in fixed term order, r6-rounded like the shuffled sum was.
+    * The r1–r9 formulation scanned documents four times (lengths, corpus
+    * stats, tf, and the length join's re-scan) and shuffled the exploded
+    * token stream; now the corpus is read once and nothing corpus-sized
+    * shuffles at all (ScanAudit r10: 4 scans -> 1). */
   def qBm25(s: SparkSession, d: String): DataFrame = {
     val qTerms = Seq("spark", "hash", "join")
-    val docs = documents(s, d)
-    val dl = docs.select(col("doc_id"),
-      Cols.sizeN(split(col("text"), " ")).cast("double").as("dl"))
-    val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .where(col("tok").isin(qTerms: _*))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), "tok")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(corpus))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("contrib", col("idf") * (col("tf") * 2.2) /
-        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"), Cols.r6(sum(col("contrib"))).as("bm25"))
+    def tfCol(t: String) = col(s"tf_$t")
+    val perDoc = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(Seq(col("doc_id"),
+        Cols.sizeN(col("toks")).cast("double").as("dl")) ++
+        qTerms.map(t =>
+          Cols.sizeN(filter(col("toks"), _ === t)).as(s"tf_$t")): _*)
+      .trackedCheckpoint()
+    val statCols = count(lit(1)).cast("double").as("n_docs") +:
+      avg(col("dl")).as("avgdl") +:
+      qTerms.map(t =>
+        sum(when(tfCol(t) > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    def idf(t: String): Column =
+      log(lit(1.0) + (col("n_docs") - col(s"df_$t") + 0.5) /
+        (col(s"df_$t") + 0.5))
+    def contrib(t: String): Column =
+      when(tfCol(t) > 0, idf(t) * (tfCol(t) * 2.2) /
+        (tfCol(t) + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        qTerms.map(t => when(tfCol(t) > 0, 1L).otherwise(0L))
+          .reduce(_ + _).as("n_terms"),
+        Cols.r6(qTerms.map(contrib).reduce(_ + _)).as("bm25"))
+      .where(col("n_terms") > 0)
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(20)
   }
@@ -387,8 +420,13 @@ object Insights {
     * shuffle. At 100 TB the same shape runs with hll partials
     * (q_hll_merge) in place of the exact distinct. */
   def qActiveUsers(s: SparkSession, d: String): DataFrame = {
+    // three consumers (max-day bound, WAU explode, DAU) — checkpointed so
+    // the raw event stream is scanned ONCE; the distinct (user, day)
+    // activity table is exactly the asset a 100 TB engagement pipeline
+    // materializes per snapshot (ScanAudit r10: 3 scans -> 1)
     val ud = events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .trackedCheckpoint()
     val mx = ud.agg(max(col("day")).as("mx"))
     val wau = ud
       .select(col("user_id"),
@@ -449,12 +487,23 @@ object Insights {
     val cut = broadcast(o.agg(
       date_sub(to_date(max(col("o_orderdate"))), 30).as("cut")))
     val oc = o.crossJoin(cut)
-    def aggOf(df: DataFrame) = df.groupBy(col("o_orderstatus"))
+    // ONE grouped pass splits state from delta via the cutoff flag — the
+    // r1-r9 formulation aggregated each side from its own scan of orders
+    // (ScanAudit r10: 3 scans -> 2; the cut date needs its own bounded
+    // agg by construction). A null o_orderdate nulls the flag and falls
+    // out of BOTH sides, exactly as it failed both the < and >= filters.
+    // The tiny (status x 2)-row result is checkpointed so slicing it
+    // twice can't re-run the pass; the full-join MERGE below is untouched
+    // - it remains the algebraic merge(state, delta) == recompute proof.
+    val parts = oc
+      .groupBy(col("o_orderstatus"),
+        (to_date(col("o_orderdate")) >= col("cut")).as("is_delta"))
       .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sp"),
         min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mx"))
-    val state = aggOf(oc.where(to_date(col("o_orderdate")) < col("cut")))
+      .trackedCheckpoint()
+    val state = parts.where(!col("is_delta")).drop("is_delta")
       .toDF("o_orderstatus", "n_s", "sp_s", "mn_s", "mx_s")
-    val delta = aggOf(oc.where(to_date(col("o_orderdate")) >= col("cut")))
+    val delta = parts.where(col("is_delta")).drop("is_delta")
       .toDF("o_orderstatus", "n_d", "sp_d", "mn_d", "mx_d")
     // NULL-SAFE merge key: a USING full join matches with `=`, so a null
     // status in BOTH state and delta would emit TWO unmerged rows — the

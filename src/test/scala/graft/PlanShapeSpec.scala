@@ -299,10 +299,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashAggs >= 4, s"distinct + cohort aggs must combine map-side:\n$p")
   }
 
-  test("q_bm25 broadcasts its bounded sides (df, corpus stats), top-20 via TakeOrdered") {
+  test("q_bm25: one stats broadcast back onto the checkpointed profile, zero shuffles, top-20 via TakeOrdered") {
     val p = planOf(Insights.qBm25(spark, d))
-    val bx = p.linesIterator.count(_.contains("BroadcastExchange"))
-    assert(bx >= 2, s"query-term df and corpus stats must broadcast:\n$p")
+    val bx = p.linesIterator.count(_.matches("""\(\d+\) BroadcastExchange.*"""))
+    assert(bx == 1, s"df + corpus stats ride ONE single-row broadcast:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 0,
+      s"tf folds in-row off the per-doc profile — nothing corpus-sized " +
+        s"may shuffle:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-20 must not globally sort:\n$p")
   }
