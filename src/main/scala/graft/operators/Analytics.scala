@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.Cols
+import graft.operators.TrainingData.CheckpointOps
 
 /** Statistical / reshaping analytics beyond the SURVEY §2 core: exact
   * percentiles, distribution moments, fixed-width histograms, pivot tables,
@@ -162,6 +163,15 @@ object Analytics {
     * wide operation sees it). */
   def qDateSpine(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
+    // DELIBERATE second lineitem pass (ScanAudit r10 batch 2 kept the
+    // old shape by measurement): the bounds aggregate below is the
+    // cheapest possible kind — shuffle-free, column-pruned to
+    // l_shipdate alone, 1-row output — while routing bounds through a
+    // checkpointed rollup serializes the plan behind an eager
+    // materialization barrier and measured 2.53x slower at sf0.1
+    // (ScanFixAb: 0.161 -> 0.408 s). Recompute beats materializing when
+    // the recompute is a single-column scan (the q_tfidf doctrine);
+    // the x2 per-run count is inside the pinned ScanAuditSpec budget.
     val rev = li
       .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
       .agg(Cols.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))

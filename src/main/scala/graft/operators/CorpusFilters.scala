@@ -204,7 +204,16 @@ object CorpusFilters {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
     val uni = TrainingData.allToks(s, d)
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val tot = big.agg(sum(col("c_ab")).as("n_big"))
+    // grand totals ride the CACHED token table, not a re-derivation of
+    // the bigram table (which would re-tokenize the corpus — ScanAudit
+    // r10 batch 2: 2 per-run scans -> 1): a doc with n >= 2 tokens
+    // contributes exactly n - 1 consecutive pairs, and allToks uses the
+    // identical split (explode drops null-text docs from both streams),
+    // so sum(cnt - 1 | cnt >= 2) over per-doc token counts IS
+    // sum(big.c_ab)
+    val tot = TrainingData.allToks(s, d)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(when(col("cnt") >= 2, col("cnt") - 1)).as("n_big"))
       .crossJoin(uni.agg(sum(col("c")).as("n_uni")))
     big
       .join(uni.toDF("a", "c_a"), "a")

@@ -99,11 +99,19 @@ object Insights {
     * no custkey tiebreak is needed. */
   def qRfm(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
-    val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
-    val per = o.groupBy(col("o_custkey"))
+    // ONE orders scan: the per-customer aggregate is checkpointed
+    // (customer-dim-bounded) and the corpus-max anchor derives from it —
+    // max over per-customer last orders IS the corpus max — instead of
+    // its own scan of orders; the quartile-cut re-read below then also
+    // hits the checkpoint, not the fact table (ScanAudit r10 batch 2:
+    // 2 scans -> 1)
+    val per0 = o.groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
         sum(col("o_totalprice")).as("monetary0"))
+      .trackedCheckpoint()
+    val anchor = per0.agg(max(col("last_order")).as("anchor"))
+    val per = per0
       .crossJoin(broadcast(anchor))
       .select(col("o_custkey"),
         datediff(col("anchor"), col("last_order")).cast("long").as("recency_days"),
@@ -145,9 +153,13 @@ object Insights {
     * shuffle for the daily aggregate; the per-type stats are a
     * type-domain-bounded broadcast back onto it. */
   def qAnomaly(s: SparkSession, d: String): DataFrame = {
+    // |types x days|-bounded rollup with two consumers (stats, z-join) —
+    // checkpointed so the raw event stream is scanned once (ScanAudit
+    // r10 batch 2: 2 scans -> 1)
     val daily = events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(sum(col("value")).as("day_value"), count(lit(1)).as("n_events"))
+      .trackedCheckpoint()
     val stats = daily.groupBy(col("event_type"))
       .agg(avg(graft.Cols.nanNull(col("day_value"))).as("mu"),
         stddev_samp(graft.Cols.nanNull(col("day_value"))).as("sigma"))
@@ -304,9 +316,13 @@ object Insights {
     * for bounded calendars — an unbounded series would use a segmented-scan
     * formulation instead. */
   def qEwma(s: SparkSession, d: String): DataFrame = {
+    // |types x days|-bounded rollup consumed twice (series + day-less
+    // split) — checkpointed, one event-stream scan (ScanAudit r10
+    // batch 2: 2 scans -> 1)
     val daily = events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(sum(col("value")).as("day_value"))
+      .trackedCheckpoint()
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Day-less rows leave the series (same doctrine as qWinFrame since

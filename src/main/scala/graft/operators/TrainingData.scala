@@ -128,7 +128,7 @@ object TrainingData {
     }
 
   /** Positional (doc_id, lang, tok) stream — duplicates preserved. */
-  private[operators] def allToks(s: SparkSession, d: String): DataFrame =
+  private[graft] def allToks(s: SparkSession, d: String): DataFrame =
     cached("allToks", s, d) {
       documents(s, d).select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.Cols
+import graft.operators.TrainingData.CheckpointOps
 
 /** Window functions (SURVEY §2.5): ranking, analytic (lag/lead/first/last),
   * frame specs, ratio-to-report.
@@ -58,9 +59,12 @@ object Windows {
     * identical sequence of 2-decimal values in the identical (date) order —
     * window sums are deterministic by construction. */
   def qWinFrame(s: SparkSession, d: String): DataFrame = {
+    // |days|-bounded rollup consumed twice (series + day-less split) —
+    // checkpointed, one orders scan (ScanAudit r10 batch 2: 2 -> 1)
     val daily = orders(s, d)
       .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
       .agg(Cols.r2(sum(col("o_totalprice"))).as("day_rev"))
+      .trackedCheckpoint()
     // A day-less group (null order dates) is OUTSIDE the time series: its
     // moving average / running total are undefined (null), and it must not
     // seed the real series' frames — before round 7 it rode FIRST in the

@@ -217,6 +217,143 @@ object ScanFixAb {
       .orderBy("o_orderstatus")
   }
 
+  // ---- batch-2 r9 formulations (the x2 bounded-rollup class) ----
+
+  private def oldAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("day_value"), count(lit(1)).as("n_events"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(avg(graft.Cols.nanNull(col("day_value"))).as("mu"),
+        stddev_samp(graft.Cols.nanNull(col("day_value"))).as("sigma"))
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("z",
+        Cols.r6((col("day_value") - col("mu")) / nullif(col("sigma"), lit(0.0))))
+      .select(col("event_type"), col("day"),
+        Cols.r2(col("day_value")).as("day_value"), col("n_events"),
+        col("z"), (abs(col("z")) > 2.0).as("anomalous"))
+      .orderBy("event_type", "day")
+  }
+
+  private def oldEwma(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("day_value"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val series = daily.where(col("day").isNotNull)
+      .withColumn("xs", collect_list(col("day_value")).over(w))
+      .withColumn("ewma", expr(
+        "CASE WHEN size(xs) >= 1 THEN " +
+          "aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), " +
+          "(acc, x) -> acc * 0.7 + 0.3 * x) END"))
+      .select(col("event_type"), col("day"),
+        Cols.r2(col("day_value")).as("day_value"), Cols.r6(col("ewma")).as("ewma"))
+    val dayless = daily.where(col("day").isNull)
+      .select(col("event_type"), col("day"),
+        Cols.r2(col("day_value")).as("day_value"),
+        lit(null).cast("double").as("ewma"))
+    series.unionByName(dayless).orderBy("event_type", "day")
+  }
+
+  private def oldRfm(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
+    val per = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice")).as("monetary0"))
+      .crossJoin(broadcast(anchor))
+      .select(col("o_custkey"),
+        datediff(col("anchor"), col("last_order")).cast("long").as("recency_days"),
+        col("frequency"),
+        Cols.r2(col("monetary0")).as("monetary"))
+    val qs = typedLit(Seq(0.25, 0.5, 0.75))
+    val cuts = per.agg(
+      percentile(col("recency_days"), qs).as("rc"),
+      percentile(col("frequency"), qs).as("fc"),
+      percentile(graft.Cols.nanNull(col("monetary").cast("double")), qs).as("mc"))
+    def above(metric: Column, cutsArr: Column): Column = (1 to 3)
+      .map(i => when(metric.cast("double") >
+        Cols.r6(element_at(cutsArr, i)), 1L).otherwise(0L))
+      .reduce(_ + _)
+    per.crossJoin(broadcast(cuts))
+      .withColumn("r_score", lit(1L) + above(col("recency_days"), col("rc")))
+      .withColumn("f_score", lit(4L) - above(col("frequency"), col("fc")))
+      .withColumn("m_score", lit(4L) - above(col("monetary"), col("mc")))
+      .withColumn("segment", concat(col("r_score").cast("string"),
+        col("f_score").cast("string"), col("m_score").cast("string")))
+      .drop("rc", "fc", "mc")
+      .orderBy("o_custkey")
+  }
+
+  private def oldWinFrame(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(Cols.r2(sum(col("o_totalprice"))).as("day_rev"))
+    val w = Window.orderBy(col("day"))
+    val series = daily.where(col("day").isNotNull).select(
+      Cols.epochUs(col("day")).as("day_us"),
+      col("day_rev"),
+      Cols.r6(avg(col("day_rev")).over(w.rowsBetween(-6, 0))).as("ma7"),
+      Cols.r2(sum(col("day_rev")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))).as("running"))
+    val dayless = daily.where(col("day").isNull).select(
+      lit(null).cast("long").as("day_us"), col("day_rev"),
+      lit(null).cast("double").as("ma7"),
+      lit(null).cast("double").as("running"))
+    series.unionByName(dayless).orderBy("day_us")
+  }
+
+  private def oldDateSpine(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val rev = li
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg(Cols.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue"))
+    val maxSpanDays =
+      s.conf.get("spark.graft.datespine.maxSpanDays", "7300").toInt
+    val days = li
+      .agg(date_trunc("day", min(col("l_shipdate"))).as("lo0"),
+        date_trunc("day", max(col("l_shipdate"))).as("hi"))
+      .selectExpr(s"greatest(lo0, hi - interval $maxSpanDays days) AS lo",
+        "hi")
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    days.join(rev, Seq("day"), "left")
+      .select(Cols.epochUs(col("day")).as("day_us"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy("day_us")
+  }
+
+  private def oldBigramPmi(s: SparkSession, d: String): DataFrame = {
+    val big = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+        .as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val uni = graft.operators.TrainingData.allToks(s, d)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = big.agg(sum(col("c_ab")).as("n_big"))
+      .crossJoin(uni.agg(sum(col("c")).as("n_uni")))
+    big
+      .join(uni.toDF("a", "c_a"), "a")
+      .join(uni.toDF("b", "c_b"), "b")
+      .crossJoin(broadcast(tot))
+      .where(col("c_ab") >= 5)
+      .withColumn("pmi", Cols.r6(log(
+        (col("c_ab").cast("double") / col("n_big")) /
+          ((col("c_a").cast("double") / col("n_uni"))
+            * (col("c_b").cast("double") / col("n_uni"))))))
+      .select(col("a"), col("b"), col("c_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(20)
+  }
+
   private val pairs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_hll_merge" -> (oldHllMerge _),
     "q_bm25" -> (oldBm25 _),
@@ -224,7 +361,13 @@ object ScanFixAb {
     "q_active_users" -> (oldActiveUsers _),
     "q_resample" -> (oldResample _),
     "q_cdc_apply" -> (oldCdcApply _),
-    "q_incremental_agg" -> (oldIncrementalAgg _))
+    "q_incremental_agg" -> (oldIncrementalAgg _),
+    "q_anomaly" -> (oldAnomaly _),
+    "q_ewma" -> (oldEwma _),
+    "q_rfm" -> (oldRfm _),
+    "q_win_frame" -> (oldWinFrame _),
+    "q_date_spine" -> (oldDateSpine _),
+    "q_bigram_pmi" -> (oldBigramPmi _))
 
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(7)
