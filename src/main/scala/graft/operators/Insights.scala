@@ -229,12 +229,70 @@ object Insights {
     // rule.
     val ord = Seq(col("p_retailprice").asc, col("p_size").desc,
       col("p_partkey").asc)
-    val w = (if (partition.isEmpty) Window.orderBy(ord: _*)
-             else Window.partitionBy(partition: _*).orderBy(ord: _*))
+    val w = Window.partitionBy(partition: _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("runmax", max(col("p_size")).over(w))
       .where(col("runmax").isNull || col("p_size") > col("runmax"))
       .drop("runmax")
+  }
+
+  /** The GLOBAL skyline pass as a range-partitioned prefix-max scan —
+    * the same sorted-pass semantics as [[paretoFront]] with an empty
+    * partition, WITHOUT the partition-less window (which sorts its whole
+    * input in ONE task — r10 WindowAudit's one hit). The hazard is not
+    * hypothetical: the front is large exactly when the two attributes
+    * trade off (big parts cost more ⇒ the whole price/size diagonal is
+    * Pareto-optimal), so "frontier-sized" can approach catalog-sized on
+    * a real catalog.
+    *
+    * Shape: a PARALLEL range sort (orderBy = range exchange +
+    * per-partition sort; partition order of a range-sorted RDD is the
+    * global order — the vocab/surrogate-key zipWithIndex discipline),
+    * one narrow pass collecting each partition's max size (bounded
+    * driver state: one long per partition), a broadcast of the
+    * exclusive prefix maxima, then a per-partition scan seeded with its
+    * prefix. A row survives iff its size strictly exceeds the running
+    * max of every earlier row; only survivors can raise the max, so
+    * updating on keep is exact. Costs one extra narrow job vs the
+    * window form and keeps the worst case parallel. */
+  private[graft] def paretoFrontGlobal(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val sorted = df
+      .withColumn("__sz", col("p_size").cast("long"))
+      .orderBy(col("p_retailprice").asc, col("p_size").desc,
+        col("p_partkey").asc)
+    val szIdx = sorted.schema.fieldIndex("__sz")
+    val rdd = sorted.rdd
+    val partMax: Array[Option[Long]] = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var mx: Option[Long] = None
+        it.foreach { r =>
+          if (!r.isNullAt(szIdx)) {
+            val v = r.getLong(szIdx)
+            if (mx.forall(v > _)) mx = Some(v)
+          }
+        }
+        Iterator.single(i -> mx)
+      }.collect().sortBy(_._1).map(_._2)
+    // prefix(i) = max size over partitions 0..i-1 (None before the first)
+    val prefix: Array[Option[Long]] = partMax
+      .scanLeft(Option.empty[Long]) { (acc, cur) =>
+        (acc ++ cur).reduceOption(_ max _)
+      }.init
+    val bc = s.sparkContext.broadcast(prefix)
+    val survivors = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run: Option[Long] = bc.value(i)
+      it.filter { r =>
+        if (r.isNullAt(szIdx)) run.isEmpty // null size: window semantics
+        else {
+          val v = r.getLong(szIdx)
+          val keep = run.forall(v > _)
+          if (keep) run = Some(v)
+          keep
+        }
+      }
+    }
+    s.createDataFrame(survivors, sorted.schema).drop("__sz")
   }
 
   /** Skyline (Pareto front) of the part catalog: parts where no other part
@@ -242,9 +300,12 @@ object Insights {
     * minimize p_retailprice, maximize p_size. Computed without any
     * dominance join: a local front per brand (partitioned window,
     * embarrassingly parallel — a global skyline point always survives its
-    * local pass), then the same sorted pass over the frontier-sized
-    * survivors. The oracle is the independent quadratic NOT-EXISTS
-    * formulation. */
+    * local pass), then the same sorted-pass semantics over the survivors
+    * as a range-partitioned prefix-max scan ([[paretoFrontGlobal]] —
+    * never a partition-less window, which would sort the whole survivor
+    * set in one task; the survivor set is catalog-sized exactly when
+    * price and size trade off). The oracle is the independent quadratic
+    * NOT-EXISTS formulation. */
   def qSkyline(s: SparkSession, d: String): DataFrame = {
     // Dominance is undefined against a null/NaN price or a null size —
     // the skyline is declared over VALID points only (on dirty input a
@@ -255,7 +316,7 @@ object Insights {
       .where(col("p_retailprice").isNotNull && !isnan(col("p_retailprice"))
         && col("p_size").isNotNull)
       .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("p_size"))
-    paretoFront(paretoFront(p, Seq(col("p_brand"))), Seq.empty)
+    paretoFrontGlobal(paretoFront(p, Seq(col("p_brand"))))
       .select(col("p_partkey"), col("p_brand"),
         Cols.r2(col("p_retailprice")).as("p_retailprice"), col("p_size"))
       .orderBy("p_retailprice", "p_partkey")

@@ -354,7 +354,30 @@ object ScanFixAb {
       .limit(20)
   }
 
+  private def oldSkyline(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def front(df: DataFrame, partition: Seq[Column]): DataFrame = {
+      val ord = Seq(col("p_retailprice").asc, col("p_size").desc,
+        col("p_partkey").asc)
+      val w = (if (partition.isEmpty) Window.orderBy(ord: _*)
+               else Window.partitionBy(partition: _*).orderBy(ord: _*))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("runmax", max(col("p_size")).over(w))
+        .where(col("runmax").isNull || col("p_size") > col("runmax"))
+        .drop("runmax")
+    }
+    val p = part(s, d)
+      .where(col("p_retailprice").isNotNull && !isnan(col("p_retailprice"))
+        && col("p_size").isNotNull)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("p_size"))
+    front(front(p, Seq(col("p_brand"))), Seq.empty)
+      .select(col("p_partkey"), col("p_brand"),
+        Cols.r2(col("p_retailprice")).as("p_retailprice"), col("p_size"))
+      .orderBy("p_retailprice", "p_partkey")
+  }
+
   private val pairs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q_skyline" -> (oldSkyline _),
     "q_hll_merge" -> (oldHllMerge _),
     "q_bm25" -> (oldBm25 _),
     "q_retention" -> (oldRetention _),

@@ -121,18 +121,58 @@ class InsightsSpec extends SparkSpec {
       (1L, "B1", 10.0, 50), (2L, "B2", 10.0, 50), (3L, "B1", 10.0, 40),
       (4L, "B2", 5.0, 30), (5L, "B1", 7.0, 20), (6L, "B1", 1.0, 10))
       .toDF("p_partkey", "p_brand", "p_retailprice", "p_size")
-    val got = Insights.paretoFront(
-      Insights.paretoFront(df, Seq(col("p_brand"))), Seq.empty)
+    val got = Insights.paretoFrontGlobal(
+      Insights.paretoFront(df, Seq(col("p_brand"))))
       .select("p_partkey").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 4L, 6L))
   }
 
-  test("q_skyline plans windows only — no dominance join, no cartesian product") {
+  test("paretoFrontGlobal == the partition-less window formulation on adversarial synthetics") {
+    // the prefix-max scan must be row-identical to the window it
+    // replaced, including duplicate collapse and equal-price ties, and
+    // must stay exact when the front IS the whole set (anti-correlated
+    // price/size — the shape that makes the single-task window a
+    // scale hazard in the first place)
+    import spark.implicits._
+    val rnd = new scala.util.Random(421)
+    val random = (1 to 500).map { i =>
+      (i.toLong, s"B${rnd.nextInt(4)}",
+        (rnd.nextInt(40) + 1).toDouble, rnd.nextInt(30) + 1)
+    }
+    val antiCorr = (1 to 300).map { i =>
+      (1000L + i, s"B${i % 4}", i.toDouble, i)
+    }
+    for (rows <- Seq(random, antiCorr)) {
+      val df = rows.toDF("p_partkey", "p_brand", "p_retailprice", "p_size")
+        .repartition(7)
+      val windowForm = {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("p_retailprice").asc, col("p_size").desc,
+            col("p_partkey").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        df.withColumn("runmax", max(col("p_size")).over(w))
+          .where(col("runmax").isNull || col("p_size") > col("runmax"))
+          .drop("runmax")
+      }
+      val scanForm = Insights.paretoFrontGlobal(df)
+      assert(scanForm.exceptAll(windowForm).isEmpty &&
+        windowForm.exceptAll(scanForm).isEmpty,
+        s"prefix-max scan diverged from the window formulation")
+    }
+  }
+
+  test("q_skyline never joins; the global pass is the prefix-max scan, not a one-task window") {
     val p = Insights.qSkyline(spark, d).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("Join"), s"skyline must not join:\n$p")
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("Window"), p)
+    assert(p.contains("Scan ExistingRDD"),
+      s"the survivor scan rides the range-sorted RDD:\n$p")
+    assert(!p.contains("Window"),
+      s"no window may remain in the FINAL plan (the brand-local one " +
+        s"lives inside the RDD lineage; a window here would be the " +
+        s"partition-less global sort again):\n$p")
   }
 
   test("q_ewma matches a driver-side replay of the recursion") {
