@@ -8,7 +8,6 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.Cols
-import graft.operators.TrainingData.CheckpointOps
 
 /** Statistical / reshaping analytics beyond the SURVEY §2 core: exact
   * percentiles, distribution moments, fixed-width histograms, pivot tables,

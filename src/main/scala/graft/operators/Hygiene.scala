@@ -309,12 +309,21 @@ object Hygiene {
     * is a map-side-combined count/sum, ~free next to either lane. */
   def linkageAutoChoice(s: SparkSession, d: String): (String, Long, Long) = {
     val len = length(col("c_name")).cast("double")
+    // The decision variables must match what the lanes actually do on
+    // null-heavy corpora (r10 advice): BOTH lanes equi-join on
+    // (nationkey, segment), so a null-key group emits zero block
+    // candidates — exclude those groups from block_pairs; the block lane
+    // has NO name filter, so null-name rows DO count toward cnt. The
+    // symdel explode, by contrast, runs BEFORE its join: variant_rows
+    // keeps null-key groups' named rows (their explode cost is real) and
+    // skips null names naturally (null len ⇒ null term ⇒ sum ignores).
     val r = customer(s, d)
-      .where(col("c_name").isNotNull)
       .groupBy(col("c_nationkey"), col("c_mktsegment"))
       .agg(count(lit(1)).as("cnt"),
         sum(lit(1.0) + len + len * (len - lit(1.0)) / lit(2.0)).as("vars"))
-      .agg(sum(col("cnt") * (col("cnt") - 1L) / lit(2L)).as("block_pairs"),
+      .agg(sum(when(
+          col("c_nationkey").isNotNull && col("c_mktsegment").isNotNull,
+          col("cnt") * (col("cnt") - 1L) / lit(2L))).as("block_pairs"),
         sum(col("vars")).as("variant_rows"))
       .collect()(0)
     // `/` is fractional division in Spark, so both sums come back DOUBLE;

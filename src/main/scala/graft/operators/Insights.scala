@@ -262,7 +262,16 @@ object Insights {
       .orderBy(col("p_retailprice").asc, col("p_size").desc,
         col("p_partkey").asc)
     val szIdx = sorted.schema.fieldIndex("__sz")
-    val rdd = sorted.rdd
+    // The two passes below (partition-max collect, survivor filter) must
+    // see IDENTICAL partition contents — and re-evaluating `sorted.rdd`
+    // re-runs the whole upstream plan, so a nondeterministic input
+    // (rand/sample upstream) or a non-total sort key would let the two
+    // evaluations disagree and produce silently wrong prefix maxima.
+    // localCheckpoint materializes the range-sorted partitions at the
+    // first job (the partition-max collect) so both passes read the same
+    // blocks; a lost block then fails the job loudly (truncated lineage
+    // cannot recompute) instead of recomputing into a different world.
+    val rdd = sorted.rdd.localCheckpoint()
     val partMax: Array[Option[Long]] = rdd
       .mapPartitionsWithIndex { (i, it) =>
         var mx: Option[Long] = None

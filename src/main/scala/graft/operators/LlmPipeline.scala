@@ -607,13 +607,19 @@ object LlmPipeline {
   }
 
   /** Multimodal row: text ⋈ vector on doc_id=vec_id with per-modality
-    * predicates (char length, substring, vector norm). Embeddings side is
-    * broadcast — at 100 TB the text side streams map-side through the join. */
+    * predicates (char length, substring, vector norm). The embeddings
+    * side is UNHINTED (r10 verdict): in a real pipeline the embedding
+    * table is ~one row per document — corpus-scaled — and a pinned
+    * broadcast hint cannot degrade, so at 100 TB it would be a driver/
+    * executor OOM, not a slow plan. Stats broadcast it while it fits
+    * (they do at every fixture SF — same plan as the hinted form) and
+    * fall back to a shuffle join on doc_id=vec_id past the threshold,
+    * the discipline [[qTfidf]]'s vocab join documents. */
   def qMultimodal(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("label"),
       l2Norm(toDouble(col("embedding"))).as("nrm"))
     documents(s, d)
-      .join(broadcast(e), col("doc_id") === col("vec_id"))
+      .join(e, col("doc_id") === col("vec_id"))
       .where(col("n_chars") >= 200 && col("text").like("%spark%")
         && col("nrm") > 0.78)
       .select(col("doc_id"), col("lang"), col("source"), col("label"),

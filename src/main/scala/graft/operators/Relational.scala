@@ -51,12 +51,18 @@ object Relational {
 
   // ---- §2.3 joins ----------------------------------------------------------
 
-  /** Fact ⋈ small dim: explicit broadcast hint — at 100 TB the `part` dim is
-    * still MBs per brand slice; never shuffle the fact side for a dim join. */
+  /** Fact ⋈ dim as a broadcast-hash join — picked by STATS, not a pinned
+    * hint (r11, extending the r10 verdict's customer/embeddings finding
+    * to every SF-scaled table): `part` is 200k rows × SF, so it grows
+    * with the catalog exactly like customer does, and a forced hint
+    * cannot degrade. At every fixture SF stats choose the same
+    * BroadcastHashJoin the hint forced (part ≪ the 10 MB threshold —
+    * the operator still demonstrates the broadcast plan); past the
+    * threshold the join degrades to a shuffle instead of an OOM. */
   def qJoinBroadcast(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
     val p  = part(s, d)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(Cols.r2(sum(revenue)).as("brand_revenue"),
         count(lit(1)).as("n_items"))
@@ -75,14 +81,20 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
-  /** Star join chain: orders ⋈ customer ⋈ nation ⋈ region. All dims are
-    * broadcast — a snowflaked dim chain collapses into map-side lookups. */
+  /** Star join chain: orders ⋈ customer ⋈ nation ⋈ region. Nation and
+    * region are hint-broadcast — bounded BY CONSTRUCTION (25/5 rows at
+    * any SF), the snowflaked dim tail collapses into map-side lookups.
+    * Customer is UNHINTED (r10 verdict): it is 150k rows × SF and grows
+    * with the business, and a pinned broadcast cannot degrade — stats
+    * broadcast it while it fits (they do at every fixture SF — same
+    * plan as the hinted form) and shuffle on o_custkey past the
+    * threshold. */
   def qJoinMulti(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
     val c = customer(s, d)
     val n = nation(s, d)
     val r = region(s, d)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -302,10 +314,10 @@ object Relational {
     * this schema has no partsupp), ties to the smaller s_suppkey.
     *
     * Scale shape: lineitem aggregates once on (l_partkey, l_suppkey) with
-    * map-side partials — the only corpus-sized shuffle; supplier ⋈ nation ⋈
-    * region is a broadcast chain (region-filtered suppliers are a small dim
-    * at any SF); part joins without a hint (stats-broadcast here, shuffle
-    * join at scale). The per-part argmin is `min(struct(...))` — struct
+    * map-side partials — the only corpus-sized shuffle; nation/region are
+    * hint-broadcast (bounded by construction); the supplier slice and part
+    * join without hints (stats-broadcast here, shuffle join at scale — both
+    * are SF-scaled). The per-part argmin is `min(struct(...))` — struct
     * ordering is lexicographic, so (unit_cost, s_suppkey, …) encodes the
     * ORDER BY including the unique tiebreak, and the aggregate gets
     * map-side partial combine where a ranking window would full-sort. */
@@ -329,8 +341,13 @@ object Relational {
       .join(broadcast(region(s, d).where(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    // sup is UNHINTED (r11): supplier is 10k rows × SF, and the EUROPE
+    // filter keeps a constant FRACTION (1 of 5 regions), not a constant
+    // size — at 100 TB the slice is GBs and a pinned broadcast is an
+    // OOM. Stats broadcast it at every fixture SF (same plan as the
+    // hinted form) and shuffle on l_suppkey past the threshold.
     cost
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(part(s, d).where(col("p_size") <= 10),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_partkey"), col("p_name"), col("p_size"))

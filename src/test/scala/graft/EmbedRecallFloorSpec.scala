@@ -78,9 +78,15 @@ class EmbedRecallFloorSpec extends SparkSpec {
           "spark.graft.embed.projBands", "spark.graft.embed.projBits")
           .foreach(spark.conf.unset)
       info(f"$name recall by cos: ${recalls.toSeq.sorted.map { case (c, r) => f"$c%.2f→$r%.3f" }.mkString(", ")}")
-      assert(recalls(0.90) >= floor90,
-        f"$name recall @ cos 0.90 = ${recalls(0.90)}%.3f under floor $floor90")
-      assert(recalls(0.95) >= floor95,
-        f"$name recall @ cos 0.95 = ${recalls(0.95)}%.3f under floor $floor95")
+      // keyed lookups via get: if plantCorpus's cosine tiers ever shift
+      // (or a tier yields no rows) this fails with a readable clue, not a
+      // bare NoSuchElementException (r10 advice)
+      def recallAt(tier: Double): Double = recalls.getOrElse(tier,
+        fail(f"$name: no planted pairs measured at cos tier $tier%.2f — " +
+          s"plantCorpus tiers shifted? have ${recalls.keys.toSeq.sorted}"))
+      assert(recallAt(0.90) >= floor90,
+        f"$name recall @ cos 0.90 = ${recallAt(0.90)}%.3f under floor $floor90")
+      assert(recallAt(0.95) >= floor95,
+        f"$name recall @ cos 0.95 = ${recallAt(0.95)}%.3f under floor $floor95")
     }
 }
