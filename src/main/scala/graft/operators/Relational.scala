@@ -134,18 +134,22 @@ object Relational {
       .orderBy("c_custkey")
   }
 
-  /** Range (theta) join: event pairs within 1h per user. The equi key
-    * (user_id) keeps this a sort-merge join with the range condition as a
-    * post-join predicate — NOT a nested-loop. At 100 TB, additionally block
-    * by coarse time bucket ((user_id, hour)) to bound per-key fan-out. */
+  /** Range (theta) join: event pairs within 1h per user, via
+    * [[graft.plans.BinnedRangeJoin.selfPairsWithin]]'s ownership-bin
+    * discipline on (user_id, 1h bin) — r10 verdict item 5. The former
+    * shape self-joined on user_id ALONE with the range condition as a
+    * post-join predicate: still an equi sort-merge join, but its
+    * candidate set is Σ per-user² pairs, so one hot user (the r6
+    * skew-octave shape) makes a single key quadratic. Binning bounds
+    * candidates by per-(user, adjacent-hour) mass instead — the same
+    * result multiset (every |Δt| ≤ 1h pair meets the bin probe; the
+    * residual keeps exactly the qualifying ones), strictly less join
+    * output on any user active for more than two hours. */
   def qJoinRange(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
       .select(col("user_id"), col("event_id"), Cols.epochUs(col("ts")).as("us"))
-    val a = e.toDF("user_id", "a_id", "a_us")
-    val b = e.toDF("user_id", "b_id", "b_us")
-    a.join(b, Seq("user_id"))
-      .where(col("a_id") < col("b_id")
-        && abs(col("b_us") - col("a_us")) <= lit(3600000000L))
+    graft.plans.BinnedRangeJoin
+      .selfPairsWithin(e, Seq("user_id"), "event_id", "us", 3600000000L)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         Cols.r6(avg(abs(col("b_us") - col("a_us")).cast("double"))).as("avg_gap_us"))

@@ -75,6 +75,64 @@ object BinnedRangeJoin {
     * the same economics as [[pointInInterval]], with `binWidth` near the
     * median SPAN of the shorter-interval side.
     */
+  /** All UNORDERED pairs of `points` rows sharing `keys` whose `tsCol`
+    * values differ by at most `window` (inclusive), each pair emitted
+    * exactly once and oriented `a_<idCol> < b_<idCol>`. Output columns:
+    * keys ++ (a_idCol, a_tsCol, b_idCol, b_tsCol).
+    *
+    * This is the self-pair variant of the ownership-bin discipline: a
+    * bare self-join on `keys` alone is Σ per-key² candidate pairs — one
+    * hot key (the r6 skew-octave shape) makes a single task quadratic.
+    * Binning each point at `ts div window` and probing only (bin, bin+1)
+    * bounds candidates by per-(key, adjacent-bin) mass instead: since
+    * |Δts| ≤ window implies the two bins differ by at most 1
+    * (⌊y/w⌋ ≤ ⌊(x+w)/w⌋ = ⌊x/w⌋+1), every qualifying pair meets the
+    * probe, and the OWNERSHIP predicate — same bin: smaller id emits;
+    * adjacent bins: only the probe row exploded to bin+1 emits — keeps
+    * exactly one copy with no dedup shuffle, exactly like
+    * [[intervalOverlap]]'s max-lo bin rule. `tsCol` must be integral and
+    * non-negative (integer `div` truncates toward zero below zero, which
+    * would mis-bucket pairs straddling 0); `idCol` must be unique within
+    * a key group (it both orders the pair and drops the self-pair).
+    *
+    * At 100 TB: the join shuffles on (keys, bin) — 2|P| probe rows and
+    * |P| build rows — and per-task work is per-(key, bin)² candidate
+    * mass, so a key's cost grows with its per-window density, not with
+    * its total row count; a residual hot (key, bin) is ordinary join
+    * skew, which AQE splits. */
+  def selfPairsWithin(
+      points: DataFrame, keys: Seq[String], idCol: String, tsCol: String,
+      window: Long): DataFrame = {
+    require(window > 0, "window must be positive")
+    val base = points.select(
+      keys.map(col) ++ Seq(col(idCol), col(tsCol)): _*)
+    val probe = base
+      .withColumn("__bin", expr(s"$tsCol div ${window}L"))
+      .withColumn("__jbin", explode(array(col("__bin"), col("__bin") + 1L)))
+      .toDF(keys ++ Seq(s"a_$idCol", s"a_$tsCol", "__bin", "__jbin"): _*)
+    val build = base
+      .withColumn("__bbin", expr(s"$tsCol div ${window}L"))
+      .toDF(keys.map("__b_" + _) ++ Seq(s"b_$idCol", s"b_$tsCol", "__bbin"): _*)
+    val keyCond = keys.map(k => probe(k) === build(s"__b_$k"))
+      .foldLeft(probe("__jbin") === build("__bbin"))(_ && _)
+    probe.join(build, keyCond)
+      .where(abs(col(s"b_$tsCol") - col(s"a_$tsCol")) <= lit(window)
+        // ownership: emit the same-bin case once (smaller id) and the
+        // adjacent-bin case only from the +1 probe row
+        && ((col("__bin") === col("__bbin")
+              && col(s"a_$idCol") < col(s"b_$idCol"))
+            || col("__bin") + 1L === col("__bbin")))
+      // the adjacent-bin case emits with a = the earlier-BIN event, which
+      // is not necessarily the smaller id — normalize the orientation
+      .select(keys.map(col) ++ {
+        val lt = col(s"a_$idCol") < col(s"b_$idCol")
+        Seq(when(lt, col(s"a_$idCol")).otherwise(col(s"b_$idCol")).as(s"a_$idCol"),
+          when(lt, col(s"a_$tsCol")).otherwise(col(s"b_$tsCol")).as(s"a_$tsCol"),
+          when(lt, col(s"b_$idCol")).otherwise(col(s"a_$idCol")).as(s"b_$idCol"),
+          when(lt, col(s"b_$tsCol")).otherwise(col(s"a_$tsCol")).as(s"b_$tsCol"))
+      }: _*)
+  }
+
   def intervalOverlap(
       a: DataFrame, aLo: String, aHi: String,
       b: DataFrame, bLo: String, bHi: String,

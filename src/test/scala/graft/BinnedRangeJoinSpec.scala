@@ -235,6 +235,59 @@ class BinnedRangeJoinSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
   }
 
+  test("selfPairsWithin == naive keyed self-join, bin edges and Δ == window included") {
+    val w = 10L
+    // per-key timestamp sets exercising: same-bin pairs, adjacent-bin
+    // pairs, Δ exactly == window (inclusive boundary), Δ == window + 1
+    // (exclusive), points ON bin edges, a hot key with a dense cluster,
+    // and a key whose points all fall in one bin
+    val rows = Seq(
+      ("u1", 1L, 0L), ("u1", 2L, 9L), ("u1", 3L, 10L), ("u1", 4L, 20L),
+      ("u1", 5L, 21L),                     // Δ(4,5)=1 same bin; Δ(3,4)=10=w adjacent
+      ("u2", 6L, 0L), ("u2", 7L, 11L),     // Δ=11 > w: no pair
+      ("u3", 8L, 5L), ("u3", 9L, 5L),      // Δ=0 duplicate ts, distinct ids
+      ("hot", 10L, 0L), ("hot", 11L, 1L), ("hot", 12L, 2L), ("hot", 13L, 3L),
+      ("hot", 14L, 50L), ("hot", 15L, 59L), ("hot", 16L, 60L),
+      ("u4", 17L, 7L)                      // singleton: no pair
+    ).toDF("k", "id", "ts")
+    val got = plans.BinnedRangeJoin
+      .selfPairsWithin(rows, Seq("k"), "id", "ts", w)
+      .select("k", "a_id", "a_ts", "b_id", "b_ts")
+    val e1 = rows.toDF("k", "a_id", "a_ts")
+    val e2 = rows.toDF("k", "b_id", "b_ts")
+    val naive = e1.join(e2, Seq("k"))
+      .where(col("a_id") < col("b_id")
+        && abs(col("b_ts") - col("a_ts")) <= lit(w))
+      .select("k", "a_id", "a_ts", "b_id", "b_ts")
+    val g = got.collect().map(_.toSeq).toList.sortBy(_.toString)
+    val n = naive.collect().map(_.toSeq).toList.sortBy(_.toString)
+    assert(g == n)
+    assert(g.distinct.size == g.size, "a pair surfaced more than once")
+    // orientation law: every emitted pair has a_id < b_id
+    assert(got.where(col("a_id") >= col("b_id")).isEmpty)
+  }
+
+  test("selfPairsWithin: null keys and null timestamps drop like the naive join") {
+    val w = 10L
+    val rows = Seq(
+      (Option("u"), Option(1L), Option(3L)),
+      (Option("u"), Option(2L), Option(8L)),
+      (Option("u"), Option(3L), None),       // null ts: pairs with nothing
+      (None, Option(4L), Option(5L)),        // null key: equi-join drops
+      (None, Option(5L), Option(6L))
+    ).toDF("k", "id", "ts")
+    val got = plans.BinnedRangeJoin
+      .selfPairsWithin(rows, Seq("k"), "id", "ts", w)
+      .select("k", "a_id", "b_id").collect().map(_.toSeq).toList
+    assert(got == List(Seq("u", 1L, 2L)))
+  }
+
+  test("q_join_range plans an equi-join on (user, bin), not a nested loop") {
+    val p = physical(operators.Relational.qJoinRange(spark, sfDir("sf0.001")))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("optimizer rule leaves equi-key joins alone") {
     spark.conf.set("spark.graft.rangeJoin.binWidth", "7")
     try {
