@@ -500,31 +500,213 @@ object LlmPipeline {
       .limit(10)
   }
 
-  /** All-pairs cosine >= 0.25, blocked by label (the fixture's natural
-    * cluster key) — bounds the quadratic join to within-block pairs.
-    * L2 norms are computed ONCE PER ROW below the join (a Join is a
-    * projection-collapse barrier, so Catalyst cannot inline the norm fold
-    * back into the per-pair expression); per pair only the dot-product fold
-    * runs — 3× fewer array folds than naive cosine-per-pair, numerically
-    * identical (dot/(na*nb) == dot/(||a||*||b||)). */
-  def qSimPairs(s: SparkSession, d: String): DataFrame = {
+  // ---- q_sim_pairs lanes (r10 verdict item 3, premise CORRECTED by ------
+  // ---- measurement — BASELINE round 11 "q_sim_pairs lanes") --------------
+
+  /** Cosine above which a (bands × bits) sign-projection sketch misses a
+    * pair (shares NO band) with probability ≤ `missTarget`, from the
+    * standard SimHash collision law P(bit agrees) = 1 − angle/π:
+    * miss(c) = (1 − p(c)^bits)^bands ≤ missTarget solved for c. This is
+    * the lsh lane's GUARANTEED-capture boundary — between `theta` and
+    * this bound, capture is probabilistic (sketch-tier), which is why
+    * the auto dispatcher demands a measured desert there. */
+  def lshCaptureBound(bands: Int, bits: Int, missTarget: Double): Double = {
+    val pStar =
+      math.pow(1.0 - math.pow(missTarget, 1.0 / bands), 1.0 / bits)
+    math.cos(math.Pi * (1.0 - pStar))
+  }
+
+  /** Declared/exact lane: all within-label pairs, cosine verified at
+    * `theta`. L2 norms are computed ONCE PER ROW below the join (a Join
+    * is a projection-collapse barrier, so Catalyst cannot inline the
+    * norm fold back into the per-pair expression); per pair only the
+    * dot-product fold runs — 3× fewer array folds than naive
+    * cosine-per-pair, numerically identical (dot/(na*nb) ==
+    * dot/(||a||*||b||)). Candidate mass is Σ label-block² — see
+    * [[qSimPairs]] for why that is within a small constant of optimal
+    * at the declared threshold. */
+  private[graft] def simPairsBlock(s: SparkSession, d: String,
+      theta: Double): DataFrame = {
     val fdot = graft.functions.FloatVectorDot.dotF(s) _
     val e = embeddings(s, d).select(col("vec_id"), col("label"),
       col("embedding").as("v"),
       sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
     val a = e.toDF("a_id", "label", "va", "na")
     val b = e.toDF("b_id", "label", "vb", "nb")
-    a.join(b, Seq("label"))
-      .where(col("a_id") < col("b_id"))
-      // den guard as in TrainingData.cosCol: a zero-norm or NaN-element
-      // vector has no cosine; null falls out of the >= 0.25 filter
+    simPairsVerify(s, a.join(b, Seq("label"))
+      .where(col("a_id") < col("b_id")), theta)
+  }
+
+  /** Shared exact-verify tail of both lanes: null-guarded cosine at
+    * `theta` (den guard as in TrainingData.cosCol — a zero-norm or
+    * NaN-element vector has no cosine; null falls out of the >= theta
+    * filter), declared output columns, deterministic order. Input must
+    * carry (a_id, b_id, label, va, vb, na, nb). */
+  private def simPairsVerify(s: SparkSession, cand: DataFrame,
+      theta: Double): DataFrame = {
+    val fdot = graft.functions.FloatVectorDot.dotF(s) _
+    cand
       .withColumn("cos_sim", when(
         !isnan(col("na") * col("nb")) && col("na") * col("nb") > 0,
         fdot(col("va"), col("vb")) / (col("na") * col("nb"))))
-      .where(col("cos_sim") >= 0.25)
+      .where(col("cos_sim") >= theta)
       .select(col("a_id"), col("b_id"), col("label"),
         Cols.r6(col("cos_sim")).as("cos_sim"))
       .orderBy("a_id", "b_id")
+  }
+
+  private val SimSeed = 0x73696d70L // "simp"
+
+  /** Scale lane: within-label sign-projection band candidates
+    * ([[graft.functions.SignProjBands]], the qDedupEmbed machinery),
+    * then the SAME exact cosine verify at `theta`. By construction the
+    * result is a SUBSET of the block lane's — equal exactly when every
+    * qualifying pair shares at least one band. Capture is GUARANTEED
+    * (miss ≤ 1e-6) only above [[lshCaptureBound]](bands, bits, 1e-6);
+    * between theta and that bound it is probabilistic, which is why this
+    * lane is opt-in / auto-gated rather than the default (the fixture
+    * corpus measures NO geometry that is both exact at theta = 0.25 and
+    * sub-quadratic — see [[qSimPairs]]). Candidate pairs surface once:
+    * the earlier-band dedup predicate is the native zero-allocation
+    * [[graft.functions.BandsMatchBefore]] loop, as in qDedupEmbed. */
+  private[graft] def simPairsLsh(s: SparkSession, d: String,
+      theta: Double, bands: Int, bits: Int): DataFrame = {
+    val fdot = graft.functions.FloatVectorDot.dotF(s) _
+    val bandsCol = graft.functions.SignProjBands.bands(s)(
+      col("embedding"), SimSeed, bands, bits)
+    val banded = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"),
+        sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"),
+        bandsCol.as("bvs"))
+      // zero-norm / NaN-element vectors have no cosine direction: the
+      // block lane nulls them out at verify; excluding them up front is
+      // the same result without a per-candidate guard
+      .where(!isnan(col("nrm")) && col("nrm") > 0)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("bvs"),
+        posexplode(col("bvs")).as(Seq("bi", "bv")))
+    val lowerBandMatches = graft.functions.BandsMatchBefore
+      .matchBefore(s)(col("bva"), col("bvb"), col("bi"))
+    // Both self-join inputs are scan → posexplode with no stats boundary
+    // below the join — the explode-blind broadcast hazard; pin the
+    // shuffle exactly as qDedupEmbed does.
+    banded.toDF("a_id", "label", "va", "na", "bva", "bi", "bv")
+      .hint("shuffle_merge")
+      .join(banded.toDF("b_id", "label", "vb", "nb", "bvb", "bi", "bv"),
+        Seq("label", "bi", "bv"))
+      .where(col("a_id") < col("b_id"))
+      .where(!lowerBandMatches)
+      .transform(simPairsVerify(s, _, theta))
+  }
+
+  /** The `auto` strategy's decision, exposed for tools/specs. The lsh
+    * lane may only be picked when it is MATCH-SET SAFE, and the measured
+    * fixture distribution (BASELINE round 11) is the proof that this is
+    * a corpus property, not a geometry dial: qualifying pairs sit flush
+    * against theta = 0.25 (min 0.2500069 at sf0.1) with 6,660 more in
+    * [0.20, 0.25), so any sketch generous enough to catch the boundary
+    * also catches everything — candidates degenerate to the block mass.
+    * The decision therefore tests for a BOUNDARY DESERT: a deterministic
+    * per-label row sample (xxhash64 order, ≤ 256 rows/label — pair count
+    * bounded by |labels|·C(256,2) regardless of corpus size) must
+    * contain ZERO pairs with cosine in [theta, captureBound); only a
+    * corpus whose qualifying pairs all sit in the guaranteed-capture
+    * region (dedup-shaped corpora: twins + background, nothing between)
+    * can choose lsh, and it also needs block mass above the measured
+    * crossover (`spark.graft.simpairs.crossover`, default from the
+    * BASELINE r11 growth cell) for the band overhead to pay. Ties go to
+    * block — the exact lane is the safe loser.
+    *
+    * Driver state: two one-row aggregates (boundary count over the
+    * bounded sample; Σ label-block² over a map-side-combined count) —
+    * the FIFTH/SIXTH sanctioned bounded `.collect()`s in src/main. */
+  def simPairsAutoChoice(s: SparkSession, d: String, theta: Double,
+      bands: Int, bits: Int): (String, Long, Long) = {
+    val cHi = lshCaptureBound(bands, bits, 1e-6)
+    val e = embeddings(s, d)
+    val counts = e.where(col("label").isNotNull)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1) / 2)).collect()(0)
+    val blockPairs = if (counts.isNullAt(0)) 0L else counts.getDouble(0).toLong
+    val wS = Window.partitionBy(col("label"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val fdot = graft.functions.FloatVectorDot.dotF(s) _
+    val sampled = e
+      .withColumn("rn", row_number().over(wS)).where(col("rn") <= 256)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"),
+        sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
+    val sa = sampled.toDF("a_id", "label", "va", "na")
+    val sb = sampled.toDF("b_id", "label", "vb", "nb")
+    val boundaryRow = sa.join(sb, Seq("label"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", when(
+        !isnan(col("na") * col("nb")) && col("na") * col("nb") > 0,
+        fdot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .agg(count(when(col("cos_sim") >= theta && col("cos_sim") < cHi,
+        lit(1)))).collect()(0)
+    val boundary = boundaryRow.getLong(0)
+    val crossover = s.conf.get("spark.graft.simpairs.crossover",
+      SimPairsCrossover.toString).toLong
+    val choice =
+      if (boundary == 0L && blockPairs > crossover) "lsh" else "block"
+    (choice, boundary, blockPairs)
+  }
+
+  /** Measured block→lsh crossover (BASELINE r11, SimPairsProbe cell 3):
+    * Σ block² below which the block lane's single equi-join beats the
+    * lsh lane's band explode + join on a boundary-desert corpus — block
+    * 0.52 s vs lsh 1.49 s at 8.1M pairs, 2.90 vs 2.24 at 72M; the walls
+    * cross ≈ 45M, and 40M biases toward block near the tie (the exact
+    * lane is the safe loser, the linkage-auto discipline). */
+  val SimPairsCrossover = 40000000L
+
+  /** All-pairs cosine >= theta (default 0.25), blocked by label (the
+    * fixture's natural cluster key). Lane dials, mirroring the linkage
+    * strategy conventions:
+    *
+    *  - `spark.graft.simpairs.strategy` = `block` (DEFAULT — the
+    *    declared, exact, oracle-replayed lane) | `lsh` (sign-band
+    *    candidates + exact verify: sketch-tier at the boundary, see
+    *    [[simPairsLsh]]) | `auto` ([[simPairsAutoChoice]]'s
+    *    boundary-desert rule — lsh only where it is measured safe).
+    *  - `spark.graft.simpairs.threshold` (default 0.25 — parity is
+    *    defined at the default, like minhash/embed geometry dials).
+    *  - `spark.graft.simpairs.projBands`/`projBits` (default 32 × 16).
+    *
+    * Why block stays the default at the declared threshold — the r10
+    * verdict called this lane "blocked-quadratic" and prescribed LSH
+    * candidates; the MEASUREMENT says the prescription cannot apply at
+    * theta = 0.25 on this corpus family (BASELINE round 11): the OUTPUT
+    * itself is ~2% of all within-label pairs (293 pairs at n=500 →
+    * 4,321 at n=2,000 — ratio 14.7 vs the 16 of pure n²), so any exact
+    * method's candidate set is Ω(output) = Ω(block²/50), and the
+    * no-gap cosine distribution (qualifying pairs flush at 0.25)
+    * forces any 100%-recall sketch to emit essentially ALL within-label
+    * pairs as candidates anyway. A quadratic-output query has no
+    * sub-quadratic plan; the honest scale levers are the threshold
+    * (raise it into a gap and auto engages the lsh lane) and the label
+    * blocking already in place. */
+  def qSimPairs(s: SparkSession, d: String): DataFrame = {
+    val theta = s.conf.get("spark.graft.simpairs.threshold", "0.25").toDouble
+    val strategy = s.conf.get("spark.graft.simpairs.strategy", "block")
+    val bands = s.conf.get("spark.graft.simpairs.projBands", "32").toInt
+    val bits = s.conf.get("spark.graft.simpairs.projBits", "16").toInt
+    require(theta >= -1.0 && theta <= 1.0,
+      s"spark.graft.simpairs.threshold must be in [-1, 1], got $theta")
+    require(bands >= 1 && bands <= 256,
+      s"spark.graft.simpairs.projBands must be in [1, 256], got $bands")
+    require(bits >= 1 && bits <= 64,
+      s"spark.graft.simpairs.projBits must be in [1, 64], got $bits")
+    strategy match {
+      case "block" => simPairsBlock(s, d, theta)
+      case "lsh" => simPairsLsh(s, d, theta, bands, bits)
+      case "auto" =>
+        simPairsAutoChoice(s, d, theta, bands, bits)._1 match {
+          case "lsh" => simPairsLsh(s, d, theta, bands, bits)
+          case _ => simPairsBlock(s, d, theta)
+        }
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.simpairs.strategy must be block, lsh or auto, got $other")
+    }
   }
 
   /** k-NN label propagation: for probes vec_id < 10, majority label of the
