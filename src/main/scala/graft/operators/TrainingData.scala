@@ -151,6 +151,29 @@ object TrainingData {
         .toDF("tok", "tok_id")
     }
 
+  /** Join `left` (keyed by `tok`) to the dictionary — the one
+    * corpus-DERIVED asset this module broadcasts, with the argument
+    * written down (r11, the discipline tools.BroadcastAudit's
+    * RDD-boundary case cites): Heaps' law makes the dictionary
+    * SUBLINEAR in the corpus (V ≈ K·N^β, β ≈ 0.4–0.6) at ~16 bytes a
+    * row, and the hint is REQUIRED rather than stylistic — vocab is an
+    * RDD-backed relation (zipWithIndex ids), which reports
+    * defaultSizeInBytes (Long.MaxValue) to the planner, so unhinted it
+    * would NEVER broadcast, at any size. Unlike the SF-scaled pinned
+    * broadcasts r11 removed (customer/part/supplier/embeddings), the
+    * degradation path here is a CONF, not a silent OOM: a corpus whose
+    * dictionary outgrows executor memory (billions of distinct tokens)
+    * sets `spark.graft.vocab.broadcast=false` and the same join runs as
+    * a shuffle on `tok` — results identical by construction
+    * (BroadcastAuditSpec pins it). */
+  private[operators] def vocabJoin(s: SparkSession, d: String,
+      left: DataFrame): DataFrame = {
+    val v = vocab(s, d)
+    if (s.conf.get("spark.graft.vocab.broadcast", "true").toBoolean)
+      left.join(broadcast(v), "tok")
+    else left.join(v, "tok")
+  }
+
   /** MinHash(8) + LSH(2 bands × 4 rows) near-dup detection within language
     * blocks — SKETCH-ONLY, the true 100 TB shape: after signatures are
     * built, no token data is touched again. Candidates are pairs agreeing
@@ -179,7 +202,7 @@ object TrainingData {
     require(k > 0 && r > 0 && k % r == 0,
       s"spark.graft.minhash: k ($k) must be a positive multiple of r ($r)")
     val bandsN = k / r
-    val tv = docToks(s, d).join(broadcast(vocab(s, d)), "tok")
+    val tv = vocabJoin(s, d, docToks(s, d))
     // Signatures come from the ONE-PASS native aggregate (MinHashAgg): all
     // k lanes fold into a single primitive buffer with map-side partials —
     // the shape that still works at 64–128 lanes. At the default k=8 the
@@ -239,7 +262,7 @@ object TrainingData {
     * Hamming check, so banding changes cost, never the answer (the DuckDB
     * oracle is the naive quadratic join). */
   def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val tv = docToks(s, d).join(broadcast(vocab(s, d)), "tok")
+    val tv = vocabJoin(s, d, docToks(s, d))
     val sh = tv
       .withColumn("j", explode(sequence(lit(0), lit(15))))
       .withColumn("w", (col("tok_id") * (lit(2) * col("j") + lit(3))) % 7 - 3)
@@ -347,7 +370,7 @@ object TrainingData {
   def qFingerprint(s: SparkSession, d: String): DataFrame = {
     val seqToks = documents(s, d).select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
-    val fp = seqToks.join(broadcast(vocab(s, d)), "tok")
+    val fp = vocabJoin(s, d, seqToks)
       .groupBy(col("doc_id"))
       .agg((sum((col("pos0") + 1) * col("tok_id")) % lit(P)).as("fp"))
     fp.withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("fp"))))

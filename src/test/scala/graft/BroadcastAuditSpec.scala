@@ -75,6 +75,20 @@ class BroadcastAuditSpec extends SparkSpec {
       docs("doc_id") === e("vec_id"))).nonEmpty)
   }
 
+  test("vocab broadcast flip is result-invariant (the written degradation path)") {
+    // TrainingData.vocabJoin's scaladoc argues the dictionary broadcast;
+    // its degradation path is a conf, not a silent OOM — prove the
+    // shuffle form returns the identical declared result
+    val d = sfDir("sf0.001")
+    val hinted = SparkEntry.queries("q_dedup_minhash")(spark, d)
+    spark.conf.set("spark.graft.vocab.broadcast", "false")
+    try {
+      val shuffled = SparkEntry.queries("q_dedup_minhash")(spark, d)
+      assert(hinted.exceptAll(shuffled).isEmpty
+        && shuffled.exceptAll(hinted).isEmpty)
+    } finally spark.conf.unset("spark.graft.vocab.broadcast")
+  }
+
   test("full surface: every declared query's broadcast hints are bounded") {
     val d = sfDir("sf0.001")
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
