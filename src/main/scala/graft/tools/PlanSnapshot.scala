@@ -16,7 +16,12 @@ import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
   * future rewrite that quietly adds an exchange to an unpinned query
   * shows up as a one-line diff against the previous round's snapshot
   * instead of a bench mystery. Counts are static-plan facts (AQE off),
-  * deterministic at a fixed SF.
+  * deterministic at a fixed SF **under the COLD-CACHE convention**: a
+  * materialized InMemoryRelation reports its actual byte size and can
+  * legitimately flip join picks, so snapshots are defined for a fresh
+  * session where `cached()` assets are registered but never executed —
+  * PlanDiffSpec restores that state (unpersistAll + clearCache) before
+  * comparing.
   *
   * Columns: hashEx (hash-partitioned exchanges = real shuffles),
   * singleEx (single-partition exchanges = global agg/limit collects),

@@ -40,6 +40,18 @@ class PlanDiffSpec extends SparkSpec {
     val baseline = parseBaseline()
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // COLD-CACHE CONVENTION: a MATERIALIZED InMemoryRelation reports its
+    // ACTUAL byte size, so suites that executed queries before this one
+    // leave the planner seeing accurate (smaller) sizes and legitimately
+    // different join picks (q_basket_pairs gains a broadcast, the
+    // ngram/near stats-gated lanes flip) — that is runtime adaptivity,
+    // not plan drift. The baseline is generated in a fresh session where
+    // caches are registered but never materialized; restore that state:
+    // drop the shared-registry assets (unpersist + registry clear, so
+    // cached() re-registers cold during each query's construction), then
+    // clear any stray persisted frames other suites left behind.
+    graft.operators.TrainingData.unpersistAll()
+    spark.catalog.clearCache()
     try {
       val diffs = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) =>
