@@ -89,6 +89,21 @@ class SimPairsLaneSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.simpairs.threshold")
   }
 
+  test("auto sampler's rank filter gets the group-limit pushdown") {
+    // simPairsAutoChoice samples ≤256 rows/label via row_number over a
+    // hash order; Spark's InferWindowGroupLimit turns the rank-filter
+    // shape into WindowGroupLimit (per-group bounded heap BELOW the
+    // window), so the decision pass never full-sorts a label partition —
+    // the cost concern the r11 ADVICE flags is bounded to one shuffle
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(sfDir("sf0.001") + "/embeddings.parquet")
+    val wS = Window.partitionBy(col("label"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val plan = e.withColumn("rn", row_number().over(wS))
+      .where(col("rn") <= 256).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("strategy=lsh through the declared entry matches the lane directly") {
     mkGapOnce
     spark.conf.set("spark.graft.simpairs.strategy", "lsh")
