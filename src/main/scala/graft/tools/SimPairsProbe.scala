@@ -29,7 +29,10 @@ import graft.operators.LlmPipeline
   *     gap corpora of growing size; the Σ block² where the walls cross
   *     calibrates `spark.graft.simpairs.crossover`.
   *
-  * Usage: runMain graft.tools.SimPairsProbe [reps] [sfDir]
+  * Usage: runMain graft.tools.SimPairsProbe [reps] [sfDir] [n,n,...]
+  * A third argument (comma-separated corpus sizes) runs ONLY the
+  * crossover cell at those sizes — for extending the growth table
+  * without re-paying cells 1–2.
   */
 object SimPairsProbe {
   /** Deterministic dedup-shaped corpus: random-unit background, planted
@@ -77,6 +80,15 @@ object SimPairsProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val crossoverOnly = args.drop(2).headOption
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+    if (crossoverOnly.isDefined) {
+      runCrossover(spark, reps, crossoverOnly.get)
+      graft.operators.TrainingData.unpersistAll()
+      spark.stop()
+      return
+    }
+
     // ---- cell 1: fixture recall at the declared theta ----
     val blockRes = LlmPipeline.simPairsBlock(spark, sfDir, 0.25).persist()
     val nBlock = blockRes.count()
@@ -109,7 +121,14 @@ object SimPairsProbe {
     }
 
     // ---- cell 3: crossover on growing gap corpora ----
-    for (n <- Seq(2000, 8000, 24000)) {
+    runCrossover(spark, reps, Seq(2000, 8000, 24000))
+    graft.operators.TrainingData.unpersistAll()
+    spark.stop()
+  }
+
+  private def runCrossover(spark: SparkSession, reps: Int,
+      ns: Seq[Int]): Unit = {
+    for (n <- ns) {
       val dir = s"/tmp/simpairs_gap_$n"
       mkGap(spark, n, 4, 40, dir)
       val arms = Seq(
@@ -127,7 +146,5 @@ object SimPairsProbe {
       def med(xs: List[Double]) = xs.sorted.apply(xs.size / 2)
       println(f"""{"metric":"simpairs_crossover","n":$n,"block_pairs":$mass,"block_med":${med(times("block"))}%.3f,"lsh_med":${med(times("lsh"))}%.3f}""")
     }
-    graft.operators.TrainingData.unpersistAll()
-    spark.stop()
   }
 }
