@@ -271,6 +271,10 @@ object Insights {
     // first job (the partition-max collect) so both passes read the same
     // blocks; a lost block then fails the job loudly (truncated lineage
     // cannot recompute) instead of recomputing into a different world.
+    // The trade is one catalog-sized write to executor-local storage —
+    // accepted: the alternative (re-running the sort per pass) costs the
+    // same work TWICE and is only correct under a determinism
+    // precondition no caller should have to prove.
     val rdd = sorted.rdd.localCheckpoint()
     val partMax: Array[Option[Long]] = rdd
       .mapPartitionsWithIndex { (i, it) =>
