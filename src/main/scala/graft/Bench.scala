@@ -123,13 +123,17 @@ object Bench {
     val minMap = mins.toMap
     // Watch list with done-criteria (BASELINE.md): q_dedup_ngram <= 5 s,
     // q_dedup_embed <= 2.5 s, q_record_linkage <= 3 s, q_cube <= 1.5 s,
-    // q_topk_group <= 2x q_topk_group_native's median at sf0.1 — the r8
-    // verdict's two named watch items (linkage Σblock² growth, cube
-    // ordering rewrite) and the r9 artifact's one >2x mover (topk_group,
-    // A/B-resolved as host jitter by graft.tools.TopkGroupAb) are
-    // machine-tracked here so every future artifact tail carries them.
+    // q_topk_group <= 2x q_topk_group_native's median at sf0.1,
+    // q_dedup_clusters <= 4.5 s — the r8 verdict's two named watch items
+    // (linkage Σblock² growth, cube ordering rewrite), the r9 artifact's
+    // one >2x mover (topk_group, A/B-resolved as host jitter by
+    // graft.tools.TopkGroupAb), and the r10 artifact's one min-level
+    // mover (clusters, adjudicated as the seventh window artifact by
+    // graft.tools.ClustersProbe — quiet band 2.3-3.2 s, criterion set
+    // above the band's window-inflated edge) are machine-tracked here so
+    // every future artifact tail carries them.
     val watchQs = Seq("q_dedup_ngram", "q_dedup_embed", "q_record_linkage",
-      "q_cube", "q_topk_group", "q_topk_group_native")
+      "q_cube", "q_topk_group", "q_topk_group_native", "q_dedup_clusters")
     val watch = watchQs.flatMap(q => medMap.get(q).map(q -> _))
     val watchMin = watchQs.flatMap(q => minMap.get(q).map(q -> _))
     val failures = med.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
