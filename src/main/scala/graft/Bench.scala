@@ -41,6 +41,36 @@ object Bench {
   val warmQs = Seq("q_tfidf", "q_dedup_near", "q_dedup_minhash",
     "q_range_bin", "q_basket_pairs")
 
+  /** Short HEAD commit of the enclosing git work tree, resolved by
+    * reading `.git` directly (no `git` subprocess — Bench must not
+    * depend on a shell). Walks up from the CWD to find `.git`, follows
+    * one level of `ref:` indirection, falls back to packed-refs. None
+    * on any miss — the history stamp records null rather than failing
+    * the bench over provenance metadata. */
+  private def resolveGitHead(): Option[String] = scala.util.Try {
+    import java.nio.file.{Files, Path, Paths}
+    def findGit(p: Path): Option[Path] =
+      if (p == null) None
+      else { val g = p.resolve(".git")
+             if (Files.isDirectory(g)) Some(g)
+             else findGit(p.getParent) }
+    val git = findGit(Paths.get("").toAbsolutePath).get
+    val head = Files.readString(git.resolve("HEAD")).trim
+    val full =
+      if (head.startsWith("ref: ")) {
+        val ref = head.stripPrefix("ref: ").trim
+        val loose = git.resolve(ref)
+        if (Files.exists(loose)) Files.readString(loose).trim
+        else { // packed ref: lines are "<sha> <refname>"
+          val packed = Files.readString(git.resolve("packed-refs"))
+          packed.linesIterator
+            .filter(l => !l.startsWith("#") && l.endsWith(" " + ref))
+            .map(_.split(" ")(0)).next()
+        }
+      } else head
+    full.take(9)
+  }.toOption.filter(_.nonEmpty)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -171,8 +201,34 @@ object Bench {
     // round-over-round comparable. Every run — including the driver's
     // per-round one — appends its FULL line (median + min maps) here,
     // so the next judge can diff all queries across rounds.
+    //
+    // Provenance stamp (r11 verdict item 3): without it the history
+    // lines were attributable only by position — one stray append and
+    // every round-over-round diff silently shifts. Each line now leads
+    // with {ts, commit, round, src, protocol}:
+    //  - ts: wall-clock ISO-8601 UTC at append time.
+    //  - commit: short HEAD of the working tree the run executed in
+    //    (read from .git without shelling out; null if unresolvable).
+    //    NOTE: says which commit was checked out, not that the tree was
+    //    clean — mid-round local runs usually carry uncommitted work.
+    //  - round: the driver exports SPARK_GRAFT_ROUND for its per-round
+    //    run; builder-local runs may set it by hand; null otherwise.
+    //  - src: SPARK_GRAFT_BENCH_SRC ("driver"|"close"|...), default
+    //    "local" — distinguishes the scoring run from iteration runs.
+    //  - protocol: the measurement protocol id, bumped only when the
+    //    timing methodology changes (see the object scaladoc).
+    // Schema documented in artifacts/README.md; the six pre-r12 lines
+    // were backfilled positionally from BASELINE's round-11 notes.
+    val ts = java.time.Instant.now().toString
+    val commit = resolveGitHead().map("\"" + _ + "\"").getOrElse("null")
+    val round = sys.env.get("SPARK_GRAFT_ROUND")
+      .flatMap(r => scala.util.Try(r.trim.toInt).toOption)
+      .map(_.toString).getOrElse("null")
+    val src = sys.env.getOrElse("SPARK_GRAFT_BENCH_SRC", "local")
+    val stamp = s""""ts":"$ts","commit":$commit,"round":$round,"src":"$src","protocol":"pass-major-median-v1""""
+    val historyLine = "{" + stamp + "," + fullLine.drop(1)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_HISTORY.jsonl"), fullLine + "\n",
+      java.nio.file.Paths.get("BENCH_HISTORY.jsonl"), historyLine + "\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     graft.operators.TrainingData.unpersistAll()

@@ -80,5 +80,19 @@ fi
 if ! sed -n '3p' BENCH_LOCAL.json | grep -q '{"metric":"total"'; then
   echo "FAIL: sidecar BENCH_LOCAL.json missing the compact total line"; exit 1
 fi
+# r11 verdict item 3: every BENCH_HISTORY append must carry the
+# provenance stamp {ts, commit, round, src, protocol} ahead of the
+# full per-query maps — positional-only attribution silently shifts
+# round-over-round diffs after one stray append.
+tail -1 BENCH_HISTORY.jsonl | python3 -c '
+import json, sys
+d = json.loads(sys.stdin.read())
+for k in ("ts", "commit", "round", "src", "protocol"):
+    assert k in d, f"history line missing stamp field {k}"
+assert d["protocol"].startswith("pass-major-median"), d["protocol"]
+assert d["ts"], "ts must be non-null on a fresh append"
+assert "queries" in d and "queries_min" in d, "full maps missing"
+' || { echo "FAIL: BENCH_HISTORY last line lacks the provenance stamp"; exit 1; }
+echo "OK: BENCH_HISTORY append carries the provenance stamp"
 echo "OK: compact total + summary survive the forced WARN flood" \
   "($(wc -c <"$out") chars of combined output; sidecar present)"
