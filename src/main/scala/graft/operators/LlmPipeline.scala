@@ -599,22 +599,41 @@ object LlmPipeline {
   }
 
   /** The `auto` strategy's decision, exposed for tools/specs. The lsh
-    * lane may only be picked when it is MATCH-SET SAFE, and the measured
-    * fixture distribution (BASELINE round 11) is the proof that this is
-    * a corpus property, not a geometry dial: qualifying pairs sit flush
-    * against theta = 0.25 (min 0.2500069 at sf0.1) with 6,660 more in
-    * [0.20, 0.25), so any sketch generous enough to catch the boundary
-    * also catches everything — candidates degenerate to the block mass.
-    * The decision therefore tests for a BOUNDARY DESERT: a deterministic
-    * per-label row sample (xxhash64 order, ≤ 256 rows/label — pair count
-    * bounded by |labels|·C(256,2) regardless of corpus size) must
-    * contain ZERO pairs with cosine in [theta, captureBound); only a
-    * corpus whose qualifying pairs all sit in the guaranteed-capture
-    * region (dedup-shaped corpora: twins + background, nothing between)
-    * can choose lsh, and it also needs block mass above the measured
-    * crossover (`spark.graft.simpairs.crossover`, default from the
-    * BASELINE r11 growth cell) for the band overhead to pay. Ties go to
-    * block — the exact lane is the safe loser.
+    * lane may only be picked when it is judged match-set safe, and the
+    * measured fixture distribution (BASELINE round 11) is the proof
+    * that this is a corpus property, not a geometry dial: qualifying
+    * pairs sit flush against theta = 0.25 (min 0.2500069 at sf0.1) with
+    * 6,660 more in [0.20, 0.25), so any sketch generous enough to catch
+    * the boundary also catches everything — candidates degenerate to
+    * the block mass. The decision therefore tests for a BOUNDARY
+    * DESERT: a deterministic per-label row sample (xxhash64 order,
+    * ≤ 256 rows/label — pair count bounded by |labels|·C(256,2)
+    * regardless of corpus size) must contain ZERO pairs with cosine in
+    * [theta, captureBound); only a corpus whose qualifying pairs all
+    * sit in the guaranteed-capture region (dedup-shaped corpora: twins
+    * + background, nothing between) can choose lsh, and it also needs
+    * block mass above the measured crossover
+    * (`spark.graft.simpairs.crossover`, default from the BASELINE r11
+    * growth cell) for the band overhead to pay. Ties go to block — the
+    * exact lane is the safe loser.
+    *
+    * SAFETY CLASS — probabilistic, NOT guaranteed (r11 ADVICE): the
+    * desert test is sample-based, so "zero boundary pairs in the
+    * sample" is statistical evidence of a desert, not proof. On a label
+    * with n ≫ 256 rows, a SPARSE population of boundary pairs (say a
+    * handful among millions of within-label pairs) is near-certain to
+    * miss the C(256,2)-pair sample; auto then picks lsh and each missed
+    * boundary pair survives only with the band capture probability
+    * (< 1 below captureBound) — i.e. the lsh result can silently drop
+    * qualifying rows. Exhaustive boundary counting is Ω(block mass) —
+    * the exact work auto exists to avoid — and a post-hoc scan of lsh
+    * candidates is one-sided (the pairs the bands missed are precisely
+    * the ones absent from the candidate set), so the check cannot be
+    * made exact for free. Callers who need the GUARANTEED match set
+    * must use `block` (the default); `auto` trades a bounded,
+    * desert-shaped miss risk for the measured ×1.9 win past the
+    * crossover. The result remains a declared SUBSET of block's in all
+    * cases (SimPairsLaneSpec pins the subset law).
     *
     * Driver state: two one-row aggregates (boundary count over the
     * bounded sample; Σ label-block² over a map-side-combined count) —
@@ -667,7 +686,9 @@ object LlmPipeline {
     *    declared, exact, oracle-replayed lane) | `lsh` (sign-band
     *    candidates + exact verify: sketch-tier at the boundary, see
     *    [[simPairsLsh]]) | `auto` ([[simPairsAutoChoice]]'s
-    *    boundary-desert rule — lsh only where it is measured safe).
+    *    boundary-desert rule — lsh only where a bounded sample shows it
+    *    safe; probabilistic, not guaranteed — see the safety-class note
+    *    there).
     *  - `spark.graft.simpairs.threshold` (default 0.25 — parity is
     *    defined at the default, like minhash/embed geometry dials).
     *  - `spark.graft.simpairs.projBands`/`projBits` (default 32 × 16).

@@ -24,9 +24,24 @@ import org.apache.spark.sql.functions._
   * median interval span so most intervals land in 1–2 bins; heavily
   * overlapped "hot" bins are ordinary join skew, which AQE splits.
   *
-  * Bin arithmetic uses integer `div` — never double division, whose
-  * rounding near bin boundaries could disagree between the point side and
-  * the interval side and silently drop boundary matches.
+  * Bin arithmetic uses exact integer FLOOR division ([[floorBin]]) —
+  * never double division, whose rounding near bin boundaries could
+  * disagree between the point side and the interval side and silently
+  * drop boundary matches. Negative inputs (pre-epoch timestamps) are
+  * legal everywhere here. Note for the record (r12, refuting the r11
+  * ADVICE scenario AND the previous scaladoc's own caveat): the old
+  * truncating `div` was ALSO correct on negatives — truncation toward
+  * zero is monotone and merely makes bin 0 double-wide ([-w+1, w-1]),
+  * and both the interval-sequence containment (monotonicity) and the
+  * selfPairsWithin adjacency lemma (Δts ≤ w ⟹ bin diff ∈ {0, 1};
+  * diff = 2 needs floordiff 1 with y a negative non-multiple and x a
+  * multiple, impossible within one window — verified exhaustively over
+  * the 0-straddle in BinnedRangeJoinSpec's negative cells) survive
+  * truncation. Floor was adopted anyway: ⌊·/w⌋ is the textbook
+  * invariant, uniform across all three entry points, and deletes the
+  * wrong "must be non-negative" caveat instead of proving around it.
+  * For non-negative inputs floor and truncation agree bit-for-bit, so
+  * declared fixture results are unchanged.
   *
   * Join strategy is deliberately LEFT TO STATS, unlike the linkage
   * symdel/band lanes' shuffle pins, even though the bin explode sits
@@ -43,10 +58,22 @@ import org.apache.spark.sql.functions._
   */
 object BinnedRangeJoin {
 
+  /** Exact floor-division bin id as a SQL expression: `pmod` is
+    * non-negative for a positive modulus, so `x - pmod(x, w)` is the
+    * largest multiple of `w` ≤ x and the `div` is exact — the integer
+    * equivalent of ⌊x/w⌋ for ALL longs, negative included (bare `div`
+    * truncates toward zero: `-3 div 10 = 0` but ⌊-0.3⌋ = -1). The bin
+    * expr must be the SAME on both join sides — a semantics mismatch at
+    * a bin edge silently drops boundary pairs. `e` may be any integral
+    * SQL expression (a column name or a composed expr). */
+  private def floorBin(e: String, w: Long): String =
+    s"(($e) - pmod(($e), ${w}L)) div ${w}L"
+
   /** Join `points` to every row of `intervals` whose `[loCol, hiCol]`
     * (inclusive) contains `pointCol`. All three columns must be integral
-    * and non-negative (e.g. epoch-micros); column names must not collide
-    * across the two inputs. Output = point columns ++ interval columns.
+    * (e.g. epoch-micros; negatives are fine — floor binning); column
+    * names must not collide across the two inputs. Output = point
+    * columns ++ interval columns.
     */
   def pointInInterval(
       points: DataFrame, pointCol: String,
@@ -55,8 +82,8 @@ object BinnedRangeJoin {
     require(binWidth > 0, "binWidth must be positive")
     val iv = intervals.withColumn("__bin",
       explode(sequence(
-        expr(s"$loCol div ${binWidth}L"), expr(s"$hiCol div ${binWidth}L"))))
-    val pt = points.withColumn("__bin", expr(s"$pointCol div ${binWidth}L"))
+        expr(floorBin(loCol, binWidth)), expr(floorBin(hiCol, binWidth)))))
+    val pt = points.withColumn("__bin", expr(floorBin(pointCol, binWidth)))
     pt.join(iv, pt("__bin") === iv("__bin")
         && pt(pointCol) >= iv(loCol) && pt(pointCol) <= iv(hiCol))
       .drop("__bin")
@@ -90,10 +117,12 @@ object BinnedRangeJoin {
     * probe, and the OWNERSHIP predicate — same bin: smaller id emits;
     * adjacent bins: only the probe row exploded to bin+1 emits — keeps
     * exactly one copy with no dedup shuffle, exactly like
-    * [[intervalOverlap]]'s max-lo bin rule. `tsCol` must be integral and
-    * non-negative (integer `div` truncates toward zero below zero, which
-    * would mis-bucket pairs straddling 0); `idCol` must be unique within
-    * a key group (it both orders the pair and drops the self-pair).
+    * [[intervalOverlap]]'s max-lo bin rule. `tsCol` must be integral;
+    * negatives are fine — [[floorBin]] keeps the ⌊y/w⌋ ≤ ⌊x/w⌋+1 lemma
+    * textbook-exact on all longs (the pre-r12 truncating `div` also
+    * satisfied it, non-obviously — see the object scaladoc). `idCol`
+    * must be unique within a key group (it both orders the pair and
+    * drops the self-pair).
     *
     * At 100 TB: the join shuffles on (keys, bin) — 2|P| probe rows and
     * |P| build rows — and per-task work is per-(key, bin)² candidate
@@ -107,11 +136,11 @@ object BinnedRangeJoin {
     val base = points.select(
       keys.map(col) ++ Seq(col(idCol), col(tsCol)): _*)
     val probe = base
-      .withColumn("__bin", expr(s"$tsCol div ${window}L"))
+      .withColumn("__bin", expr(floorBin(tsCol, window)))
       .withColumn("__jbin", explode(array(col("__bin"), col("__bin") + 1L)))
       .toDF(keys ++ Seq(s"a_$idCol", s"a_$tsCol", "__bin", "__jbin"): _*)
     val build = base
-      .withColumn("__bbin", expr(s"$tsCol div ${window}L"))
+      .withColumn("__bbin", expr(floorBin(tsCol, window)))
       .toDF(keys.map("__b_" + _) ++ Seq(s"b_$idCol", s"b_$tsCol", "__bbin"): _*)
     val keyCond = keys.map(k => probe(k) === build(s"__b_$k"))
       .foldLeft(probe("__jbin") === build("__bbin"))(_ && _)
@@ -140,15 +169,15 @@ object BinnedRangeJoin {
     require(binWidth > 0, "binWidth must be positive")
     val ea = a.withColumn("__abin",
       explode(sequence(
-        expr(s"$aLo div ${binWidth}L"), expr(s"$aHi div ${binWidth}L"))))
+        expr(floorBin(aLo, binWidth)), expr(floorBin(aHi, binWidth)))))
     val eb = b.withColumn("__bbin",
       explode(sequence(
-        expr(s"$bLo div ${binWidth}L"), expr(s"$bHi div ${binWidth}L"))))
+        expr(floorBin(bLo, binWidth)), expr(floorBin(bHi, binWidth)))))
     ea.join(eb, ea("__abin") === eb("__bbin")
         && ea(aLo) <= eb(bHi) && eb(bLo) <= ea(aHi))
-      // integer div, like the bin ids — double division could round the
-      // other way at a bin edge and drop (or double-emit) a boundary pair
-      .where(expr(s"__abin = (greatest($aLo, $bLo) div ${binWidth}L)"))
+      // the SAME floor binning as the bin ids — a different rounding at
+      // a bin edge would drop (or double-emit) a boundary pair
+      .where(expr(s"__abin = (${floorBin(s"greatest($aLo, $bLo)", binWidth)})"))
       .drop("__abin", "__bbin")
   }
 }

@@ -29,11 +29,19 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   *    argument qTfidf documents), eval-suite gram sets;
   *  - a `Limit`: top-k / nprobe probe lists, bounded outright;
   *  - a KEY-PIN `Filter`: a top-level conjunct pinning a bare (or cast)
-  *    column to literals — `=`, `IN`, or `<`/`<=` a small numeric
-  *    literal (≤ [[SmallKeyCap]]), the probe-set idiom (`vec_id === 0`,
-  *    `vec_id < 10`: at most that many distinct non-negative integer
-  *    keys). A general range predicate (`n_chars >= 200`) keeps a
-  *    corpus-sized FRACTION and does NOT count;
+  *    UNIQUE-KEY column ([[uniqueKeyCols]]) to literals — `=`, `IN`, or
+  *    `<`/`<=` a small numeric literal (≤ [[SmallKeyCap]]), the
+  *    probe-set idiom (`vec_id === 0`, `vec_id < 10`: at most that many
+  *    rows because the column is unique per row). The unique-key
+  *    restriction is load-bearing (r11 ADVICE): an equality pin on a
+  *    low-cardinality VALUE column (`lang === 'en'`, `label === 0`,
+  *    `l_quantity === 1`) keeps a corpus-sized FRACTION — exactly the
+  *    shape the range-predicate exclusion below exists for — so a bare
+  *    "any column = literal" rule was a false negative in this hazard
+  *    class. Only a column that identifies at most one row per pinned
+  *    literal turns a pin into a row bound. A general range predicate
+  *    (`n_chars >= 200`) keeps a corpus-sized fraction and does NOT
+  *    count either;
   *  - a driver-built literal relation (`LocalRelation`, `Range`,
   *    `OneRowRelation`): IVF centroid tables and kin — k×dim rows by
   *    construction;
@@ -64,6 +72,17 @@ object BroadcastAudit {
   /** Dimensions whose row count is a schema CONSTANT at any SF. */
   val boundedTables: Set[String] = Set("nation.parquet", "region.parquet")
 
+  /** Unique-key columns of the fixture tables — the ONLY columns an
+    * equality/IN/small-range pin may bound on (mirrors [[boundedTables]]
+    * as a declared, reviewable set). One entry per table primary key;
+    * lineitem is deliberately absent (its key is the composite
+    * l_orderkey+l_linenumber — no single column identifies a row).
+    * Foreign keys (c_nationkey, l_suppkey, …) are NOT here: pinning one
+    * keeps every matching row, a corpus-sized fraction. */
+  val uniqueKeyCols: Set[String] = Set("doc_id", "vec_id", "event_id",
+    "o_orderkey", "c_custkey", "s_suppkey", "p_partkey",
+    "n_nationkey", "r_regionkey")
+
   /** Largest `x < lit` upper bound accepted as a probe-set pin. */
   val SmallKeyCap = 1024L
 
@@ -72,9 +91,13 @@ object BroadcastAudit {
     case other => Seq(other)
   }
 
-  private def bareOrCastAttr(e: Expression): Boolean = e match {
-    case _: AttributeReference => true
-    case c: Cast => bareOrCastAttr(c.child)
+  /** A bare (or cast-wrapped) reference to a declared unique-key column
+    * ([[uniqueKeyCols]]). A pin on any OTHER column — however selective
+    * it looks — is not a boundedness argument: only a unique key turns
+    * "k pinned literals" into "≤ k rows". */
+  private def keyAttr(e: Expression): Boolean = e match {
+    case a: AttributeReference => uniqueKeyCols.contains(a.name.toLowerCase)
+    case c: Cast => keyAttr(c.child)
     case _ => false
   }
 
@@ -83,18 +106,18 @@ object BroadcastAudit {
     case _ => false
   })
 
-  /** A conjunct that pins a key column to a bounded literal set. */
+  /** A conjunct that pins a UNIQUE-KEY column to a bounded literal set. */
   private def pinAtom(e: Expression): Boolean = e match {
     case EqualTo(l, r) =>
-      (bareOrCastAttr(l) && r.foldable) || (bareOrCastAttr(r) && l.foldable)
+      (keyAttr(l) && r.foldable) || (keyAttr(r) && l.foldable)
     case EqualNullSafe(l, r) =>
-      (bareOrCastAttr(l) && r.foldable) || (bareOrCastAttr(r) && l.foldable)
-    case In(v, list) => bareOrCastAttr(v) && list.forall(_.foldable)
-    case i: InSet => bareOrCastAttr(i.child)
-    case LessThan(l, r) => bareOrCastAttr(l) && smallLit(r)
-    case LessThanOrEqual(l, r) => bareOrCastAttr(l) && smallLit(r)
-    case GreaterThan(l, r) => smallLit(l) && bareOrCastAttr(r)
-    case GreaterThanOrEqual(l, r) => smallLit(l) && bareOrCastAttr(r)
+      (keyAttr(l) && r.foldable) || (keyAttr(r) && l.foldable)
+    case In(v, list) => keyAttr(v) && list.forall(_.foldable)
+    case i: InSet => keyAttr(i.child)
+    case LessThan(l, r) => keyAttr(l) && smallLit(r)
+    case LessThanOrEqual(l, r) => keyAttr(l) && smallLit(r)
+    case GreaterThan(l, r) => smallLit(l) && keyAttr(r)
+    case GreaterThanOrEqual(l, r) => smallLit(l) && keyAttr(r)
     case _ => false
   }
 

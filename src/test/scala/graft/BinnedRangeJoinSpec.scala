@@ -288,6 +288,67 @@ class BinnedRangeJoinSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("negative timestamps: selfPairsWithin pairs straddling ts = 0 survive") {
+    // r11 ADVICE claimed pairs straddling ts = 0 were dropped under the
+    // old truncating `div`; exhaustive simulation REFUTED that (trunc is
+    // monotone — bin 0 is just double-wide — see BinnedRangeJoin's
+    // scaladoc). Floor binning was adopted anyway for the textbook
+    // invariant; this cell pins negative-domain correctness either way:
+    // dense 0-straddle, bin edges on both sides of 0, Δ == w inclusive.
+    val w = 10L
+    val rows = Seq(
+      ("u", 1L, -25L), ("u", 2L, -20L), ("u", 3L, -15L), ("u", 4L, -10L),
+      ("u", 5L, -5L), ("u", 6L, -1L), ("u", 7L, 0L), ("u", 8L, 4L),
+      ("u", 9L, 9L), ("u", 10L, 10L), ("u", 11L, 15L)
+    ).toDF("k", "id", "ts")
+    val got = plans.BinnedRangeJoin
+      .selfPairsWithin(rows, Seq("k"), "id", "ts", w)
+      .select("k", "a_id", "a_ts", "b_id", "b_ts")
+    val e1 = rows.toDF("k", "a_id", "a_ts")
+    val e2 = rows.toDF("k", "b_id", "b_ts")
+    val naive = e1.join(e2, Seq("k"))
+      .where(col("a_id") < col("b_id")
+        && abs(col("b_ts") - col("a_ts")) <= lit(w))
+      .select("k", "a_id", "a_ts", "b_id", "b_ts")
+    val g = got.collect().map(_.toSeq).toList.sortBy(_.toString)
+    val n = naive.collect().map(_.toSeq).toList.sortBy(_.toString)
+    assert(g == n)
+    assert(g.distinct.size == g.size)
+  }
+
+  test("negative bounds: pointInInterval and intervalOverlap match naive across 0") {
+    val binW = 10L
+    val points = Seq(-21L, -20L, -11L, -10L, -1L, 0L, 1L, 9L, 10L).toDF("p")
+    val intervals = Seq(
+      (1L, -25L, -15L),  // wholly negative, straddles bin edge -20
+      (2L, -5L, 5L),     // straddles 0
+      (3L, -10L, -10L),  // degenerate on a negative bin edge
+      (4L, 0L, 10L)      // left-closed at 0
+    ).toDF("iv_id", "lo", "hi")
+    val viaHelper = BinnedRangeJoin
+      .pointInInterval(points, "p", intervals, "lo", "hi", binW)
+      .select("p", "iv_id").collect().map(_.toSeq).toList.sortBy(_.toString)
+    val naive = points.crossJoin(intervals)
+      .where(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("p", "iv_id").collect().map(_.toSeq).toList.sortBy(_.toString)
+    assert(viaHelper == naive)
+    assert(viaHelper.distinct.size == viaHelper.size)
+
+    val a = Seq((1L, -25L, -15L), (2L, -5L, 5L), (3L, -10L, -10L))
+      .toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, -16L, -6L), (20L, -1L, 1L), (30L, -100L, 100L))
+      .toDF("b_id", "b_lo", "b_hi")
+    val ovGot = plans.BinnedRangeJoin
+      .intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", binW)
+      .select("a_id", "b_id").collect().map(_.toSeq).toList.sortBy(_.toString)
+    val ovNaive = a.crossJoin(b)
+      .where(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("a_id", "b_id").collect().map(_.toSeq).toList.sortBy(_.toString)
+    assert(ovGot == ovNaive)
+    assert(ovGot.distinct.size == ovGot.size,
+      "a pair surfaced at more than one bin")
+  }
+
   test("optimizer rule leaves equi-key joins alone") {
     spark.conf.set("spark.graft.rangeJoin.binWidth", "7")
     try {

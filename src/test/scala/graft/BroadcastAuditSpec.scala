@@ -75,6 +75,21 @@ class BroadcastAuditSpec extends SparkSpec {
       docs("doc_id") === e("vec_id"))).nonEmpty)
   }
 
+  test("control: an equality pin on a VALUE column is NOT a boundedness argument") {
+    // r11 ADVICE (medium): `lang === 'en'` or `label === 0` pins a
+    // low-cardinality value column and keeps a corpus-sized FRACTION —
+    // the audit must flag such a hint, not pass it as a probe pin.
+    val d = sfDir("sf0.001")
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+      .where(col("label") === 0) // selective-looking, still SF-scaled
+    assert(hitsOf(docs.join(broadcast(e),
+      docs("doc_id") === e("vec_id"))).nonEmpty)
+    val en = docs.where(col("lang") === "en") // same shape on a string col
+    assert(hitsOf(spark.read.parquet(s"$d/embeddings.parquet")
+      .join(broadcast(en), col("vec_id") === en("doc_id"))).nonEmpty)
+  }
+
   test("vocab broadcast flip is result-invariant (the written degradation path)") {
     // TrainingData.vocabJoin's scaladoc argues the dictionary broadcast;
     // its degradation path is a conf, not a silent OOM — prove the
