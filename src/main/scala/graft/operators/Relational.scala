@@ -296,7 +296,13 @@ object Relational {
     * over the cluster and the iteration count is the hierarchy DEPTH
     * (log₂ max-key ≈ 25 even at 100 TB key spaces), not the row count.
     * Same execution family as q_dedup_clusters' Pregel loop, but
-    * declaratively planned. */
+    * declaratively planned. One deployment dial (measured by
+    * tools/HeadsOctave, BASELINE r12): Spark fences recursive CTEs with
+    * `spark.sql.cteRecursionRowLimit` (default 1e6 TOTAL rows across
+    * iterations, a foot-gun guard rather than a memory bound — each
+    * iteration's frontier is still bounded); at ≳60k walking rows ×
+    * ~18 levels the query trips it, so the limit must scale with
+    * |customers| · depth like any row-count quota. */
   def qRecursive(s: SparkSession, d: String): DataFrame = {
     customer(s, d).createOrReplaceTempView("customer")
     s.sql(
