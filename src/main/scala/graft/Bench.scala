@@ -81,6 +81,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same deployment dial as Verify (q_recursive's row-count guard
+      // scales with |customers|·depth — see BASELINE r12)
+      .config("spark.sql.cteRecursionRowLimit", "2000000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -16,6 +16,14 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // q_recursive's deployment dial (BASELINE r12, measured by
+      // HeadsOctave): Spark's recursive-CTE guard caps TOTAL rows across
+      // iterations at 1e6 by default — a foot-gun fence, not a memory
+      // bound — and the walk produces |customers|·depth rows, which
+      // clears 1e6 somewhere around 60k customers. The harness sets the
+      // dial the way a deployment would so the same binary verifies at
+      // any corpus size (result-invariant below the default limit).
+      .config("spark.sql.cteRecursionRowLimit", "2000000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -140,9 +140,15 @@ def main():
     con = duckdb.connect()
     engine_canary(con)
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        # the fixture tables are single parquet FILES, but Spark-written
+        # corpora (tools/GrowCorpus shards) are DIRECTORIES of part files
+        # — glob those so DuckDB sees the same rows Spark does
+        src = f"{sfdir}/{t}.parquet"
+        pat = f"{src}/*.parquet" if os.path.isdir(src) else src
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     nfail = 0
+    nok = 0
     for name in sorted(oracle):
         if only and name not in only:
             continue
@@ -196,6 +202,7 @@ def main():
             nfail += 1
         else:
             print(f"OK   {name} ({st.num_rows} rows)")
+            nok += 1
     # queries without oracle: rows-only check
     for path in sorted(glob.glob(f"{outdir}/*")):
         name = os.path.basename(path)
@@ -205,8 +212,15 @@ def main():
             continue
         n = pq.read_table(path).num_rows
         print(f"{'OK  ' if n > 0 else 'FAIL'} {name} (no oracle, {n} rows)")
-        if n == 0:
+        if n > 0:
+            nok += 1
+        else:
             nfail += 1
+    if nok == 0 and nfail == 0:
+        # an empty compare is a broken harness, never a pass (a crashed
+        # Verify or a bad outdir would otherwise sail through as "0 FAIL")
+        print("FAIL <harness>: zero queries compared")
+        nfail = 1
     sys.exit(nfail)
 
 main()
