@@ -542,7 +542,19 @@ object Insights {
     * clip count — the standard robust-mean cleaning pass before metric
     * aggregation. One corpus aggregate for the cut points (exact
     * interpolated percentile; swap approx_percentile at 100 TB, same API
-    * shape as q_percentile), broadcast back, one re-aggregate. */
+    * shape as q_percentile), broadcast back, one re-aggregate.
+    *
+    * Engine boundary (BASELINE r12, found by the ×8 grown-corpus sweep):
+    * `n_clipped` compares raw values against the UNROUNDED cut, and
+    * exact-percentile implementations differ in ALGEBRA — Spark's
+    * `percentile` computes lo + g·(hi−lo), DuckDB's `quantile_cont`
+    * computes (1−g)·lo + g·hi, which are a few ULP apart even on a tie
+    * run (FP non-identity: (1−g)·x + g·x ≠ x). A massive tie block
+    * sitting EXACTLY at a percentile position therefore flips its
+    * `value < cut` test across engines. No fixture/fuzz corpus
+    * manufactures that shape (×8 row duplication does); the p05/p95
+    * output columns themselves are r6-rounded and always agree.
+    * Classified with the r7 engine-defined parity non-goals. */
   def qWinsorize(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
     val cuts = ev.groupBy(col("event_type"))
