@@ -52,17 +52,36 @@ object Bench {
     def findGit(p: Path): Option[Path] =
       if (p == null) None
       else { val g = p.resolve(".git")
+             // worktrees/submodules: `.git` is a FILE holding
+             // "gitdir: <path>" — follow it instead of skipping it,
+             // which would walk past this repo and stamp an enclosing
+             // repo's HEAD (r12 ADVICE)
              if (Files.isDirectory(g)) Some(g)
+             else if (Files.isRegularFile(g)) {
+               val line = Files.readString(g).trim
+               if (line.startsWith("gitdir: "))
+                 Some(p.resolve(line.stripPrefix("gitdir: ").trim)
+                   .normalize())
+               else None
+             }
              else findGit(p.getParent) }
     val git = findGit(Paths.get("").toAbsolutePath).get
+    // a worktree's gitdir holds HEAD but shares refs/packed-refs with
+    // the main repo through its `commondir` pointer
+    val common = {
+      val c = git.resolve("commondir")
+      if (Files.isRegularFile(c))
+        git.resolve(Files.readString(c).trim).normalize()
+      else git
+    }
     val head = Files.readString(git.resolve("HEAD")).trim
     val full =
       if (head.startsWith("ref: ")) {
         val ref = head.stripPrefix("ref: ").trim
-        val loose = git.resolve(ref)
+        val loose = common.resolve(ref)
         if (Files.exists(loose)) Files.readString(loose).trim
         else { // packed ref: lines are "<sha> <refname>"
-          val packed = Files.readString(git.resolve("packed-refs"))
+          val packed = Files.readString(common.resolve("packed-refs"))
           packed.linesIterator
             .filter(l => !l.startsWith("#") && l.endsWith(" " + ref))
             .map(_.split(" ")(0)).next()

@@ -83,6 +83,21 @@ object BroadcastAudit {
     "o_orderkey", "c_custkey", "s_suppkey", "p_partkey",
     "n_nationkey", "r_regionkey")
 
+  /** Which fixture table each unique-key column is the primary key OF —
+    * the provenance half of the pin criterion (r12 ADVICE): a name-only
+    * match would accept `something AS doc_id`, an alias over a derived,
+    * possibly non-unique expression. A pin only counts when the pinned
+    * AttributeReference's exprId is traced to the OUTPUT of a scan of
+    * this table (analyzed plans preserve exprIds through
+    * Project/Filter/Join; an Alias mints a fresh exprId, so derived
+    * columns fail the trace by construction). */
+  val keyTable: Map[String, String] = Map(
+    "doc_id" -> "documents.parquet", "vec_id" -> "embeddings.parquet",
+    "event_id" -> "events.parquet", "o_orderkey" -> "orders.parquet",
+    "c_custkey" -> "customer.parquet", "s_suppkey" -> "supplier.parquet",
+    "p_partkey" -> "part.parquet", "n_nationkey" -> "nation.parquet",
+    "r_regionkey" -> "region.parquet")
+
   /** Largest `x < lit` upper bound accepted as a probe-set pin. */
   val SmallKeyCap = 1024L
 
@@ -92,13 +107,37 @@ object BroadcastAudit {
   }
 
   /** A bare (or cast-wrapped) reference to a declared unique-key column
-    * ([[uniqueKeyCols]]). A pin on any OTHER column — however selective
-    * it looks — is not a boundedness argument: only a unique key turns
-    * "k pinned literals" into "≤ k rows". */
-  private def keyAttr(e: Expression): Boolean = e match {
-    case a: AttributeReference => uniqueKeyCols.contains(a.name.toLowerCase)
-    case c: Cast => keyAttr(c.child)
-    case _ => false
+    * ([[uniqueKeyCols]]) whose exprId traces to a scan of the table that
+    * column is the key of ([[keyTable]] — `prov` is the exprId→table map
+    * collected below the Filter). A pin on any OTHER column — however
+    * selective it looks — is not a boundedness argument: only a unique
+    * key turns "k pinned literals" into "≤ k rows", and only provenance
+    * makes the name mean the key (an aliased derived column named
+    * `doc_id` carries no uniqueness). */
+  private def keyAttr(e: Expression, prov: Map[ExprId, String]): Boolean =
+    e match {
+      case a: AttributeReference =>
+        keyTable.get(a.name.toLowerCase).exists(t => prov.get(a.exprId).contains(t))
+      case c: Cast => keyAttr(c.child, prov)
+      case _ => false
+    }
+
+  /** exprId → fixture-table provenance for every raw scan column under
+    * `p` (LogicalRelation parquet scans and the DSv2 VecBin relation,
+    * whose vec_id is the same embeddings key). Aliases are NOT chased:
+    * a minted exprId having no entry here is the desired failure mode. */
+  private def scanProvenance(p: LogicalPlan): Map[ExprId, String] = {
+    val out = scala.collection.mutable.Map.empty[ExprId, String]
+    p.foreach {
+      case r: LogicalRelation =>
+        val t = tableName(r)
+        r.output.foreach(a => out(a.exprId) = t)
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.name.contains("vecbin") =>
+        r.output.foreach(a => out(a.exprId) = "embeddings.parquet")
+      case _ =>
+    }
+    out.toMap
   }
 
   private def smallLit(e: Expression): Boolean = e.foldable && (e.eval() match {
@@ -107,18 +146,20 @@ object BroadcastAudit {
   })
 
   /** A conjunct that pins a UNIQUE-KEY column to a bounded literal set. */
-  private def pinAtom(e: Expression): Boolean = e match {
-    case EqualTo(l, r) =>
-      (keyAttr(l) && r.foldable) || (keyAttr(r) && l.foldable)
-    case EqualNullSafe(l, r) =>
-      (keyAttr(l) && r.foldable) || (keyAttr(r) && l.foldable)
-    case In(v, list) => keyAttr(v) && list.forall(_.foldable)
-    case i: InSet => keyAttr(i.child)
-    case LessThan(l, r) => keyAttr(l) && smallLit(r)
-    case LessThanOrEqual(l, r) => keyAttr(l) && smallLit(r)
-    case GreaterThan(l, r) => smallLit(l) && keyAttr(r)
-    case GreaterThanOrEqual(l, r) => smallLit(l) && keyAttr(r)
-    case _ => false
+  private def pinAtom(e: Expression, prov: Map[ExprId, String]): Boolean = {
+    def k(x: Expression) = keyAttr(x, prov)
+    e match {
+      case EqualTo(l, r) => (k(l) && r.foldable) || (k(r) && l.foldable)
+      case EqualNullSafe(l, r) =>
+        (k(l) && r.foldable) || (k(r) && l.foldable)
+      case In(v, list) => k(v) && list.forall(_.foldable)
+      case i: InSet => k(i.child)
+      case LessThan(l, r) => k(l) && smallLit(r)
+      case LessThanOrEqual(l, r) => k(l) && smallLit(r)
+      case GreaterThan(l, r) => smallLit(l) && k(r)
+      case GreaterThanOrEqual(l, r) => smallLit(l) && k(r)
+      case _ => false
+    }
   }
 
   private def tableName(r: LogicalRelation): String = r.relation match {
@@ -132,7 +173,8 @@ object BroadcastAudit {
     case _: Aggregate | _: Deduplicate => true
     case _: GlobalLimit | _: LocalLimit => true
     case f: Filter =>
-      conjuncts(f.condition).exists(pinAtom) || bounded(f.child)
+      conjuncts(f.condition).exists(pinAtom(_, scanProvenance(f.child))) ||
+        bounded(f.child)
     case _: LocalRelation | _: OneRowRelation | _: Range => true
     // both RDD-boundary shapes: LogicalRDD (createDataFrame over
     // InternalRow/Row, trackedCheckpoint reads) and ExternalRDD (typed

@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   *
   * Growth model per table (copy c = 0..f−1; catalog tables stay base):
   *  - customer: c_custkey + c·10⁷
-  *  - orders:   o_orderkey + c·10⁸, o_custkey + c·10⁷  (FK → customer)
-  *  - lineitem: l_orderkey + c·10⁸                      (FK → orders;
+  *  - orders:   o_orderkey + c·10¹⁰, o_custkey + c·10⁷ (FK → customer;
+  *    the 10¹⁰ stride — not 10⁸ — keeps q_cdc_apply's synthesized
+  *    insert keys (o_orderkey + 10⁸) in free key space, see the inline
+  *    note at the orders generator)
+  *  - lineitem: l_orderkey + c·10¹⁰                     (FK → orders;
   *    l_partkey/l_suppkey untouched — the catalog is shared, the
   *    "more transactions, same catalog" model)
   *  - events:   event_id + c·10¹⁰, ts + c·(span+2 days) (same users,

@@ -82,6 +82,11 @@ object TopkSkewAb {
     val diff = w.exceptAll(n).count() + n.exceptAll(w).count()
     println(s"""{"topk_skew":"identity","sym_diff_rows":$diff}""")
     spark.stop()
+    if (diff != 0) {
+      System.err.println(
+        s"TopkSkewAb FAIL: window vs native symmetric diff = $diff")
+      System.exit(1)
+    }
   }
 
   private var cachedBase = -1L
@@ -98,12 +103,16 @@ object TopkSkewAb {
       factor: Int): Unit = {
     val li = graft.Tables.lineitem(spark, sfDir)
     val copies = (0 until factor).map { c =>
-      val ln = (col("l_orderkey") * 10L + col("l_linenumber")) * 16L +
-        lit(c.toLong)
-      if (c == 0) li.withColumn("l_linenumber", ln)
-      else li
-        .withColumn("l_orderkey", lit(HotKey))
-        .withColumn("l_linenumber", ln)
+      // Remap l_linenumber from the ORIGINAL key BEFORE overwriting
+      // l_orderkey — withColumn resolves against the current frame, so
+      // computing ln after the HotKey swap would collapse hot-copy
+      // linenumbers to ~7 distinct values per copy (ADVICE r12) and
+      // break the total-order invariant the identity assert relies on.
+      val remapped = li.withColumn("l_linenumber",
+        (col("l_orderkey") * 10L + col("l_linenumber")) * 16L +
+          lit(c.toLong))
+      if (c == 0) remapped
+      else remapped.withColumn("l_orderkey", lit(HotKey))
     }
     copies.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")

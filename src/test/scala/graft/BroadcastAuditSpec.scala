@@ -90,6 +90,34 @@ class BroadcastAuditSpec extends SparkSpec {
       .join(broadcast(en), col("vec_id") === en("doc_id"))).nonEmpty)
   }
 
+  test("control: an ALIASED derived column named like a key is NOT a pin") {
+    // r12 ADVICE (low): keyAttr previously matched by NAME alone, so
+    // `something AS doc_id` — a derived, possibly non-unique column —
+    // counted as a boundedness argument. The provenance trace (exprId
+    // must come from the key's own table scan) closes that: an Alias
+    // mints a fresh exprId that no scan emitted.
+    val d = sfDir("sf0.001")
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("label").cast("long").as("doc_id"), col("embedding"))
+      .where(col("doc_id") === 0) // pins a NON-unique value column
+    assert(hitsOf(docs.crossJoin(broadcast(e))).nonEmpty)
+    // and the table-mismatch half: a REAL scan column (raw exprId, no
+    // alias) named like some OTHER table's key is not a bound either —
+    // a scan of a foreign parquet whose `doc_id` column is non-unique
+    val mdir = java.nio.file.Files
+      .createTempDirectory("graft-bcast-mismatch").toString
+    spark.range(100).selectExpr("id % 3 as doc_id", "id as v")
+      .write.mode("overwrite").parquet(s"$mdir/notdocs.parquet")
+    val m = spark.read.parquet(s"$mdir/notdocs.parquet")
+      .where(col("doc_id") === 0)
+    assert(hitsOf(docs.crossJoin(broadcast(m))).nonEmpty)
+    // positive control: the genuine scan key still passes the trace
+    val ok = spark.read.parquet(s"$d/embeddings.parquet")
+      .where(col("vec_id") === 0)
+    assert(hitsOf(docs.crossJoin(broadcast(ok))).isEmpty)
+  }
+
   test("vocab broadcast flip is result-invariant (the written degradation path)") {
     // TrainingData.vocabJoin's scaladoc argues the dictionary broadcast;
     // its degradation path is a conf, not a silent OOM — prove the
