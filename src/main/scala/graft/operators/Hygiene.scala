@@ -101,7 +101,7 @@ object Hygiene {
     * banded DP, −1 past the bound — and RecordLinkageBlockSpec pins the
     * three-way equality on clean + adversarial corpora):
     *
-    *  - `block` (default): the plain within-block join. Fastest at the
+    *  - `block`: the plain within-block join. Fastest at the
     *    declared fixture SFs (≤ sf0.1, where the quadratic candidate
     *    mass is still cheap next to the fixed costs) and the declared
     *    bench shape; measured ×4 candidates per 2× rows, so it loses
@@ -139,11 +139,9 @@ object Hygiene {
     *    symdel wins from sf0.2 (5.0 vs 5.8), ×2.6 at sf0.5, ×3.6 at
     *    sf1 (9.5 vs 34.3), ×4.7 at sf2 (18.1 vs 85.1) with 38× fewer
     *    candidates — block's candidate mass is exactly quadratic while
-    *    symdel's grows near-linearly. Block stays the DEFAULT because
-    *    the declared bench SFs sit below the crossover; a corpus at
-    *    ≥ sf0.2 of this block density should set
-    *    `spark.graft.linkage.strategy=symdel`.
-    *  - `auto` (r10, the measured crossover operationalized): one cheap
+    *    symdel's grows near-linearly.
+    *  - `auto` (r10, the measured crossover operationalized; the
+    *    DEFAULT since r13): one cheap
     *    pre-aggregate computes BOTH lanes' decision variables — block's
     *    candidate mass Σ cnt·(cnt−1)/2 and symdel's variant-row mass
     *    Σ (1 + L + C(L,2)) — and picks the lane whose wall the
@@ -151,12 +149,20 @@ object Hygiene {
     *    block_pairs > 0.6 · variant_rows (the fixture family sits at
     *    ratio 0.35 at sf0.1 → block, 0.70 at sf0.2 → symdel, matching
     *    the measured winner at every scale; see [[linkageAutoChoice]]).
-    *    The dial stays manual-overridable — auto is the default a 100 TB
-    *    deployment would actually run, where no human re-reads a
-    *    crossover table per corpus. */
+    *    DEFAULT since r13 (r12 verdict item 1): every lane returns the
+    *    identical match set — the bounded-Levenshtein verify is the
+    *    single source of truth, so the dispatch is a pure cost choice
+    *    with no correctness dimension (unlike simpairs `auto`, whose
+    *    lsh lane is probabilistic — see the written decision at
+    *    [[graft.operators.LlmPipeline.qSimPairs]]). The one-aggregate
+    *    decision pass costs ~free next to either lane, and a 100 TB
+    *    deployment runs auto — the ×8 grown corpus measured the block
+    *    default burning 26.1 s where auto picked the ×6.2-fewer-
+    *    candidates symdel lane at 20.0 s (BASELINE r12). Manual
+    *    override stays available for operators who know their corpus. */
   def qRecordLinkage(s: SparkSession, d: String): DataFrame = {
     val strategy =
-      s.conf.get("spark.graft.linkage.strategy", "block")
+      s.conf.get("spark.graft.linkage.strategy", "auto")
     linkageCandidates(s, d, strategy)
       .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 2))
       .where(col("dist") >= 0)

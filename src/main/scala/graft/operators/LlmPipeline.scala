@@ -568,9 +568,27 @@ object LlmPipeline {
     * corpus measures NO geometry that is both exact at theta = 0.25 and
     * sub-quadratic — see [[qSimPairs]]). Candidate pairs surface once:
     * the earlier-band dedup predicate is the native zero-allocation
-    * [[graft.functions.BandsMatchBefore]] loop, as in qDedupEmbed. */
+    * [[graft.functions.BandsMatchBefore]] loop, as in qDedupEmbed.
+    *
+    * POST-HOC BOUNDARY CHECK (r13, r12 verdict item 3; `boundaryCheck`):
+    * auto's desert test is sample-based, so its premise — zero pairs
+    * with cosine in [theta, captureBound) — can be wrong for the full
+    * corpus. The bands themselves provide a cheap partial audit: count
+    * CANDIDATE pairs in that band. Nonzero ⟹ the desert premise was
+    * definitively wrong (the corpus has boundary pairs, and there may
+    * be MORE the bands missed — the check is one-sided by construction:
+    * band-missed pairs are exactly the ones absent from the candidate
+    * set, so zero does NOT certify the desert). Cost is one extra pass
+    * over the candidate join — Ω(candidates), not Ω(block mass), so it
+    * does not defeat auto's purpose. On a hit,
+    * `spark.graft.simpairs.onBoundaryHit` picks the response:
+    * `block` (DEFAULT when auto engaged the check — re-run as the exact
+    * lane; the wasted candidate pass is the price of a wrong premise),
+    * `warn` (log and keep the lsh result — sketch-tier accepted), or
+    * `fail` (throw — for pipelines that must not silently choose). */
   private[graft] def simPairsLsh(s: SparkSession, d: String,
-      theta: Double, bands: Int, bits: Int): DataFrame = {
+      theta: Double, bands: Int, bits: Int,
+      boundaryCheck: Boolean = false): DataFrame = {
     val fdot = graft.functions.FloatVectorDot.dotF(s) _
     val bandsCol = graft.functions.SignProjBands.bands(s)(
       col("embedding"), SimSeed, bands, bits)
@@ -589,13 +607,42 @@ object LlmPipeline {
     // Both self-join inputs are scan → posexplode with no stats boundary
     // below the join — the explode-blind broadcast hazard; pin the
     // shuffle exactly as qDedupEmbed does.
-    banded.toDF("a_id", "label", "va", "na", "bva", "bi", "bv")
+    val cand = banded.toDF("a_id", "label", "va", "na", "bva", "bi", "bv")
       .hint("shuffle_merge")
       .join(banded.toDF("b_id", "label", "vb", "nb", "bvb", "bi", "bv"),
         Seq("label", "bi", "bv"))
       .where(col("a_id") < col("b_id"))
       .where(!lowerBandMatches)
-      .transform(simPairsVerify(s, _, theta))
+    if (boundaryCheck) {
+      val cHi = lshCaptureBound(bands, bits, 1e-6)
+      // one-row aggregate over the candidate set (bounded driver state;
+      // the pass itself is the extra Ω(candidates) cost documented above)
+      val boundary = cand
+        .withColumn("cos_sim", when(
+          !isnan(col("na") * col("nb")) && col("na") * col("nb") > 0,
+          fdot(col("va"), col("vb")) / (col("na") * col("nb"))))
+        .where(col("cos_sim") >= theta && col("cos_sim") < cHi)
+        .count()
+      if (boundary > 0) {
+        val msg = s"simPairsLsh boundary check: $boundary candidate " +
+          s"pair(s) with cosine in [$theta, $cHi) — the desert premise " +
+          "is wrong for this corpus; band capture there is probabilistic " +
+          "and the lsh result may be missing qualifying pairs"
+        s.conf.get("spark.graft.simpairs.onBoundaryHit", "block") match {
+          case "block" =>
+            org.slf4j.LoggerFactory.getLogger("graft.simpairs")
+              .warn(s"$msg; falling back to the exact block lane")
+            return simPairsBlock(s, d, theta)
+          case "fail" => throw new IllegalStateException(msg)
+          case "warn" =>
+            org.slf4j.LoggerFactory.getLogger("graft.simpairs").warn(msg)
+          case other => throw new IllegalArgumentException(
+            "spark.graft.simpairs.onBoundaryHit must be block, warn or " +
+              s"fail, got $other")
+        }
+      }
+    }
+    cand.transform(simPairsVerify(s, _, theta))
   }
 
   /** The `auto` strategy's decision, exposed for tools/specs. The lsh
@@ -689,6 +736,21 @@ object LlmPipeline {
     *    boundary-desert rule — lsh only where a bounded sample shows it
     *    safe; probabilistic, not guaranteed — see the safety-class note
     *    there).
+    *
+    *    DECISION (r13, answering the r12 verdict's "evaluate auto as
+    *    the default"): block STAYS the default, deliberately diverging
+    *    from the linkage dial (which flipped to auto in r13). The two
+    *    autos are different safety classes: every linkage lane returns
+    *    the identical match set, so its auto is a pure cost choice;
+    *    simpairs `auto` can pick a lane whose result may silently DROP
+    *    qualifying pairs when a sparse boundary population slips the
+    *    C(256,2)-pair sample (the safety-class note above). A default
+    *    must not make an exactness-vs-speed trade on the user's behalf
+    *    — exact by default, opt into the probabilistic lane. The lsh
+    *    lane now carries a post-hoc boundary check
+    *    (`spark.graft.simpairs.boundaryCheck`) that flags a wrong
+    *    desert premise from the candidate set itself, which softens —
+    *    but cannot close, being one-sided — the miss risk.
     *  - `spark.graft.simpairs.threshold` (default 0.25 — parity is
     *    defined at the default, like minhash/embed geometry dials).
     *  - `spark.graft.simpairs.projBands`/`projBits` (default 32 × 16).
@@ -717,12 +779,19 @@ object LlmPipeline {
       s"spark.graft.simpairs.projBands must be in [1, 256], got $bands")
     require(bits >= 1 && bits <= 64,
       s"spark.graft.simpairs.projBits must be in [1, 64], got $bits")
+    // the post-hoc boundary audit guards AUTO's sample-based inference,
+    // so auto-picked lsh runs it unless explicitly disabled; a user who
+    // CHOSE lsh accepted sketch-tier semantics, so it is opt-in there
+    def checkConf(dflt: Boolean) =
+      s.conf.get("spark.graft.simpairs.boundaryCheck", dflt.toString).toBoolean
     strategy match {
       case "block" => simPairsBlock(s, d, theta)
-      case "lsh" => simPairsLsh(s, d, theta, bands, bits)
+      case "lsh" =>
+        simPairsLsh(s, d, theta, bands, bits, checkConf(dflt = false))
       case "auto" =>
         simPairsAutoChoice(s, d, theta, bands, bits)._1 match {
-          case "lsh" => simPairsLsh(s, d, theta, bands, bits)
+          case "lsh" =>
+            simPairsLsh(s, d, theta, bands, bits, checkConf(dflt = true))
           case _ => simPairsBlock(s, d, theta)
         }
       case other => throw new IllegalArgumentException(

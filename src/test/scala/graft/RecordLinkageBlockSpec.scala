@@ -26,8 +26,8 @@ class RecordLinkageBlockSpec extends SparkSpec {
         r.getLong(4))).toSeq
 
   private def ab(d: String): Unit = {
-    val plain = canon(d) // default strategy = block
-    for (arm <- Seq("band", "symdel", "auto")) {
+    val plain = canon(d) // default strategy = auto (r13 flip)
+    for (arm <- Seq("block", "band", "symdel")) {
       spark.conf.set("spark.graft.linkage.strategy", arm)
       val got = try canon(d)
         finally spark.conf.unset("spark.graft.linkage.strategy")
@@ -148,8 +148,11 @@ class RecordLinkageBlockSpec extends SparkSpec {
     assert(skew._1 == "symdel",
       s"one dense block of short names must flip the dispatch: $skew")
     assert(skew._2 == 60L * 59 / 2, s"block_pairs must be exact: $skew")
-    // the flipped lane still returns block's match set
-    val plain = canon(dir)
+    // the flipped lane still returns block's match set (pin the exact
+    // lane explicitly — since r13 the conf-free default IS auto)
+    spark.conf.set("spark.graft.linkage.strategy", "block")
+    val plain = try canon(dir)
+      finally spark.conf.unset("spark.graft.linkage.strategy")
     spark.conf.set("spark.graft.linkage.strategy", "auto")
     val auto = try canon(dir)
       finally spark.conf.unset("spark.graft.linkage.strategy")

@@ -104,6 +104,62 @@ class SimPairsLaneSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("post-hoc boundary check fires on a boundary-populated corpus") {
+    // r12 verdict item 3: the fixture at theta = 0.25 populates
+    // [theta, captureBound) densely (the auto-safety cell above), and
+    // the fixed SignProjBands seed catches some of those pairs, so the
+    // candidate-set audit must detect the wrong desert premise —
+    // deterministically, not flakily.
+    val d = sfDir("sf0.001")
+    spark.conf.set("spark.graft.simpairs.onBoundaryHit", "fail")
+    try intercept[IllegalStateException] {
+      LlmPipeline.simPairsLsh(spark, d, 0.25, 32, 16, boundaryCheck = true)
+    } finally spark.conf.unset("spark.graft.simpairs.onBoundaryHit")
+    // default response is the exact-lane fallback: result == block
+    val fellBack =
+      LlmPipeline.simPairsLsh(spark, d, 0.25, 32, 16, boundaryCheck = true)
+    val block = LlmPipeline.simPairsBlock(spark, d, 0.25)
+    assert(fellBack.exceptAll(block).isEmpty
+      && block.exceptAll(fellBack).isEmpty)
+    // and an unknown response dial is a loud error, not a silent default
+    spark.conf.set("spark.graft.simpairs.onBoundaryHit", "bogus")
+    try intercept[IllegalArgumentException] {
+      LlmPipeline.simPairsLsh(spark, d, 0.25, 32, 16, boundaryCheck = true)
+    } finally spark.conf.unset("spark.graft.simpairs.onBoundaryHit")
+  }
+
+  test("boundary check is silent on a true desert; auto engages it") {
+    mkGapOnce
+    // negative control: the gap corpus's desert is real, so the checked
+    // lane must return the identical lsh result (no fallback, no throw)
+    spark.conf.set("spark.graft.simpairs.onBoundaryHit", "fail")
+    try {
+      val checked = LlmPipeline
+        .simPairsLsh(spark, gapDir, 0.7, 32, 16, boundaryCheck = true)
+      val plain = LlmPipeline.simPairsLsh(spark, gapDir, 0.7, 32, 16)
+      assert(checked.exceptAll(plain).isEmpty
+        && plain.exceptAll(checked).isEmpty)
+    } finally spark.conf.unset("spark.graft.simpairs.onBoundaryHit")
+    // auto→lsh runs the check by default (boundaryCheck dflt = true on
+    // the auto path): force auto to pick lsh on the gap corpus with
+    // onBoundaryHit=fail — a false positive would throw here
+    spark.conf.set("spark.graft.simpairs.strategy", "auto")
+    spark.conf.set("spark.graft.simpairs.threshold", "0.7")
+    spark.conf.set("spark.graft.simpairs.crossover", "1000")
+    spark.conf.set("spark.graft.simpairs.onBoundaryHit", "fail")
+    try {
+      val viaAuto = LlmPipeline.qSimPairs(spark, gapDir)
+      val lane = LlmPipeline.simPairsLsh(spark, gapDir, 0.7, 32, 16)
+      assert(viaAuto.exceptAll(lane).isEmpty
+        && lane.exceptAll(viaAuto).isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.simpairs.strategy")
+      spark.conf.unset("spark.graft.simpairs.threshold")
+      spark.conf.unset("spark.graft.simpairs.crossover")
+      spark.conf.unset("spark.graft.simpairs.onBoundaryHit")
+    }
+  }
+
   test("strategy=lsh through the declared entry matches the lane directly") {
     mkGapOnce
     spark.conf.set("spark.graft.simpairs.strategy", "lsh")
