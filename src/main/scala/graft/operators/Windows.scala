@@ -120,18 +120,72 @@ object Windows {
     * moving window keyed by the ORDER VALUE, so ties and gaps behave
     * correctly where a row-count frame would not (RANGE includes every row
     * whose time falls in the bound, regardless of how many). One shuffle on
-    * user_id; frame evaluation is a per-partition sliding two-pointer. */
+    * user_id; frame evaluation is a per-partition sliding two-pointer.
+    *
+    * Skew lanes (`spark.graft.winrange.strategy`, r13 — the WindowSkewAb
+    * ladder's verdict, BASELINE r13):
+    *
+    *  - `plain` (DEFAULT): the one-shuffle per-user window above. The
+    *    100 TB hazard is a single hot user: the whole stream sorts in
+    *    ONE task, and because Spark's sliding RANGE frame re-aggregates
+    *    its buffer whenever the lower bound moves (no retraction), wall
+    *    was measured ×2.1–2.3 per ×2 hot mass — 23.7 s at a 3.1M-row
+    *    hot key while every other head on the ladder stayed linear.
+    *  - `bucketed`: the bounded-frame parallelization. A trailing
+    *    30-min frame at time t can only reach rows in t's own
+    *    30-min-aligned bucket or the one before it, so each row is
+    *    emitted twice — once as an OWN row in its bucket, once as a
+    *    CONTEXT row in the next bucket — and the window partitions by
+    *    (user_id, bucket) instead of user_id. Frames never cross a
+    *    partition boundary (every in-frame row is present locally),
+    *    context rows are dropped after evaluation, and the result is
+    *    row-identical to plain (WinRangeLaneSpec pins it, clean +
+    *    hot-key corpora). The hot key now splits across span/30min
+    *    tasks: measured 22.8 s → 3.63 s (×6.3) at the ×32 hot cell
+    *    (3.1M-row hot key), near-linear across the whole ladder, at
+    *    the cost of a 2× pre-shuffle row mass — 0.42 → 0.52 s at the
+    *    skew-free ×1 cell, which is why plain stays the default at the
+    *    declared bench shape and bucketed is the documented hot-corpus
+    *    dial (WindowSkewAb table, BASELINE r13). */
   def qWinRange(s: SparkSession, d: String): DataFrame = {
     val HalfHourUs = 1800000000L
-    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
-      .rangeBetween(-HalfHourUs, 0)
-    events(s, d)
+    val strategy = s.conf.get("spark.graft.winrange.strategy", "plain")
+    require(Set("plain", "bucketed")(strategy),
+      s"spark.graft.winrange.strategy must be plain or bucketed, got $strategy")
+    val base = events(s, d)
       .select(col("event_id"), col("user_id"),
         Cols.epochUs(col("ts")).as("us"), col("value"))
-      .select(col("user_id"), col("event_id"), col("us"),
-        count(lit(1)).over(w).as("n_30m"),
-        Cols.r2(sum(col("value")).over(w)).as("sum_30m"))
-      .orderBy("user_id", "us", "event_id")
+    val framed =
+      if (strategy == "plain") {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-HalfHourUs, 0)
+        base.select(col("user_id"), col("event_id"), col("us"),
+          count(lit(1)).over(w).as("n_30m"),
+          Cols.r2(sum(col("value")).over(w)).as("sum_30m"))
+      } else {
+        // floor(us / H): exact for every |us| < 2^53 µs (double holds
+        // such longs exactly and the k·H boundary quotients are exact),
+        // i.e. through year ~2255; floor (not truncate) keeps the
+        // bucket walk monotonic for negative timestamps, the
+        // BinnedRangeJoin r12 discipline
+        val bucket = expr(s"floor(us / ${HalfHourUs}L)")
+        val w = Window.partitionBy(col("user_id"), col("bucket"))
+          .orderBy(col("us")).rangeBetween(-HalfHourUs, 0)
+        base
+          .select(col("user_id"), col("event_id"), col("us"), col("value"),
+            explode(array(
+              struct(bucket.as("bucket"), lit(true).as("own")),
+              struct((bucket + 1).as("bucket"), lit(false).as("own"))))
+              .as("b"))
+          .select(col("user_id"), col("event_id"), col("us"), col("value"),
+            col("b.bucket").as("bucket"), col("b.own").as("own"))
+          .select(col("user_id"), col("event_id"), col("us"), col("own"),
+            count(lit(1)).over(w).as("n_30m"),
+            Cols.r2(sum(col("value")).over(w)).as("sum_30m"))
+          .where(col("own"))
+          .drop("own")
+      }
+    framed.orderBy("user_id", "us", "event_id")
   }
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(

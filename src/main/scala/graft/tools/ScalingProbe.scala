@@ -165,7 +165,7 @@ object ScalingProbe {
   }
 
   /** workDir/documents.parquet = `factor` token-suffixed, id-shifted copies. */
-  private[tools] def buildShards(
+  private[graft] def buildShards(
       spark: SparkSession, sfDir: String, outDir: String, factor: Int): Unit = {
     val base = graft.Tables.documents(spark, sfDir)
     val copies = (0 until factor).map { c =>

@@ -22,8 +22,26 @@
 # Timing numbers from step 1 are trustworthy; any bench re-run AFTER
 # steps 2-4 is not (jitter doctrine) — compare via BENCH_HISTORY mins.
 #
-# Usage: tools/close.sh [step ...]   steps: bench audits parity sweep
-#   (default: all four, in the order above)
+# r13 additions (r12 verdict items 2 and 4):
+#   - QUIET-BAND GUARD on step 1: the closing bench total is compared
+#     against p90 of same-protocol BENCH_HISTORY totals (min 3 lines to
+#     establish a band). Above the band -> 120 s cooldown, ONE re-run;
+#     still above -> the summary carries an explicit DEGRADED-WINDOW
+#     stamp (the r12 artifact shipped 93.6 s from a degraded window
+#     while 73.4/67.9 s runs of the same code existed — never again
+#     without a stamp).
+#   - Optional step `grown`: GrowCorpus x8 over sf0.1 (FK-consistent,
+#     ~sf0.8), full Verify + DuckDB compare. Green gate = 137/138 + the
+#     one EXPECTED diff (q_winsorize: engine-defined exact-percentile
+#     FP-algebra identity at a 40-row tie block — diagnosed BASELINE
+#     r12); any OTHER failing query fails the step. The grown corpus
+#     caught the CDC key-space collision and the cteRecursionRowLimit
+#     fence in r12; it runs per-round now, not once. Not in the default
+#     step list (it is the heaviest step) — close with:
+#       tools/close.sh bench audits parity sweep grown
+#
+# Usage: tools/close.sh [step ...]   steps: bench audits parity sweep grown
+#   (default: bench audits parity sweep, in the order above)
 #   SPARK_GRAFT_CPUS sets parallelism for audits/parity/sweep (default 8;
 #   the bench always runs at 32 — the protocol's fixed shape).
 set -uo pipefail
@@ -36,22 +54,55 @@ fails=0
 
 note() { summary+=("$1"); echo "CLOSE: $1"; }
 
-run_bench() {
+# p90 of same-protocol totals in BENCH_HISTORY (empty when fewer than 3
+# lines share the current protocol — a new protocol has no band yet).
+quiet_p90() {
+  python3 - <<'PY'
+import json
+proto = "pass-major-median-v2-noop"
+try:
+    totals = sorted(
+        d["value"] for d in map(json.loads, open("BENCH_HISTORY.jsonl"))
+        if d.get("protocol") == proto and isinstance(d.get("value"), float))
+except FileNotFoundError:
+    totals = []
+if len(totals) >= 3:
+    print(f"{totals[min(len(totals) - 1, int(0.9 * len(totals)))]:.1f}")
+PY
+}
+
+bench_once() {
   local log; log=$(mktemp)
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_REPS=3 SPARK_GRAFT_BENCH_SRC=close \
     sbt --batch "runMain graft.Bench" >"$log" 2>&1
   local rc=$?
-  local total
-  total=$(grep -o '{"metric":"total".*}' "$log" | tail -1)
-  if [ $rc -ne 0 ] || [ -z "$total" ]; then
-    note "bench: FAILED (rc=$rc)"; tail -5 "$log"; fails=$((fails+1))
-  else
-    note "bench: $total"
-    # watch criteria ride in the summary line; surface it too
-    grep -o '"watch":{[^}]*}' "$log" | tail -1 | sed 's/^/CLOSE: bench /'
-  fi
+  bench_total_line=$(grep -o '{"metric":"total".*}' "$log" | tail -1)
+  bench_watch_line=$(grep -o '"watch":{[^}]*}' "$log" | tail -1)
   rm -f "$log"
+  [ $rc -eq 0 ] && [ -n "$bench_total_line" ]
+}
+
+run_bench() {
+  if ! bench_once; then
+    note "bench: FAILED"; fails=$((fails+1)); return
+  fi
+  local p90 total
+  p90=$(quiet_p90)
+  total=$(echo "$bench_total_line" | grep -o '"value":[0-9.]*' | cut -d: -f2)
+  if [ -n "$p90" ] && awk -v t="$total" -v b="$p90" 'BEGIN{exit !(t>b)}'; then
+    note "bench: $total s above quiet-band p90 ($p90 s) — cooldown 120 s, one re-run"
+    sleep 120
+    if ! bench_once; then
+      note "bench re-run: FAILED"; fails=$((fails+1)); return
+    fi
+    total=$(echo "$bench_total_line" | grep -o '"value":[0-9.]*' | cut -d: -f2)
+    if awk -v t="$total" -v b="$p90" 'BEGIN{exit !(t>b)}'; then
+      note "bench: DEGRADED-WINDOW stamp — re-run $total s still above p90 $p90 s; quote BENCH_HISTORY quiet lines, not this artifact"
+    fi
+  fi
+  note "bench: $bench_total_line"
+  [ -n "$bench_watch_line" ] && echo "CLOSE: bench $bench_watch_line"
 }
 
 run_audits() {
@@ -109,13 +160,47 @@ run_sweep() {
   rm -f "$log"
 }
 
+run_grown() {
+  local gdir=/tmp/graft-grown-x8 out log rc
+  out=$(mktemp -d /tmp/graft_grown_verify.XXXXXX)
+  log=$(mktemp)
+  if ! SPARK_GRAFT_CPUS="$cpus" \
+      sbt --batch "runMain graft.tools.GrowCorpus /root/testdata/sf0.1 $gdir 8" \
+      >"$log" 2>&1; then
+    note "grown: GROW FAILED"; tail -5 "$log"; fails=$((fails+1))
+    rm -f "$log"; return
+  fi
+  if ! SPARK_GRAFT_CPUS="$cpus" \
+      sbt --batch "runMain graft.Verify $gdir $out" >"$log" 2>&1; then
+    note "grown: VERIFY FAILED"; tail -5 "$log"; fails=$((fails+1))
+    rm -f "$log"; return
+  fi
+  python3 tools/check.py "$gdir" "$out" >"$log" 2>&1
+  rc=$?
+  # expected-diff gate: q_winsorize's engine-defined FP-algebra identity
+  # (BASELINE r12) is the ONLY tolerated failure at the grown corpus
+  local failqs
+  failqs=$(grep '^FAIL' "$log" | awk '{print $2}' | sed 's/:$//' | sort -u)
+  if [ -z "$failqs" ]; then
+    note "grown: 138/138 green at x8 (expected-diff q_winsorize did not even fire)"
+  elif [ "$failqs" = "q_winsorize" ]; then
+    note "grown: green-gated 137/138 + 1 classified (q_winsorize FP-algebra expected diff)"
+  else
+    note "grown: UNEXPECTED failures: $(echo "$failqs" | tr '\n' ' ')"
+    grep '^FAIL' "$log" | head -5 | sed 's/^/CLOSE:   /'
+    fails=$((fails+1))
+  fi
+  rm -f "$log"
+}
+
 for s in "${steps[@]}"; do
   case "$s" in
     bench)  run_bench ;;
     audits) run_audits ;;
     parity) run_parity ;;
     sweep)  run_sweep ;;
-    *) echo "unknown step: $s (want bench|audits|parity|sweep)"; exit 2 ;;
+    grown)  run_grown ;;
+    *) echo "unknown step: $s (want bench|audits|parity|sweep|grown)"; exit 2 ;;
   esac
 done
 
