@@ -100,6 +100,18 @@ object ConfParity {
     // pushed filters' parquet-level NULL/NaN comparison semantics (a
     // classic cross-layer divergence class at the scan).
     Arm("nopushdown", Map("spark.sql.parquet.filterPushdown" -> "false")),
+    // Round-13 arm: every graft-owned STRATEGY dial flipped to a
+    // non-default lane at once. All three are declared result-identical
+    // lanes (linkage: every candidate generator feeds the same exact
+    // verify; winrange: bucket+context covers every frame — the
+    // WinRangeLaneSpec soundness argument; simpairs auto: the fixture's
+    // populated boundary always routes it to the exact block lane), so
+    // zero diffs here is the full-surface hash proof of the lane laws,
+    // not just the per-operator spec corpora.
+    Arm("graftlanes", Map(
+      "spark.graft.linkage.strategy" -> "symdel",
+      "spark.graft.winrange.strategy" -> "bucketed",
+      "spark.graft.simpairs.strategy" -> "auto")),
   )
 
   /** Negative control, NOT in the default arm set: a session-timezone flip
