@@ -64,7 +64,7 @@ object Hygiene {
               struct(col("seg_idx"), col("seg"))))),
             x => x.getField("seg")),
           " ")).as("clean_md5"))
-      .orderBy("doc_id")
+      .transform(TrainingData.sortedOutput(s, col("doc_id")))
   }
 
   /** k-anonymity audit: generalize the customer quasi-identifier to
@@ -168,7 +168,7 @@ object Hygiene {
       .where(col("dist") >= 0)
       .select(col("a_key"), col("b_key"), col("nationkey").cast("int"),
         col("segment"), col("dist").cast("long"))
-      .orderBy("a_key", "b_key")
+      .transform(TrainingData.sortedOutput(s, col("a_key"), col("b_key")))
   }
 
   /** Candidate-pair generator behind [[qRecordLinkage]], shared with the
@@ -372,7 +372,7 @@ object Hygiene {
       .withColumn("dup_frac",
         graft.Cols.r6(col("n_dup").cast("double") / col("n_win")))
       .withColumn("flagged", col("dup_frac") >= 0.5)
-      .orderBy("doc_id")
+      .transform(TrainingData.sortedOutput(s, col("doc_id")))
   }
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(

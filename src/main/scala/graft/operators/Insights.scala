@@ -745,7 +745,7 @@ object Insights {
     deg.join(perNode, Seq("v"), "left")
       .select(col("v").as("part"), col("deg").as("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
-      .orderBy("part")
+      .transform(TrainingData.sortedOutput(s, col("part")))
   }
 
   /** Hop-bounded BFS (shortest hop distance) over the co-purchase graph

@@ -294,7 +294,7 @@ object LlmPipeline {
         (size(col("sha")) + size(col("shb")) - col("c")).cast("double"))
       .where(col("jac") >= theta)
       .select(col("a_id"), col("b_id"), col("lang"), Cols.r6(col("jac")).as("jac"))
-      .orderBy("a_id", "b_id")
+      .transform(TrainingData.sortedOutput(s, col("a_id"), col("b_id")))
   }
 
   /** Embedding-cosine near-dup: candidate pairs from AXIS-ALIGNED SIGN-LSH
@@ -414,7 +414,7 @@ object LlmPipeline {
         (fdot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
       .where(col("cos_sim") >= 0.4)
       .select(col("a_id"), col("b_id"), Cols.r6(col("cos_sim")).as("cos_sim"))
-      .orderBy("a_id", "b_id")
+      .transform(TrainingData.sortedOutput(s, col("a_id"), col("b_id")))
   }
 
   /** Near-dup CLUSTERS: the step after pair generation that an actual dedup

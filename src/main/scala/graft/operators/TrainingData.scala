@@ -103,6 +103,45 @@ object TrainingData {
     out
   }
 
+  /** Final-output global sort with an optional checkpoint barrier
+    * (`spark.graft.sort.ckpt`, DEFAULT FALSE — r13). A global `orderBy`
+    * plans a RangePartitioning exchange whose boundary-sampling job
+    * RE-EXECUTES the stage feeding the sort (shuffle outputs of earlier
+    * stages are reused across the two jobs, but the segment between the
+    * last exchange and the sort — typically the verify join or window
+    * itself — runs twice). Measured on q_record_linkage at sf0.1 under
+    * the v2 bench action (SortCostProbe): declared 4.41 s, sort
+    * stripped 2.26 s, barrier 2.47 s — i.e. ~90% of the sort's apparent
+    * cost was the sampling recompute, and the barrier (an eager tracked
+    * localCheckpoint of the RESULT, whose IO the sink pays anyway)
+    * removes it. Per-head walls for every wrapped site are in BASELINE
+    * r13 (CkptSortAb).
+    *
+    * Why the default is FALSE (the written decision, same discipline as
+    * the simpairs-auto no):
+    *  1. FAULT TOLERANCE — localCheckpoint truncates lineage; on a real
+    *     cluster an executor lost between the barrier and the sink
+    *     FAILS the job instead of recomputing the lost blocks. At
+    *     1000 executors that is not an edge case; a default must not
+    *     trade job survivability for sort seconds. (A reliable
+    *     checkpoint would keep tolerance but pays a distributed write —
+    *     strictly worse than the recompute it replaces here.)
+    *  2. PLAN TRANSPARENCY — the eager checkpoint collapses the logical
+    *     plan to an RDD scan at CONSTRUCTION time, blinding the five
+    *     static plan audits and PlanDiffSpec. (Not a laundering risk
+    *     the other way: inspecting with the dial off shows exactly the
+    *     sub-plan the barrier materializes when on.)
+    * Single-node / batch-rerun deployments where a retry is cheap can
+    * turn the dial on: CkptSortAb measured 11–64% per wrapped head
+    * (Σ 35.8 → 21.3 s over the 14 heads at sf0.1). The `ckptsort`
+    * ConfParity arm hash-proves result identity across the full
+    * surface. */
+  private[graft] def sortedOutput(s: SparkSession, cols: Column*)(
+      df: DataFrame): DataFrame =
+    if (s.conf.get("spark.graft.sort.ckpt", "false").toBoolean)
+      checkpointed(df).orderBy(cols: _*)
+    else df.orderBy(cols: _*)
+
   /** Chained-call sugar for [[checkpointed]]:
     * `df.trackedCheckpoint()` ≡ `df.localCheckpoint(true)` + teardown
     * registration. */
@@ -247,7 +286,7 @@ object TrainingData {
       .withColumn("est_jac", nMatch.cast("double") / k.toDouble)
       .where(col("est_jac") >= theta)
       .select(col("a_id"), col("b_id"), col("lang"), col("est_jac"))
-      .orderBy("a_id", "b_id")
+      .transform(sortedOutput(s, col("a_id"), col("b_id")))
   }
 
   /** 16-bit SimHash over the token dictionary; near-dup = same-language pair
@@ -294,7 +333,7 @@ object TrainingData {
       .withColumn("hamming", bit_count(x).cast("long"))
       .where(col("hamming") <= 2)
       .select(col("a_id"), col("b_id"), col("lang"), col("hamming"))
-      .orderBy("a_id", "b_id")
+      .transform(sortedOutput(s, col("a_id"), col("b_id")))
   }
 
   /** Language-ID by corpus-derived unigram profiles (Cavnar–Trenkle style):
@@ -702,7 +741,7 @@ object TrainingData {
         when(col("exact_dup"), "exact_dup")
           .when(col("near_dup"), "near_dup")
           .otherwise("new").as("status"))
-      .orderBy("doc_id")
+      .transform(sortedOutput(s, col("doc_id")))
   }
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(

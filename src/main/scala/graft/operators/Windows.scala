@@ -112,7 +112,8 @@ object Windows {
         ntile(4).over(w).cast("long").as("quartile"),
         Cols.r6(percent_rank().over(w)).as("pct_rank"),
         Cols.r6(cume_dist().over(w)).as("cume"))
-      .orderBy("o_orderpriority", "o_orderkey")
+      .transform(TrainingData.sortedOutput(s,
+        col("o_orderpriority"), col("o_orderkey")))
   }
 
   /** RANGE frame (vs [[qWinFrame]]'s ROWS frames): per user, the count and

@@ -112,6 +112,11 @@ object ConfParity {
       "spark.graft.linkage.strategy" -> "symdel",
       "spark.graft.winrange.strategy" -> "bucketed",
       "spark.graft.simpairs.strategy" -> "auto")),
+    // Round-13 arm: checkpoint barrier before every wrapped head's final
+    // output sort (TrainingData.sortedOutput — default-off for the
+    // written fault-tolerance/transparency reasons there). A barrier
+    // cannot change rows, only lineage; zero diffs pins that.
+    Arm("ckptsort", Map("spark.graft.sort.ckpt" -> "true")),
   )
 
   /** Negative control, NOT in the default arm set: a session-timezone flip
