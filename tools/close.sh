@@ -84,11 +84,14 @@ bench_once() {
 }
 
 run_bench() {
+  # capture the band BEFORE the run: each bench appends its own line to
+  # BENCH_HISTORY, and a band computed afterwards would include the run
+  # under test (self-inclusion lets a degraded run ratify itself)
+  local p90 total
+  p90=$(quiet_p90)
   if ! bench_once; then
     note "bench: FAILED"; fails=$((fails+1)); return
   fi
-  local p90 total
-  p90=$(quiet_p90)
   total=$(echo "$bench_total_line" | grep -o '"value":[0-9.]*' | cut -d: -f2)
   if [ -n "$p90" ] && awk -v t="$total" -v b="$p90" 'BEGIN{exit !(t>b)}'; then
     note "bench: $total s above quiet-band p90 ($p90 s) — cooldown 120 s, one re-run"
