@@ -578,17 +578,29 @@ object LlmPipeline {
     * definitively wrong (the corpus has boundary pairs, and there may
     * be MORE the bands missed — the check is one-sided by construction:
     * band-missed pairs are exactly the ones absent from the candidate
-    * set, so zero does NOT certify the desert). Cost is one extra pass
-    * over the candidate join — Ω(candidates), not Ω(block mass), so it
-    * does not defeat auto's purpose. On a hit,
-    * `spark.graft.simpairs.onBoundaryHit` picks the response:
-    * `block` (DEFAULT when auto engaged the check — re-run as the exact
-    * lane; the wasted candidate pass is the price of a wrong premise),
-    * `warn` (log and keep the lsh result — sketch-tier accepted), or
-    * `fail` (throw — for pipelines that must not silently choose). */
+    * set, so zero does NOT certify the desert). The check is EAGER: it
+    * runs Spark jobs at DataFrame-CONSTRUCTION time (the count below,
+    * plus the full block lane on a hit+block response), so merely
+    * building this plan — explain(), plan-audit tooling, spec setup —
+    * executes work whenever the check is on; the checked candidate set
+    * is materialized ONCE via an eager tracked localCheckpoint (r14,
+    * r13 verdict item 2 — before that the banded self-join executed
+    * twice: once for the audit count, once rebuilt for the verify) and
+    * the verify reads the checkpointed blocks, so the audit's marginal
+    * cost really is the one documented Ω(candidates) pass, not two.
+    * On a hit, `spark.graft.simpairs.onBoundaryHit` picks the response;
+    * its DEFAULT depends on who engaged the check (`engagedByAuto`,
+    * r14 — before that an explicit lsh+boundaryCheck user was silently
+    * rerouted to the quadratic block lane):
+    * `block` (default when AUTO engaged the check — auto's premise was
+    * wrong, so auto re-decides to the exact lane; the wasted candidate
+    * pass is the price), `warn` (default for a USER-chosen lsh — the
+    * user accepted sketch-tier semantics; log and keep the lsh result),
+    * or `fail` (throw — for pipelines that must not silently choose). */
   private[graft] def simPairsLsh(s: SparkSession, d: String,
       theta: Double, bands: Int, bits: Int,
-      boundaryCheck: Boolean = false): DataFrame = {
+      boundaryCheck: Boolean = false,
+      engagedByAuto: Boolean = false): DataFrame = {
     val fdot = graft.functions.FloatVectorDot.dotF(s) _
     val bandsCol = graft.functions.SignProjBands.bands(s)(
       col("embedding"), SimSeed, bands, bits)
@@ -614,10 +626,15 @@ object LlmPipeline {
       .where(col("a_id") < col("b_id"))
       .where(!lowerBandMatches)
     if (boundaryCheck) {
+      // materialize the candidate set ONCE (eager tracked checkpoint,
+      // the qDedupNgram candidate-set discipline): the audit count AND
+      // the verify both read these blocks — without it the banded
+      // self-join executed twice (r13 verdict item 2)
+      val candC = cand.trackedCheckpoint()
       val cHi = lshCaptureBound(bands, bits, 1e-6)
       // one-row aggregate over the candidate set (bounded driver state;
       // the pass itself is the extra Ω(candidates) cost documented above)
-      val boundary = cand
+      val boundary = candC
         .withColumn("cos_sim", when(
           !isnan(col("na") * col("nb")) && col("na") * col("nb") > 0,
           fdot(col("va"), col("vb")) / (col("na") * col("nb"))))
@@ -628,7 +645,8 @@ object LlmPipeline {
           s"pair(s) with cosine in [$theta, $cHi) — the desert premise " +
           "is wrong for this corpus; band capture there is probabilistic " +
           "and the lsh result may be missing qualifying pairs"
-        s.conf.get("spark.graft.simpairs.onBoundaryHit", "block") match {
+        val dflt = if (engagedByAuto) "block" else "warn"
+        s.conf.get("spark.graft.simpairs.onBoundaryHit", dflt) match {
           case "block" =>
             org.slf4j.LoggerFactory.getLogger("graft.simpairs")
               .warn(s"$msg; falling back to the exact block lane")
@@ -641,6 +659,7 @@ object LlmPipeline {
               s"fail, got $other")
         }
       }
+      return candC.transform(simPairsVerify(s, _, theta))
     }
     cand.transform(simPairsVerify(s, _, theta))
   }
@@ -781,7 +800,14 @@ object LlmPipeline {
       s"spark.graft.simpairs.projBits must be in [1, 64], got $bits")
     // the post-hoc boundary audit guards AUTO's sample-based inference,
     // so auto-picked lsh runs it unless explicitly disabled; a user who
-    // CHOSE lsh accepted sketch-tier semantics, so it is opt-in there
+    // CHOSE lsh accepted sketch-tier semantics, so it is opt-in there —
+    // and on a hit the response default differs the same way (auto →
+    // block, user-chosen → warn; see simPairsLsh). EAGERNESS NOTE (the
+    // sortedOutput-style written tradeoff): `auto` and any lsh with the
+    // boundary check on run Spark jobs at CONSTRUCTION time (auto's two
+    // decision aggregates; the check's candidate materialization+count)
+    // — building this plan for explain/audit tooling executes them.
+    // `block` (the default) and plain `lsh` stay fully lazy.
     def checkConf(dflt: Boolean) =
       s.conf.get("spark.graft.simpairs.boundaryCheck", dflt.toString).toBoolean
     strategy match {
@@ -791,7 +817,8 @@ object LlmPipeline {
       case "auto" =>
         simPairsAutoChoice(s, d, theta, bands, bits)._1 match {
           case "lsh" =>
-            simPairsLsh(s, d, theta, bands, bits, checkConf(dflt = true))
+            simPairsLsh(s, d, theta, bands, bits, checkConf(dflt = true),
+              engagedByAuto = true)
           case _ => simPairsBlock(s, d, theta)
         }
       case other => throw new IllegalArgumentException(

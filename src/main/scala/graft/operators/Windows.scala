@@ -126,7 +126,7 @@ object Windows {
     * Skew lanes (`spark.graft.winrange.strategy`, r13 — the WindowSkewAb
     * ladder's verdict, BASELINE r13):
     *
-    *  - `plain` (DEFAULT): the one-shuffle per-user window above. The
+    *  - `plain`: the one-shuffle per-user window above. The
     *    100 TB hazard is a single hot user: the whole stream sorts in
     *    ONE task, and because Spark's sliding RANGE frame re-aggregates
     *    its buffer whenever the lower bound moves (no retraction), wall
@@ -145,14 +145,40 @@ object Windows {
     *    tasks: measured 22.8 s → 3.63 s (×6.3) at the ×32 hot cell
     *    (3.1M-row hot key), near-linear across the whole ladder, at
     *    the cost of a 2× pre-shuffle row mass — 0.42 → 0.52 s at the
-    *    skew-free ×1 cell, which is why plain stays the default at the
-    *    declared bench shape and bucketed is the documented hot-corpus
-    *    dial (WindowSkewAb table, BASELINE r13). */
+    *    skew-free ×1 cell (WindowSkewAb table, BASELINE r13).
+    *  - `auto` (r14, the DEFAULT — the linkage-auto doctrine applied):
+    *    [[winRangeAutoChoice]]'s one cheap pre-aggregate picks the lane
+    *    from the corpus's own hot-user mass. Both lanes are
+    *    result-identical (WinRangeLaneSpec + the `graftlanes` parity
+    *    arm), so the dispatch is a pure cost choice with no correctness
+    *    dimension — the same safety class that made linkage flip to
+    *    auto in r13, and the OPPOSITE of simpairs (whose lsh lane is
+    *    probabilistic and therefore must not be a default's choice).
+    *    DEFAULT DECISION (r14, written): auto, not plain. plain's loss
+    *    on a hot corpus is UNBOUNDED (×2.1–2.3 per ×2 hot mass — the
+    *    measured ladder reaches ×6.3 and still bends) while bucketed's
+    *    loss on a skew-free corpus is BOUNDED (the ~×1.25 2×-mass tax),
+    *    so a default that cannot see the corpus must buy the cheap
+    *    insurance: one map-side-combined single-column aggregate over
+    *    events. Its measured price at the declared shape is +0.25 s on
+    *    plain's 0.47 s (WinRangeLaneAb, sf0.1) — dominated by fixed
+    *    job-launch overhead at local scale, NOT by the pass itself,
+    *    and the trade inverts with size: the decision reads one column
+    *    and combines map-side while the window shuffles and sorts full
+    *    rows, so the relative insurance premium shrinks at 100 TB
+    *    exactly where plain's unbounded hot-key loss grows. The
+    *    per-call decision is deliberate (no per-corpus memo): one real
+    *    deployment query pays it once; the bench repping it is the
+    *    honest per-query cost, the sort.ckpt default-false doctrine.
+    *    Manual `plain` stays available for operators who KNOW their
+    *    corpus is skew-free and want the decision pass back. */
   def qWinRange(s: SparkSession, d: String): DataFrame = {
     val HalfHourUs = 1800000000L
-    val strategy = s.conf.get("spark.graft.winrange.strategy", "plain")
-    require(Set("plain", "bucketed")(strategy),
-      s"spark.graft.winrange.strategy must be plain or bucketed, got $strategy")
+    val conf = s.conf.get("spark.graft.winrange.strategy", "auto")
+    require(Set("plain", "bucketed", "auto")(conf),
+      s"spark.graft.winrange.strategy must be plain, bucketed or auto, got $conf")
+    val strategy =
+      if (conf == "auto") winRangeAutoChoice(s, d)._1 else conf
     val base = events(s, d)
       .select(col("event_id"), col("user_id"),
         Cols.epochUs(col("ts")).as("us"), col("value"))
@@ -187,6 +213,48 @@ object Windows {
           .drop("own")
       }
     framed.orderBy("user_id", "us", "event_id")
+  }
+
+  /** The `auto` strategy's decision, exposed for tools/specs — the
+    * [[graft.operators.Hygiene.linkageAutoChoice]] discipline applied to
+    * the window-lane dial. One map-side-combined aggregate over events
+    * computes the two lanes' cost drivers — `hot` = the largest single
+    * user's row count (plain's whole hot stream sorts and slides in ONE
+    * task) and `total` = the corpus row count (bucketed's wall is linear
+    * in 2× this) — and picks bucketed iff
+    *
+    *   hot · shufflePartitions > 2 · total
+    *
+    * i.e. iff the hottest user holds more than ~2 balanced task shares.
+    * Why 2, and why the bias points the OPPOSITE way from linkage's:
+    * plain's stage wall is max(hot task, balanced tasks), so at hot =
+    * C shares the stage runs ≥ C× a balanced stage while bucketed's tax
+    * is the fixed ~2× row mass — the walls cross physically near C ≈ 2,
+    * and Spark's SlidingWindowFunctionFrame re-aggregation (the measured
+    * ×2.1–2.3/octave bend, BASELINE r13) makes plain's true hot-task
+    * cost SUPER-linear in hot mass, so the real crossover is at or below
+    * the sort-only estimate. plain's loss past the crossover is
+    * unbounded; bucketed's below it is the bounded ~×1.25 tax — the
+    * threshold must lean toward bucketed, the safe loser (linkage leans
+    * toward block for the mirror-image reason). The measured bracket
+    * agrees: the WindowSkewAb ladder's ×1 cell (hot/share ≈ 0.06 at
+    * P=32) has plain winning ×1.25 and its ×2 cell (hot/share = 16) has
+    * bucketed winning ×1.6 — C = 2 sits inside the bracket at the
+    * physical knee.
+    *
+    * The returned stats are ONE row (a sanctioned bounded `.collect()`,
+    * CollectLedgerSpec ledger): a 2-long aggregate over ≤ |users|
+    * map-side partials — O(1) driver state at any corpus size. */
+  def winRangeAutoChoice(s: SparkSession, d: String): (String, Long, Long) = {
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "200").toLong
+    val r = events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt")), sum(col("cnt")))
+      .collect()(0)
+    val hot = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val total = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val choice = if (hot * parts > 2L * total) "bucketed" else "plain"
+    (choice, hot, total)
   }
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(

@@ -104,10 +104,12 @@ object ConfParity {
     // non-default lane at once. All three are declared result-identical
     // lanes (linkage: every candidate generator feeds the same exact
     // verify; winrange: bucket+context covers every frame — the
-    // WinRangeLaneSpec soundness argument; simpairs auto: the fixture's
-    // populated boundary always routes it to the exact block lane), so
-    // zero diffs here is the full-surface hash proof of the lane laws,
-    // not just the per-operator spec corpora.
+    // WinRangeLaneSpec soundness argument (bucketed stays the flipped
+    // lane after r14's auto default: auto picks plain on the skew-free
+    // fixture, so bucketed remains the non-base path); simpairs auto:
+    // the fixture's populated boundary always routes it to the exact
+    // block lane), so zero diffs here is the full-surface hash proof of
+    // the lane laws, not just the per-operator spec corpora.
     Arm("graftlanes", Map(
       "spark.graft.linkage.strategy" -> "symdel",
       "spark.graft.winrange.strategy" -> "bucketed",

@@ -22,6 +22,8 @@ import org.scalatest.funsuite.AnyFunSuite
   *    maxima (one long per partition).
   *  - operators/LlmPipeline.scala ×2 — simpairs auto's two one-row
   *    decision aggregates (bounded sample boundary count; Σ block²).
+  *  - operators/Windows.scala ×1 — winrange auto's one-row decision
+  *    aggregate (max per-user count + total, r14).
   */
 class CollectLedgerSpec extends AnyFunSuite {
 
@@ -30,7 +32,8 @@ class CollectLedgerSpec extends AnyFunSuite {
     "operators/TrainingData.scala" -> 2,
     "operators/Hygiene.scala" -> 1,
     "operators/Insights.scala" -> 1,
-    "operators/LlmPipeline.scala" -> 2)
+    "operators/LlmPipeline.scala" -> 2,
+    "operators/Windows.scala" -> 1)
 
   test("every .collect() in non-tools src/main is on the sanctioned ledger") {
     val root = java.nio.file.Paths.get("src/main/scala/graft")

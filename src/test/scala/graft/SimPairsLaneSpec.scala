@@ -115,17 +115,47 @@ class SimPairsLaneSpec extends SparkSpec {
     try intercept[IllegalStateException] {
       LlmPipeline.simPairsLsh(spark, d, 0.25, 32, 16, boundaryCheck = true)
     } finally spark.conf.unset("spark.graft.simpairs.onBoundaryHit")
-    // default response is the exact-lane fallback: result == block
-    val fellBack =
-      LlmPipeline.simPairsLsh(spark, d, 0.25, 32, 16, boundaryCheck = true)
+    // r14 hit-response defaults split by engaging path (r13 ADVICE):
+    // AUTO engaged the check → block fallback (auto's premise was wrong,
+    // auto re-decides to the exact lane): result == block
+    val fellBack = LlmPipeline.simPairsLsh(spark, d, 0.25, 32, 16,
+      boundaryCheck = true, engagedByAuto = true)
     val block = LlmPipeline.simPairsBlock(spark, d, 0.25)
     assert(fellBack.exceptAll(block).isEmpty
       && block.exceptAll(fellBack).isEmpty)
+    // USER-chosen lsh (engagedByAuto = false, the default) → warn: the
+    // sketch-tier lsh result is KEPT, not silently rerouted to the
+    // quadratic block lane
+    val kept =
+      LlmPipeline.simPairsLsh(spark, d, 0.25, 32, 16, boundaryCheck = true)
+    val lane = LlmPipeline.simPairsLsh(spark, d, 0.25, 32, 16)
+    assert(kept.exceptAll(lane).isEmpty && lane.exceptAll(kept).isEmpty)
+    assert(block.exceptAll(lane).count() > 0,
+      "cell vacuous: lsh == block here, warn vs block indistinguishable")
     // and an unknown response dial is a loud error, not a silent default
     spark.conf.set("spark.graft.simpairs.onBoundaryHit", "bogus")
     try intercept[IllegalArgumentException] {
       LlmPipeline.simPairsLsh(spark, d, 0.25, 32, 16, boundaryCheck = true)
     } finally spark.conf.unset("spark.graft.simpairs.onBoundaryHit")
+  }
+
+  test("checked lane verifies the MATERIALIZED candidate set (one join)") {
+    // r13 verdict item 2, structural proof: with the boundary check on,
+    // the candidate join is checkpointed before the audit count and the
+    // returned verify plan reads those blocks — an RDD scan with ZERO
+    // joins. Before r14 the plan rebuilt the banded self-join, so the
+    // audit doubled the lane's dominant cost.
+    mkGapOnce
+    val checked = LlmPipeline
+      .simPairsLsh(spark, gapDir, 0.7, 32, 16, boundaryCheck = true)
+    val plan = checked.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan)
+    assert(!plan.contains("Join"), s"candidate join rebuilt:\n$plan")
+    // negative control: the unchecked lane's plan DOES contain the join
+    // (it stays lazy/transparent — eagerness is the check's cost alone)
+    val plain = LlmPipeline.simPairsLsh(spark, gapDir, 0.7, 32, 16)
+      .queryExecution.executedPlan.toString
+    assert(plain.contains("Join"), plain)
   }
 
   test("boundary check is silent on a true desert; auto engages it") {

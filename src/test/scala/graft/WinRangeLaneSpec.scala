@@ -53,6 +53,27 @@ class WinRangeLaneSpec extends SparkSpec {
     val bucketed = lane(dir, "bucketed")
     assert(plain.nonEmpty && bucketed == plain,
       s"bucketed diverged: ${bucketed.size} vs ${plain.size} rows")
+
+    // r14 auto-dispatch cells (VERDICT r13 item 1): this corpus's hot
+    // user holds 402 of 452 rows — far above the 2-balanced-task-share
+    // crossover — so auto must pick bucketed here...
+    val (hotChoice, hot, total) =
+      operators.Windows.winRangeAutoChoice(spark, dir)
+    assert(hotChoice == "bucketed" && hot >= 400 && total == 452L,
+      s"auto on the hot corpus: ($hotChoice, $hot, $total)")
+    // ...and the auto LANE must be row-identical to plain end-to-end
+    assert(lane(dir, "auto") == plain)
+  }
+
+  test("auto picks plain on the skew-free fixture and matches it") {
+    val d = sfDir("sf0.001")
+    val (choice, hot, total) =
+      operators.Windows.winRangeAutoChoice(spark, d)
+    assert(choice == "plain",
+      s"auto on the clean fixture: ($choice, $hot, $total)")
+    assert(hot * spark.conf.get("spark.sql.shuffle.partitions").toLong
+      <= 2L * total)
+    assert(lane(d, "auto") == lane(d, "plain"))
   }
 
   test("unknown strategy is a loud error") {
