@@ -103,44 +103,69 @@ object TrainingData {
     out
   }
 
-  /** Final-output global sort with an optional checkpoint barrier
-    * (`spark.graft.sort.ckpt`, DEFAULT FALSE — r13). A global `orderBy`
-    * plans a RangePartitioning exchange whose boundary-sampling job
-    * RE-EXECUTES the stage feeding the sort (shuffle outputs of earlier
-    * stages are reused across the two jobs, but the segment between the
-    * last exchange and the sort — typically the verify join or window
-    * itself — runs twice). Measured on q_record_linkage at sf0.1 under
-    * the v2 bench action (SortCostProbe): declared 4.41 s, sort
-    * stripped 2.26 s, barrier 2.47 s — i.e. ~90% of the sort's apparent
-    * cost was the sampling recompute, and the barrier (an eager tracked
-    * localCheckpoint of the RESULT, whose IO the sink pays anyway)
-    * removes it. Per-head walls for every wrapped site are in BASELINE
-    * r13 (CkptSortAb).
+  /** Final-output global sort with an optional materialization barrier
+    * (`spark.graft.sort.ckpt` ∈ `false` (DEFAULT) | `true` | `persist`).
+    * A global `orderBy` plans a RangePartitioning exchange whose
+    * boundary-sampling job RE-EXECUTES the stage feeding the sort
+    * (shuffle outputs of earlier stages are reused across the two jobs,
+    * but the segment between the last exchange and the sort — typically
+    * the verify join or window itself — runs twice). Measured on
+    * q_record_linkage at sf0.1 under the v2 bench action
+    * (SortCostProbe): declared 4.41 s, sort stripped 2.26 s, barrier
+    * 2.47 s — i.e. ~90% of the sort's apparent cost was the sampling
+    * recompute, and a barrier on the RESULT (whose IO the sink pays
+    * anyway) removes it. Two barrier flavors:
+    *  - `true`: eager tracked localCheckpoint — strongest (materializes
+    *    before ANY downstream job) but truncates lineage.
+    *  - `persist` (r14, r13 verdict item 3): lazy `df.persist()` —
+    *    the sampling job materializes the cache, the sort job reads it,
+    *    and lineage SURVIVES (an executor lost between the jobs
+    *    recomputes the lost blocks instead of failing the job), so this
+    *    flavor keeps cluster survivability. Registered for
+    *    [[unpersistAll]] like every other snapshot asset.
     *
-    * Why the default is FALSE (the written decision, same discipline as
-    * the simpairs-auto no):
-    *  1. FAULT TOLERANCE — localCheckpoint truncates lineage; on a real
-    *     cluster an executor lost between the barrier and the sink
-    *     FAILS the job instead of recomputing the lost blocks. At
-    *     1000 executors that is not an edge case; a default must not
-    *     trade job survivability for sort seconds. (A reliable
-    *     checkpoint would keep tolerance but pays a distributed write —
-    *     strictly worse than the recompute it replaces here.)
-    *  2. PLAN TRANSPARENCY — the eager checkpoint collapses the logical
+    * Why the default is STILL FALSE (r14 decision, re-made on the
+    * three-arm CkptSortAb numbers in BASELINE r14):
+    *  1. FAULT TOLERANCE — rules out `true` as a default (localCheckpoint
+    *     truncates lineage; an executor lost between barrier and sink
+    *     FAILS the job — at 1000 executors not an edge case). `persist`
+    *     does NOT have this problem…
+    *  2. …but MEMORY FOOTPRINT rules `persist` out as a default: it
+    *     pins every wrapped head's FULL RESULT in executor
+    *     storage memory until teardown. At 100 TB result scale that
+    *     evicts genuinely shared assets (the `cached()` dictionary/token
+    *     tables) and can spill-thrash the exact stages it means to
+    *     speed up; a default must not tax memory for sort seconds.
+    *  3. PLAN TRANSPARENCY — the eager checkpoint collapses the logical
     *     plan to an RDD scan at CONSTRUCTION time, blinding the five
-    *     static plan audits and PlanDiffSpec. (Not a laundering risk
-    *     the other way: inspecting with the dial off shows exactly the
-    *     sub-plan the barrier materializes when on.)
+    *     static plan audits and PlanDiffSpec (persist keeps the plan;
+    *     this argument applies to `true` only).
     * Single-node / batch-rerun deployments where a retry is cheap can
-    * turn the dial on: CkptSortAb measured 11–64% per wrapped head
-    * (Σ 35.8 → 21.3 s over the 14 heads at sf0.1). The `ckptsort`
-    * ConfParity arm hash-proves result identity across the full
-    * surface. */
+    * turn either barrier on. The r14 three-arm table (BASELINE r14):
+    * persist captures the ENTIRE aggregate ckpt win (Σ 25.3 → 15.9 s
+    * over the 14 heads at sf0.1, identical to ckpt's Σ) while keeping
+    * lineage — so opted-in clusters should PREFER `persist`, except
+    * workloads dominated by recompute-cheap/cache-bulky pre-sort
+    * streams (the vocab-exploded logprob heads, triangles: persist won
+    * ≤ 6% there vs ckpt's 16–38%), which want `true`. The `ckptsort`
+    * and `persistsort` ConfParity arms hash-prove result identity
+    * across the full surface for both flavors. */
   private[graft] def sortedOutput(s: SparkSession, cols: Column*)(
       df: DataFrame): DataFrame =
-    if (s.conf.get("spark.graft.sort.ckpt", "false").toBoolean)
-      checkpointed(df).orderBy(cols: _*)
-    else df.orderBy(cols: _*)
+    s.conf.get("spark.graft.sort.ckpt", "false") match {
+      case "true" => checkpointed(df).orderBy(cols: _*)
+      case "persist" =>
+        sortPersists.add(df.persist())
+        df.orderBy(cols: _*)
+      case "false" => df.orderBy(cols: _*)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.sort.ckpt must be false, true or persist, got $other")
+    }
+
+  /** Results persisted by sortedOutput's `persist` flavor, queued for
+    * [[unpersistAll]] teardown (same lifetime as `cached()` assets). */
+  private val sortPersists =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   /** Chained-call sugar for [[checkpointed]]:
     * `df.trackedCheckpoint()` ≡ `df.localCheckpoint(true)` + teardown
@@ -155,8 +180,19 @@ object TrainingData {
   def unpersistAll(): Unit = {
     shared.values.foreach(df => df.unpersist(blocking = false))
     shared.clear()
+    releaseBarriers()
+  }
+
+  /** Drop only the BARRIER artifacts — tracked checkpoints and
+    * sortedOutput's persisted results — keeping the `cached()` shared
+    * corpus assets warm. Measurement harnesses (CkptSortAb) call this
+    * between arms so the barrier arms' storage doesn't accumulate
+    * without cold-starting every head's dictionary/token assets. */
+  def releaseBarriers(): Unit = {
     ckpts.values.foreach(_.unpersist(blocking = false))
     ckpts.clear()
+    var p = sortPersists.poll()
+    while (p != null) { p.unpersist(blocking = false); p = sortPersists.poll() }
   }
 
   /** Distinct (doc_id, lang, tok) triples. */

@@ -2,12 +2,15 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Per-head A/B for the `spark.graft.sort.ckpt` dial (r13; see
-  * TrainingData.sortedOutput for the mechanism and SortCostProbe for the
-  * discovery measurement): every head wrapped in sortedOutput is timed
-  * interleaved — (off, on) pairs, pass-major, v2 noop action — and the
-  * table decides which sites KEEP the wrapper (win ≥ ~10% of the head's
-  * wall) and which revert to a plain orderBy. Results in BASELINE r13.
+/** Per-head A/B/C for the `spark.graft.sort.ckpt` dial (r13, persist arm
+  * r14; see TrainingData.sortedOutput for the mechanism and SortCostProbe
+  * for the discovery measurement): every head wrapped in sortedOutput is
+  * timed interleaved — (off, ckpt, persist) triples, pass-major, v2 noop
+  * action. `persist` is the survivability-preserving barrier (lineage
+  * kept; lost blocks recompute) — if it captures most of ckpt's win, the
+  * fault-tolerance argument against a barrier DEFAULT loses its teeth
+  * and the default decision must be re-made on memory-footprint grounds
+  * alone. Results in BASELINE r13 (two-arm) / r14 (three-arm).
   *
   * Usage: runMain graft.tools.CkptSortAb [sfDir] [reps] [q ...]
   */
@@ -31,25 +34,32 @@ object CkptSortAb {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def run(q: String, on: Boolean): Double = {
-      spark.conf.set("spark.graft.sort.ckpt", on.toString)
+    def run(q: String, mode: String): Double = {
+      spark.conf.set("spark.graft.sort.ckpt", mode)
       val t0 = System.nanoTime()
       try graft.SparkEntry.queries(q)(spark, d)
         .write.format("noop").mode("overwrite").save()
-      finally spark.conf.unset("spark.graft.sort.ckpt")
+      finally {
+        spark.conf.unset("spark.graft.sort.ckpt")
+        // free ONLY the barrier artifacts (this head's persisted/
+        // checkpointed result) so arms are storage-independent while
+        // the shared cached() corpus assets stay warm for every arm
+        graft.operators.TrainingData.releaseBarriers()
+      }
       (System.nanoTime() - t0) / 1e9
     }
-    heads.foreach(q => run(q, on = false)) // warm assets + codegen
-    val off = collection.mutable.Map(heads.map(_ -> List.empty[Double]): _*)
-    val on = collection.mutable.Map(heads.map(_ -> List.empty[Double]): _*)
-    for (_ <- 1 to reps; q <- heads) {
-      off(q) = run(q, on = false) :: off(q)
-      on(q) = run(q, on = true) :: on(q)
-    }
+    val modes = Seq("false", "true", "persist")
+    for (m <- modes; q <- heads) run(q, m) // warm assets + codegen
+    val times = collection.mutable.Map(
+      (for (m <- modes; q <- heads) yield (m, q) -> List.empty[Double]): _*)
+    for (_ <- 1 to reps; q <- heads; m <- modes)
+      times((m, q)) = run(q, m) :: times((m, q))
     def med(xs: List[Double]) = xs.sorted.apply(xs.size / 2)
     heads.foreach { q =>
-      val o = med(off(q)); val c = med(on(q))
-      println(f"""{"q":"$q","off_med":$o%.3f,"on_med":$c%.3f,"win_pct":${100 * (o - c) / o}%.1f}""")
+      val o = med(times(("false", q)))
+      val c = med(times(("true", q)))
+      val p = med(times(("persist", q)))
+      println(f"""{"q":"$q","off_med":$o%.3f,"ckpt_med":$c%.3f,"persist_med":$p%.3f,"ckpt_win_pct":${100 * (o - c) / o}%.1f,"persist_win_pct":${100 * (o - p) / o}%.1f}""")
     }
     graft.operators.TrainingData.unpersistAll()
     spark.stop()

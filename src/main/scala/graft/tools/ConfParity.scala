@@ -119,6 +119,11 @@ object ConfParity {
     // written fault-tolerance/transparency reasons there). A barrier
     // cannot change rows, only lineage; zero diffs pins that.
     Arm("ckptsort", Map("spark.graft.sort.ckpt" -> "true")),
+    // Round-14 arm: the lineage-preserving persist flavor of the same
+    // barrier (sortedOutput's r14 `persist` mode). A cache read cannot
+    // change rows, only storage; zero diffs pins that for every
+    // wrapped head.
+    Arm("persistsort", Map("spark.graft.sort.ckpt" -> "persist")),
   )
 
   /** Negative control, NOT in the default arm set: a session-timezone flip

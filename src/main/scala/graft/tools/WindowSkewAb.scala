@@ -55,8 +55,22 @@ object WindowSkewAb {
 
   val HotUser = 4242424242L
 
-  /** Fourth arm: q_win_range's r13 bucketed lane, run via the conf dial
-    * so the ladder measures the exact declared-entry path. */
+  /** Arms beyond the declared heads: q_win_range's lanes run via the
+    * conf dial pinned EXPLICITLY (since r14 the declared entry defaults
+    * to `auto`, so `q_win_range` here pins `plain` to keep the r13
+    * ladder comparable; `q_win_range_auto` measures the dispatch —
+    * decision pass + whichever lane it picks — on each hot cell).
+    *
+    * r14 heads (r13 verdict item 5): q_asof and q_attribution are the
+    * remaining per-user running-last window shapes (union + running
+    * ignore-nulls `last` over the user partition) — the same
+    * single-task-sort hazard class the r13 ladder graded for
+    * transition_matrix/scd2; expected curve is LINEAR in hot mass
+    * (ROWS frame, one running value, no re-aggregation — the RANGE
+    * re-aggregation that bent q_win_range does not apply), and the
+    * ladder exists to verify that and catch anything super-linear.
+    * q_asof additionally reads orders (the as-of dim side), which
+    * [[buildHotShards]] passes through unmodified. */
   val Heads = Seq("q_transition_matrix", "q_scd2", "q_win_range",
     "q_win_range_bucketed")
 
@@ -67,6 +81,7 @@ object WindowSkewAb {
       if (args.length > 2) args(2).split(",").toSeq.map(_.trim.toInt)
       else Seq(1, 2, 4, 8, 16, 32)
     val reps = if (args.length > 3) args(3).toInt else 3
+    val heads = if (args.length > 4) args.drop(4).toSeq else Heads
     require(factors.forall(f => f >= 1 && f <= 64), "factors must be in [1, 64]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -79,12 +94,21 @@ object WindowSkewAb {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def build(q: String, dir: String): org.apache.spark.sql.DataFrame =
-      if (q == "q_win_range_bucketed") {
-        spark.conf.set("spark.graft.winrange.strategy", "bucketed")
-        try graft.SparkEntry.queries("q_win_range")(spark, dir)
-        finally spark.conf.unset("spark.graft.winrange.strategy")
-      } else graft.SparkEntry.queries(q)(spark, dir)
+    def build(q: String, dir: String): org.apache.spark.sql.DataFrame = {
+      val lane = q match {
+        case "q_win_range" => Some("plain") // r13-ladder-comparable arm
+        case "q_win_range_bucketed" => Some("bucketed")
+        case "q_win_range_auto" => Some("auto")
+        case _ => None
+      }
+      lane match {
+        case Some(strategy) =>
+          spark.conf.set("spark.graft.winrange.strategy", strategy)
+          try graft.SparkEntry.queries("q_win_range")(spark, dir)
+          finally spark.conf.unset("spark.graft.winrange.strategy")
+        case None => graft.SparkEntry.queries(q)(spark, dir)
+      }
+    }
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
@@ -92,23 +116,23 @@ object WindowSkewAb {
     spark.range(1000).selectExpr("sum(id)").collect()
     // warm codegen + parquet readers on the smallest corpus
     val d0 = s"$work/x${factors.head}"
-    Heads.foreach(q => run(build(q, d0)))
+    heads.foreach(q => run(build(q, d0)))
 
     val baseRows = graft.Tables.events(spark, sfDir).count()
     factors.foreach { f =>
       val dir = s"$work/x$f"
       val times = scala.collection.mutable.Map(
-        Heads.map(_ -> List.empty[Double]): _*)
-      val rows = scala.collection.mutable.Map(Heads.map(_ -> 0L): _*)
-      for (_ <- 1 to reps; q <- Heads) {
+        heads.map(_ -> List.empty[Double]): _*)
+      val rows = scala.collection.mutable.Map(heads.map(_ -> 0L): _*)
+      for (_ <- 1 to reps; q <- heads) {
         val t0 = System.nanoTime()
         run(build(q, dir))
         times(q) = (System.nanoTime() - t0) / 1e9 :: times(q)
       }
       // out_rows separately (not timed): the ladder's sanity column
-      Heads.foreach(q => rows(q) = build(q, dir).count())
+      heads.foreach(q => rows(q) = build(q, dir).count())
       def med(xs: List[Double]) = xs.sorted.apply(xs.size / 2)
-      val body = Heads.map { q =>
+      val body = heads.map { q =>
         f""""$q":{"med":${med(times(q))}%.3f,"min":${times(q).min}%.3f,"out_rows":${rows(q)}}"""
       }.mkString(",")
       println(s"""{"factor":$f,"hot_rows":${(f - 1) * baseRows},$body}""")
@@ -117,7 +141,10 @@ object WindowSkewAb {
   }
 
   /** events with copies 1..f−1 folded into the single hot user; the
-    * pre-swap event_id remap keeps every (ts, event_id) order total. */
+    * pre-swap event_id remap keeps every (ts, event_id) order total.
+    * orders passes through unmodified (r14: q_asof's dim side — the hot
+    * user has no orders, so its running-last carries null okey, which
+    * still exercises the hot partition's sort + frame). */
   private[tools] def buildHotShards(
       spark: SparkSession, sfDir: String, outDir: String,
       factor: Int): Unit = {
@@ -130,5 +157,7 @@ object WindowSkewAb {
     }
     copies.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    graft.Tables.orders(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
   }
 }

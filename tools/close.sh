@@ -54,8 +54,11 @@ fails=0
 
 note() { summary+=("$1"); echo "CLOSE: $1"; }
 
-# p90 of same-protocol totals in BENCH_HISTORY (empty when fewer than 3
-# lines share the current protocol — a new protocol has no band yet).
+# p90 of same-SHAPE totals in BENCH_HISTORY: protocol AND sf AND reps
+# must match the close bench's fixed shape (r13 ADVICE: history mixes
+# sf0.001 'local' runs with sf0.1 close runs — an unfiltered band can be
+# skewed low, stamping quiet runs DEGRADED, or high, loosening the
+# guard). Empty when fewer than 3 matching lines exist.
 quiet_p90() {
   python3 - <<'PY'
 import json
@@ -63,7 +66,8 @@ proto = "pass-major-median-v2-noop"
 try:
     totals = sorted(
         d["value"] for d in map(json.loads, open("BENCH_HISTORY.jsonl"))
-        if d.get("protocol") == proto and isinstance(d.get("value"), float))
+        if d.get("protocol") == proto and isinstance(d.get("value"), float)
+        and d.get("sf") == "/root/testdata/sf0.1" and d.get("reps") == 3)
 except FileNotFoundError:
     totals = []
 if len(totals) >= 3:
@@ -73,8 +77,12 @@ PY
 
 bench_once() {
   local log; log=$(mktemp)
+  # ACTION pinned to noop (r13 ADVICE): an inherited ACTION=count env
+  # would silently run the v1 protocol while the quiet-band guard and
+  # the re-based watch thresholds assume v2.
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_REPS=3 SPARK_GRAFT_BENCH_SRC=close \
+  SPARK_GRAFT_BENCH_ACTION=noop \
     sbt --batch "runMain graft.Bench" >"$log" 2>&1
   local rc=$?
   bench_total_line=$(grep -o '{"metric":"total".*}' "$log" | tail -1)
@@ -164,11 +172,14 @@ run_sweep() {
 }
 
 run_grown() {
-  local gdir=/tmp/graft-grown-x8 out log rc
+  # GRAFT_GROWN_FACTOR overrides the default x8 (r14: a one-off x16 run
+  # checks the expected-diff classification one octave further)
+  local gf="${GRAFT_GROWN_FACTOR:-8}"
+  local gdir="/tmp/graft-grown-x$gf" out log rc
   out=$(mktemp -d /tmp/graft_grown_verify.XXXXXX)
   log=$(mktemp)
   if ! SPARK_GRAFT_CPUS="$cpus" \
-      sbt --batch "runMain graft.tools.GrowCorpus /root/testdata/sf0.1 $gdir 8" \
+      sbt --batch "runMain graft.tools.GrowCorpus /root/testdata/sf0.1 $gdir $gf" \
       >"$log" 2>&1; then
     note "grown: GROW FAILED"; tail -5 "$log"; fails=$((fails+1))
     rm -f "$log"; return
@@ -184,10 +195,17 @@ run_grown() {
   # (BASELINE r12) is the ONLY tolerated failure at the grown corpus
   local failqs
   failqs=$(grep '^FAIL' "$log" | awk '{print $2}' | sed 's/:$//' | sort -u)
+  # a nonzero exit with NO FAIL lines is a comparator crash (traceback),
+  # not a green run — before r14 this reported 138/138 (r13 ADVICE)
+  if [ $rc -ne 0 ] && [ -z "$failqs" ]; then
+    note "grown: CHECK FAILED (rc=$rc, zero FAIL lines — comparator crashed, not green)"
+    tail -5 "$log" | sed 's/^/CLOSE:   /'
+    fails=$((fails+1)); rm -f "$log"; return
+  fi
   if [ -z "$failqs" ]; then
-    note "grown: 138/138 green at x8 (expected-diff q_winsorize did not even fire)"
+    note "grown: 138/138 green at x$gf (expected-diff q_winsorize did not even fire)"
   elif [ "$failqs" = "q_winsorize" ]; then
-    note "grown: green-gated 137/138 + 1 classified (q_winsorize FP-algebra expected diff)"
+    note "grown: green-gated 137/138 + 1 classified at x$gf (q_winsorize FP-algebra expected diff)"
   else
     note "grown: UNEXPECTED failures: $(echo "$failqs" | tr '\n' ' ')"
     grep '^FAIL' "$log" | head -5 | sed 's/^/CLOSE:   /'
