@@ -193,14 +193,43 @@ object Bench {
     def obj(kvs: Iterable[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = med.collect { case (_, v) if v >= 0 => v }.sum
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"reps":$reps,"queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}"""
+    // Window index (r14, quiet-band item): median over a basket of cheap,
+    // PLAN-STABLE heads of (this run's median / the same head's median in
+    // the 96.9 s v2 quiet record, the src=close line at commit 0456d04).
+    // The basket is scan+compute shapes no graft dial can move, spread
+    // across scan/filter/scalar/sort/window/union plan classes, so the
+    // ratio isolates HOST speed from plan changes: watch heads grazing
+    // their thresholds at window_index ~1.4 is a slow host, not a
+    // regression (the r14 cold-boot bracket measured exactly that —
+    // basket median 1.445 vs whole-surface inflation 1.46). Calibration
+    // constants are deliberately FROZEN to the record line rather than
+    // re-derived per session: a self-recalibrating basket would let a
+    // genuine whole-surface regression re-zero its own yardstick. Only
+    // meaningful at the close shape (sf0.1, v2 noop); -1.0 when the run's
+    // shape has no basket heads (e.g. a filtered head list).
+    val windowBasket = Seq(
+      "q_project" -> 0.765, "q_filter" -> 0.339, "q_math" -> 0.718,
+      "q_str" -> 0.268, "q_case" -> 0.285, "q_date" -> 0.451,
+      "q_array" -> 0.278, "q_map" -> 1.073, "q_sort" -> 0.502,
+      "q_agg_pricing" -> 0.486, "q_win_lag" -> 0.636, "q_union" -> 0.374)
+    val medLookup = med.toMap
+    val windowIndex = {
+      val rs = windowBasket.flatMap { case (q, cal) =>
+        medLookup.get(q).filter(_ > 0).map(_ / cal) }.sorted
+      // calibrated at sf0.1 only — a ratio against another SF's corpus
+      // would read as host speed when it's data volume
+      if (rs.isEmpty || !sfDir.stripSuffix("/").endsWith("sf0.1")) -1.0
+      else median(rs.toList)
+    }
+    val widx = f"$windowIndex%.3f"
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"reps":$reps,"window_index":$widx,"queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}"""
     // Compact summary printed LAST: artifact collectors that keep only the
     // tail of stdout (the driver stores 2000 chars) must still see the
     // totals, rep count, the slowest queries, the dedup-family
     // done-criteria queries and any failures — r4's full-JSON-only output
     // lost all of those to the truncation window.
     val slowest = med.filter(_._2 >= 0).sortBy(-_._2).take(15)
-    val medMap = med.toMap
+    val medMap = medLookup
     val minMap = mins.toMap
     // Watch list with done-criteria (BASELINE.md), RE-BASED r13 for
     // protocol v2 (the noop action times ordered-output materialization
@@ -222,7 +251,7 @@ object Bench {
     val watchMin = watchQs.flatMap(q => minMap.get(q).map(q -> _))
     val failures = med.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val summaryLine = s"""{"metric":"summary","total":$total,"warmup_sec":$warmup,"warm":${obj(warmTimes)},"reps":$reps,"n_queries":${med.size},"slowest":${obj(slowest)},"watch":${obj(watch)},"watch_min":${obj(watchMin)},"failures":$failures}"""
+    val summaryLine = s"""{"metric":"summary","total":$total,"warmup_sec":$warmup,"window_index":$widx,"warm":${obj(warmTimes)},"reps":$reps,"n_queries":${med.size},"slowest":${obj(slowest)},"watch":${obj(watch)},"watch_min":${obj(watchMin)},"failures":$failures}"""
     // Compact total line, printed as the FINAL stdout line (r7 postmortem:
     // BENCH_r07.json was parsed:null because the driver json-parses the
     // {"metric":"total"} line from its 2000-char tail, and the full line's
