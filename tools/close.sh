@@ -184,15 +184,18 @@ run_grown() {
     note "grown: GROW FAILED"; tail -5 "$log"; fails=$((fails+1))
     rm -f "$log"; return
   fi
+  # Verify log PRESERVED at a fixed path (r14: the x16 run's one-off
+  # q_substring_dup transient — absent output, clean on two full
+  # re-runs — died undiagnosable because this step used to rm its log;
+  # the NEXT transient must be readable post-hoc)
+  local vlog=/tmp/graft_grown_verify_last.log
   if ! SPARK_GRAFT_CPUS="$cpus" \
-      sbt --batch "runMain graft.Verify $gdir $out" >"$log" 2>&1; then
-    note "grown: VERIFY FAILED"; tail -5 "$log"; fails=$((fails+1))
-    rm -f "$log"; return
+      sbt --batch "runMain graft.Verify $gdir $out" >"$vlog" 2>&1; then
+    note "grown: VERIFY FAILED (log kept: $vlog)"; tail -5 "$vlog"
+    fails=$((fails+1)); return
   fi
   python3 tools/check.py "$gdir" "$out" >"$log" 2>&1
   rc=$?
-  # expected-diff gate: q_winsorize's engine-defined FP-algebra identity
-  # (BASELINE r12) is the ONLY tolerated failure at the grown corpus
   local failqs
   failqs=$(grep '^FAIL' "$log" | awk '{print $2}' | sed 's/:$//' | sort -u)
   # a nonzero exit with NO FAIL lines is a comparator crash (traceback),
@@ -202,12 +205,61 @@ run_grown() {
     tail -5 "$log" | sed 's/^/CLOSE:   /'
     fails=$((fails+1)); rm -f "$log"; return
   fi
+  # Expected-diff gate, per-query classification (r14 — generalized from
+  # the single q_winsorize carve-out after the x16 run surfaced a second
+  # member of the same engine-defined FP class):
+  #  - q_winsorize: interpolated-percentile tie-block identity (BASELINE
+  #    r12) — both engines exact, FP algebra picks a different tie edge.
+  #  - r2-cent-boundary: EVERY FAIL cell for the query is a one-cent
+  #    diff on an r2-rounded double aggregate — accumulation-order
+  #    spread (~hundreds of ULP over grown-volume sums) straddling a
+  #    half-cent boundary (BASELINE r14: q_join_broadcast at x16, raw
+  #    sums 19596053185.7842 duck vs >=.785 spark). Unreachable at the
+  #    declared SFs where the spread is orders of magnitude below the
+  #    boundary distance; a logic bug cannot hide here because any
+  #    non-rounding diff breaks the all-cells-exactly-0.01 condition.
+  # Classified queries report as CLASSIFIED, never as green.
+  local classified
+  classified=$(python3 - "$log" <<'PYEOF'
+import math, re, sys
+from collections import defaultdict
+cells = defaultdict(list)
+for l in open(sys.argv[1]):
+    if not l.startswith('FAIL'): continue
+    q = l.split()[1].rstrip(':')
+    m = re.search(r'spark=(-?[0-9.eE+]+) duck=(-?[0-9.eE+]+)\s*$', l)
+    if not m:
+        cells[q].append(False); continue
+    try:
+        s, d = float(m.group(1)), float(m.group(2))
+        # one cent, up to a few ULPs of the operands' magnitude (the
+        # subtraction itself is inexact at e10-scale sums)
+        tol = max(1e-9, 32 * math.ulp(max(abs(s), abs(d))))
+        cells[q].append(abs(abs(s - d) - 0.01) <= tol)
+    except Exception:
+        cells[q].append(False)
+out = []
+for q, ds in cells.items():
+    if q == 'q_winsorize': out.append(q + '=fp-percentile-tie')
+    elif ds and all(ds): out.append(q + '=r2-cent-boundary')
+print(' '.join(sorted(out)))
+PYEOF
+)
+  local unexpected="" q
+  for q in $failqs; do
+    case " $classified " in
+      *" $q="*) ;;
+      *) unexpected="$unexpected $q" ;;
+    esac
+  done
+  unexpected="${unexpected# }"
   if [ -z "$failqs" ]; then
-    note "grown: 138/138 green at x$gf (expected-diff q_winsorize did not even fire)"
-  elif [ "$failqs" = "q_winsorize" ]; then
-    note "grown: green-gated 137/138 + 1 classified at x$gf (q_winsorize FP-algebra expected diff)"
+    note "grown: 138/138 green at x$gf (no expected-diff class even fired)"
+  elif [ -z "$unexpected" ]; then
+    local nclass; nclass=$(echo "$failqs" | wc -l)
+    note "grown: green-gated $((138-nclass))/138 + $nclass classified at x$gf ($classified)"
   else
-    note "grown: UNEXPECTED failures: $(echo "$failqs" | tr '\n' ' ')"
+    note "grown: UNEXPECTED failures: $unexpected (classified: ${classified:-none})"
     grep '^FAIL' "$log" | head -5 | sed 's/^/CLOSE:   /'
     fails=$((fails+1))
   fi
