@@ -259,7 +259,7 @@ object Bench {
     // line carries the scoring scalars only (~170 chars, always inside any
     // tail); the per-query maps live earlier on stdout and in the
     // BENCH_LOCAL.json sidecar).
-    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"reps":$reps,"n_queries":${med.size},"failures":$failures,"sf":"$sfDir"}"""
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"window_index":$widx,"reps":$reps,"n_queries":${med.size},"failures":$failures,"sf":"$sfDir"}"""
     // Tail hardening (r6 postmortem): BENCH_r06.json came back parsed:null
     // because teardown AFTER the summary println flooded stderr with
     // checkpoint-unpersist WARNs and the driver tails the COMBINED stream —

@@ -54,24 +54,55 @@ fails=0
 
 note() { summary+=("$1"); echo "CLOSE: $1"; }
 
-# p90 of same-SHAPE totals in BENCH_HISTORY: protocol AND sf AND reps
-# must match the close bench's fixed shape (r13 ADVICE: history mixes
-# sf0.001 'local' runs with sf0.1 close runs — an unfiltered band can be
-# skewed low, stamping quiet runs DEGRADED, or high, loosening the
-# guard). Empty when fewer than 3 matching lines exist.
+# p90 of same-SHAPE totals in BENCH_HISTORY, WINDOW-NORMALIZED (r14):
+# protocol AND sf AND reps must match the close bench's fixed shape
+# (r13 ADVICE: history mixes sf0.001 'local' runs with sf0.1 close runs
+# — an unfiltered band can be skewed low, stamping quiet runs DEGRADED,
+# or high, loosening the guard). Each total is divided by its line's
+# window_index (Bench's 12-head plan-stable basket vs the 96.9 s record
+# — recomputed here from the line's own queries map so pre-r14 lines
+# normalize too) before the band is built, and run_bench compares the
+# run's NORMALIZED total against it: the r14 session measured raw
+# totals 96.9->147.4 (1.52x) collapsing to 88->107 normalized (±10%),
+# so a raw-total band conflates host windows with plan regressions —
+# exactly what this guard must separate. Empty when fewer than 3
+# matching lines exist.
+WINDOW_BASKET='{"q_project":0.765,"q_filter":0.339,"q_math":0.718,"q_str":0.268,"q_case":0.285,"q_date":0.451,"q_array":0.278,"q_map":1.073,"q_sort":0.502,"q_agg_pricing":0.486,"q_win_lag":0.636,"q_union":0.374}'
+export WINDOW_BASKET
 quiet_p90() {
   python3 - <<'PY'
-import json
+import json, os, statistics
 proto = "pass-major-median-v2-noop"
+basket = json.loads(os.environ["WINDOW_BASKET"])
+def widx(d):
+    qs = d.get("queries", {})
+    rs = [qs[q] / c for q, c in basket.items() if qs.get(q, 0) > 0]
+    return statistics.median(rs) if rs else None
+totals = []
 try:
-    totals = sorted(
-        d["value"] for d in map(json.loads, open("BENCH_HISTORY.jsonl"))
-        if d.get("protocol") == proto and isinstance(d.get("value"), float)
-        and d.get("sf") == "/root/testdata/sf0.1" and d.get("reps") == 3)
+    for d in map(json.loads, open("BENCH_HISTORY.jsonl")):
+        if (d.get("protocol") == proto and isinstance(d.get("value"), float)
+                and d.get("sf") == "/root/testdata/sf0.1"
+                and d.get("reps") == 3):
+            w = widx(d)
+            if w: totals.append(d["value"] / w)
 except FileNotFoundError:
-    totals = []
+    pass
+totals.sort()
 if len(totals) >= 3:
     print(f"{totals[min(len(totals) - 1, int(0.9 * len(totals)))]:.1f}")
+PY
+}
+
+# normalized total of the CURRENT run: value / window_index, both taken
+# from the run's own total line (window_index ships in it since r14)
+norm_total() {  # $1 = bench total line
+  python3 - "$1" <<'PY'
+import json, sys
+d = json.loads(sys.argv[1])
+w = d.get("window_index", -1)
+print(f"{d['value'] / w:.1f}" if isinstance(w, (int, float)) and w > 0
+      else f"{d['value']:.1f}")
 PY
 }
 
@@ -100,16 +131,16 @@ run_bench() {
   if ! bench_once; then
     note "bench: FAILED"; fails=$((fails+1)); return
   fi
-  total=$(echo "$bench_total_line" | grep -o '"value":[0-9.]*' | cut -d: -f2)
+  total=$(norm_total "$bench_total_line")
   if [ -n "$p90" ] && awk -v t="$total" -v b="$p90" 'BEGIN{exit !(t>b)}'; then
-    note "bench: $total s above quiet-band p90 ($p90 s) — cooldown 120 s, one re-run"
+    note "bench: normalized $total s above quiet-band normalized p90 ($p90 s) — cooldown 120 s, one re-run"
     sleep 120
     if ! bench_once; then
       note "bench re-run: FAILED"; fails=$((fails+1)); return
     fi
-    total=$(echo "$bench_total_line" | grep -o '"value":[0-9.]*' | cut -d: -f2)
+    total=$(norm_total "$bench_total_line")
     if awk -v t="$total" -v b="$p90" 'BEGIN{exit !(t>b)}'; then
-      note "bench: DEGRADED-WINDOW stamp — re-run $total s still above p90 $p90 s; quote BENCH_HISTORY quiet lines, not this artifact"
+      note "bench: DEGRADED stamp — re-run normalized $total s still above normalized p90 $p90 s; window_index already discounts host speed, so this is a PLAN-SHAPED regression signal, not a host window"
     fi
   fi
   note "bench: $bench_total_line"
