@@ -195,7 +195,8 @@ object Bench {
     val total = med.collect { case (_, v) if v >= 0 => v }.sum
     // Window index (r14, quiet-band item): median over a basket of cheap,
     // PLAN-STABLE heads of (this run's median / the same head's median in
-    // the 96.9 s v2 quiet record, the src=close line at commit 0456d04).
+    // the 96.9 s v2 quiet record — the 12:16 src=close line at commit
+    // 967898f31; NOT 0456d04, which is the 12:38 src=local line).
     // The basket is scan+compute shapes no graft dial can move, spread
     // across scan/filter/scalar/sort/window/union plan classes, so the
     // ratio isolates HOST speed from plan changes: watch heads grazing
@@ -221,8 +222,22 @@ object Bench {
       if (rs.isEmpty || !sfDir.stripSuffix("/").endsWith("sf0.1")) -1.0
       else median(rs.toList)
     }
-    val widx = f"$windowIndex%.3f"
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"reps":$reps,"window_index":$widx,"queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}"""
+    // Locale-pinned formatting (r14 ADVICE): an f"" interpolator uses the
+    // JVM default locale — under a comma-decimal locale it would emit
+    // "1,042" and corrupt the hand-built JSON of every artifact line
+    // (after which close.sh's norm_total parse fails and the quiet-band
+    // guard dies). Every other number in these lines is Double.toString,
+    // which is locale-independent already.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val widx = f3(windowIndex)
+    // Normalized total stamped in the artifact itself (r14 verdict item
+    // 5): the driver's BENCH tail keeps only 2000 chars, and before this
+    // the reader had to divide value by window_index by hand. -1 when the
+    // run's shape has no index (non-sf0.1). close.sh's norm_total prefers
+    // this field.
+    val normTotal = if (windowIndex > 0) f3(total / windowIndex) else "-1.000"
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"reps":$reps,"window_index":$widx,"normalized_total":$normTotal,"queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}"""
     // Compact summary printed LAST: artifact collectors that keep only the
     // tail of stdout (the driver stores 2000 chars) must still see the
     // totals, rep count, the slowest queries, the dedup-family
@@ -251,7 +266,7 @@ object Bench {
     val watchMin = watchQs.flatMap(q => minMap.get(q).map(q -> _))
     val failures = med.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val summaryLine = s"""{"metric":"summary","total":$total,"warmup_sec":$warmup,"window_index":$widx,"warm":${obj(warmTimes)},"reps":$reps,"n_queries":${med.size},"slowest":${obj(slowest)},"watch":${obj(watch)},"watch_min":${obj(watchMin)},"failures":$failures}"""
+    val summaryLine = s"""{"metric":"summary","total":$total,"warmup_sec":$warmup,"window_index":$widx,"normalized_total":$normTotal,"warm":${obj(warmTimes)},"reps":$reps,"n_queries":${med.size},"slowest":${obj(slowest)},"watch":${obj(watch)},"watch_min":${obj(watchMin)},"failures":$failures}"""
     // Compact total line, printed as the FINAL stdout line (r7 postmortem:
     // BENCH_r07.json was parsed:null because the driver json-parses the
     // {"metric":"total"} line from its 2000-char tail, and the full line's
@@ -259,7 +274,7 @@ object Bench {
     // line carries the scoring scalars only (~170 chars, always inside any
     // tail); the per-query maps live earlier on stdout and in the
     // BENCH_LOCAL.json sidecar).
-    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"window_index":$widx,"reps":$reps,"n_queries":${med.size},"failures":$failures,"sf":"$sfDir"}"""
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"window_index":$widx,"normalized_total":$normTotal,"reps":$reps,"n_queries":${med.size},"failures":$failures,"sf":"$sfDir"}"""
     // Tail hardening (r6 postmortem): BENCH_r06.json came back parsed:null
     // because teardown AFTER the summary println flooded stderr with
     // checkpoint-unpersist WARNs and the driver tails the COMBINED stream —

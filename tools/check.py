@@ -186,19 +186,36 @@ def main():
             print(f"FAIL {name}: rows spark={st.num_rows} duck={dt.num_rows}")
             nfail += 1
             continue
-        bad = None
+        # Multi-cell emission (r15, r14 ADVICE): the old compare broke at
+        # the FIRST differing cell, so the grown-gate classifier's
+        # "every FAIL cell matches the class signature" condition was a
+        # one-cell check — a mixed-cause failure whose first diff happened
+        # to look like the expected class would green-gate. Scan ALL
+        # columns, emit up to MAX_CELLS FAIL lines (one per cell), and a
+        # NOTE line with the true total so the classifier can refuse to
+        # classify a capped (total > shown) failure.
+        MAX_CELLS = 64
+        cells = []      # (col, row, spark, duck), at most MAX_CELLS + 1
+        capped = False
         for c in scols:
             sv = [normalize(x) for x in st.column(c).to_pylist()]
             dv = [normalize(x) for x in dt.column(c).to_pylist()]
-            if sv != dv:
-                for i, (a, b) in enumerate(zip(sv, dv)):
-                    if a != b:
-                        bad = (c, i, a, b)
+            if sv == dv:
+                continue
+            for i, (a, b) in enumerate(zip(sv, dv)):
+                if a != b:
+                    if len(cells) >= MAX_CELLS:
+                        capped = True
                         break
+                    cells.append((c, i, a, b))
+            if capped:
                 break
-        if bad:
-            c, i, a, b = bad
-            print(f"FAIL {name}: col={c} row={i} spark={a!r} duck={b!r}")
+        if cells:
+            for c, i, a, b in cells:
+                print(f"FAIL {name}: col={c} row={i} spark={a!r} duck={b!r}")
+            print(f"NOTE {name}: {len(cells)}{'+' if capped else ''}"
+                  f" mismatched cells ({'capped at' if capped else 'all'}"
+                  f" {MAX_CELLS if capped else len(cells)} shown)")
             nfail += 1
         else:
             print(f"OK   {name} ({st.num_rows} rows)")

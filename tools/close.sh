@@ -59,14 +59,20 @@ note() { summary+=("$1"); echo "CLOSE: $1"; }
 # (r13 ADVICE: history mixes sf0.001 'local' runs with sf0.1 close runs
 # — an unfiltered band can be skewed low, stamping quiet runs DEGRADED,
 # or high, loosening the guard). Each total is divided by its line's
-# window_index (Bench's 12-head plan-stable basket vs the 96.9 s record
-# — recomputed here from the line's own queries map so pre-r14 lines
-# normalize too) before the band is built, and run_bench compares the
+# window_index before the band is built, and run_bench compares the
 # run's NORMALIZED total against it: the r14 session measured raw
 # totals 96.9->147.4 (1.52x) collapsing to 88->107 normalized (±10%),
 # so a raw-total band conflates host windows with plan regressions —
 # exactly what this guard must separate. Empty when fewer than 3
 # matching lines exist.
+#
+# Single-sourcing (r15, r14 ADVICE): lines carry their own window_index
+# (and, since r15, normalized_total) stamped by Bench.scala — the
+# STORED value is preferred, so Bench's basket constants are the one
+# live copy. The basket literal below exists ONLY to retro-normalize
+# the frozen pre-r14 history lines, which never change; it must match
+# the r14 calibration record (Bench.scala windowBasket) and is not a
+# second live copy of anything.
 WINDOW_BASKET='{"q_project":0.765,"q_filter":0.339,"q_math":0.718,"q_str":0.268,"q_case":0.285,"q_date":0.451,"q_array":0.278,"q_map":1.073,"q_sort":0.502,"q_agg_pricing":0.486,"q_win_lag":0.636,"q_union":0.374}'
 export WINDOW_BASKET
 quiet_p90() {
@@ -75,7 +81,10 @@ import json, os, statistics
 proto = "pass-major-median-v2-noop"
 basket = json.loads(os.environ["WINDOW_BASKET"])
 def widx(d):
-    qs = d.get("queries", {})
+    w = d.get("window_index")
+    if isinstance(w, (int, float)) and w > 0:
+        return w   # stored by Bench since r14 — the single live source
+    qs = d.get("queries", {})  # pre-r14 retro formula (frozen lines)
     rs = [qs[q] / c for q, c in basket.items() if qs.get(q, 0) > 0]
     return statistics.median(rs) if rs else None
 totals = []
@@ -94,15 +103,55 @@ if len(totals) >= 3:
 PY
 }
 
-# normalized total of the CURRENT run: value / window_index, both taken
-# from the run's own total line (window_index ships in it since r14)
+# normalized total of the CURRENT run: prefers the line's own
+# normalized_total (stamped by Bench since r15), falls back to
+# value / window_index. Prints NOTHING on a parse failure — run_bench
+# treats an empty result as a hard step failure (r14 ADVICE: the old
+# empty-on-error behavior silently disabled the quiet-band guard via
+# awk comparing an empty string as 0).
 norm_total() {  # $1 = bench total line
   python3 - "$1" <<'PY'
 import json, sys
 d = json.loads(sys.argv[1])
-w = d.get("window_index", -1)
-print(f"{d['value'] / w:.1f}" if isinstance(w, (int, float)) and w > 0
-      else f"{d['value']:.1f}")
+nt = d.get("normalized_total")
+if isinstance(nt, (int, float)) and nt > 0:
+    print(f"{nt:.1f}")
+else:
+    w = d.get("window_index", -1)
+    print(f"{d['value'] / w:.1f}" if isinstance(w, (int, float)) and w > 0
+          else f"{d['value']:.1f}")
+PY
+}
+
+# Normalized watch-threshold check (r15, r14 verdict item 2): the
+# per-query done-criteria thresholds (BASELINE r13, re-based for v2)
+# were validated against host windows of index ~1.0-1.25, and the r14
+# session saw a 1.45-index window push q_record_linkage to 4.97 vs its
+# 5.0 threshold — pure host speed. The totals guard already compares
+# normalized values; this check divides each watch value by the run's
+# window_index before comparing, so a breach is a PLAN-SHAPED
+# regression and fails the step (a raw-value graze from a slow host no
+# longer can). Thresholds themselves stay as written. The
+# topk_group <= 2x topk_group_native criterion is a ratio — index
+# cancels — so it is checked raw.
+watch_check() {  # $1 = summary/watch json fragment, $2 = window_index
+  python3 - "$1" "$2" <<'PY'
+import json, sys
+w = json.loads(sys.argv[1])
+try:
+    widx = float(sys.argv[2])
+except ValueError:
+    widx = -1.0
+if widx <= 0:
+    widx = 1.0   # non-sf0.1 shapes carry -1; compare raw
+TH = {"q_dedup_ngram": 6.0, "q_dedup_embed": 3.0, "q_record_linkage": 5.0,
+      "q_cube": 1.5, "q_dedup_clusters": 4.5}
+bad = [f"{q}={v:.2f}/{widx:.3f}={v / widx:.2f}>{TH[q]}"
+       for q, v in w.items() if q in TH and v / widx > TH[q]]
+tg, tgn = w.get("q_topk_group"), w.get("q_topk_group_native")
+if tg is not None and tgn is not None and tgn > 0 and tg > 2 * tgn:
+    bad.append(f"q_topk_group={tg:.2f}>2x native {tgn:.2f}")
+print(" ".join(bad))
 PY
 }
 
@@ -132,6 +181,10 @@ run_bench() {
     note "bench: FAILED"; fails=$((fails+1)); return
   fi
   total=$(norm_total "$bench_total_line")
+  if [ -z "$total" ]; then
+    note "bench: NORM-TOTAL PARSE FAILED on total line — guard cannot run (line: $bench_total_line)"
+    fails=$((fails+1)); return
+  fi
   if [ -n "$p90" ] && awk -v t="$total" -v b="$p90" 'BEGIN{exit !(t>b)}'; then
     note "bench: normalized $total s above quiet-band normalized p90 ($p90 s) — cooldown 120 s, one re-run"
     sleep 120
@@ -139,12 +192,29 @@ run_bench() {
       note "bench re-run: FAILED"; fails=$((fails+1)); return
     fi
     total=$(norm_total "$bench_total_line")
+    if [ -z "$total" ]; then
+      note "bench re-run: NORM-TOTAL PARSE FAILED (line: $bench_total_line)"
+      fails=$((fails+1)); return
+    fi
     if awk -v t="$total" -v b="$p90" 'BEGIN{exit !(t>b)}'; then
       note "bench: DEGRADED stamp — re-run normalized $total s still above normalized p90 $p90 s; window_index already discounts host speed, so this is a PLAN-SHAPED regression signal, not a host window"
     fi
   fi
   note "bench: $bench_total_line"
   [ -n "$bench_watch_line" ] && echo "CLOSE: bench $bench_watch_line"
+  # normalized watch thresholds (r15): a breach after host-speed
+  # normalization is a plan regression — fail the step
+  if [ -n "$bench_watch_line" ]; then
+    local widx breaches
+    widx=$(python3 -c 'import json,sys; d=json.loads(sys.argv[1]); print(d.get("window_index",-1))' "$bench_total_line" 2>/dev/null)
+    breaches=$(watch_check "${bench_watch_line#\"watch\":}" "${widx:--1}")
+    if [ -n "$breaches" ]; then
+      note "bench: WATCH BREACH (normalized): $breaches"
+      fails=$((fails+1))
+    else
+      note "bench: watch normalized-check clean (window_index ${widx:-?})"
+    fi
+  fi
 }
 
 run_audits() {
@@ -203,9 +273,17 @@ run_sweep() {
 }
 
 run_grown() {
-  # GRAFT_GROWN_FACTOR overrides the default x8 (r14: a one-off x16 run
-  # checks the expected-diff classification one octave further)
-  local gf="${GRAFT_GROWN_FACTOR:-8}"
+  # GRAFT_GROWN_FACTOR overrides the factor; otherwise it ROTATES on
+  # round parity (r14 verdict item 6): odd rounds x16, even rounds x8,
+  # so both classifier classes stay exercised — r2-cent-boundary needs
+  # x16-volume sums to straddle a half-cent boundary, while x8 is the
+  # cheaper routine octave. Unknown round -> x8.
+  local gf="${GRAFT_GROWN_FACTOR:-}"
+  if [ -z "$gf" ]; then
+    local rnd="${SPARK_GRAFT_ROUND:-0}"
+    case "$rnd" in (*[!0-9]*|'') rnd=0;; esac
+    if [ $((rnd % 2)) -eq 1 ]; then gf=16; else gf=8; fi
+  fi
   local gdir="/tmp/graft-grown-x$gf" out log rc
   out=$(mktemp -d /tmp/graft_grown_verify.XXXXXX)
   log=$(mktemp)
@@ -236,46 +314,18 @@ run_grown() {
     tail -5 "$log" | sed 's/^/CLOSE:   /'
     fails=$((fails+1)); rm -f "$log"; return
   fi
-  # Expected-diff gate, per-query classification (r14 — generalized from
-  # the single q_winsorize carve-out after the x16 run surfaced a second
-  # member of the same engine-defined FP class):
-  #  - q_winsorize: interpolated-percentile tie-block identity (BASELINE
-  #    r12) — both engines exact, FP algebra picks a different tie edge.
+  # Expected-diff gate, per-query classification — extracted to
+  # tools/classify_grown.py (r15; selftested incl. negative controls):
+  #  - fp-percentile-tie: q_winsorize ONLY, and since r15 SIGNATURE-
+  #    matched (n_clipped small-int delta / mean_wins r6 flip) instead
+  #    of by name — any other q_winsorize failure shape fails the gate.
   #  - r2-cent-boundary: EVERY FAIL cell for the query is a one-cent
-  #    diff on an r2-rounded double aggregate — accumulation-order
-  #    spread (~hundreds of ULP over grown-volume sums) straddling a
-  #    half-cent boundary (BASELINE r14: q_join_broadcast at x16, raw
-  #    sums 19596053185.7842 duck vs >=.785 spark). Unreachable at the
-  #    declared SFs where the spread is orders of magnitude below the
-  #    boundary distance; a logic bug cannot hide here because any
-  #    non-rounding diff breaks the all-cells-exactly-0.01 condition.
+  #    diff on an r2-rounded double aggregate; the all-cells condition
+  #    is real since r15 (check.py emits every mismatched cell, and a
+  #    capped NOTE voids classification).
   # Classified queries report as CLASSIFIED, never as green.
   local classified
-  classified=$(python3 - "$log" <<'PYEOF'
-import math, re, sys
-from collections import defaultdict
-cells = defaultdict(list)
-for l in open(sys.argv[1]):
-    if not l.startswith('FAIL'): continue
-    q = l.split()[1].rstrip(':')
-    m = re.search(r'spark=(-?[0-9.eE+]+) duck=(-?[0-9.eE+]+)\s*$', l)
-    if not m:
-        cells[q].append(False); continue
-    try:
-        s, d = float(m.group(1)), float(m.group(2))
-        # one cent, up to a few ULPs of the operands' magnitude (the
-        # subtraction itself is inexact at e10-scale sums)
-        tol = max(1e-9, 32 * math.ulp(max(abs(s), abs(d))))
-        cells[q].append(abs(abs(s - d) - 0.01) <= tol)
-    except Exception:
-        cells[q].append(False)
-out = []
-for q, ds in cells.items():
-    if q == 'q_winsorize': out.append(q + '=fp-percentile-tie')
-    elif ds and all(ds): out.append(q + '=r2-cent-boundary')
-print(' '.join(sorted(out)))
-PYEOF
-)
+  classified=$(python3 tools/classify_grown.py "$log")
   local unexpected="" q
   for q in $failqs; do
     case " $classified " in
