@@ -31,6 +31,64 @@ object Cols {
     when(isnan(c), c)
       .otherwise(floor(c * lit(100.0) + lit(0.5)) / lit(100.0))
 
+  /** Cent-rounded money SUM — the one aggregate shape the ×16 grown run
+    * proved is ENGINE-DEFINED at boundary cells on the default fp64 lane
+    * (BASELINE r14: q_join_broadcast at ×16, DuckDB's accumulation lands
+    * at 19596053185.784218 — 0.0008 BELOW the half-cent boundary — while
+    * Spark's differently-ordered partial aggregation lands above it; at
+    * ~2×10¹⁰ sums the engines' accumulation-order spread is ~hundreds of
+    * ULPs ≈ millicents, so with enough output cells one eventually
+    * straddles a rounding boundary).
+    *
+    * DECISION (r15, r14 verdict item 4): the DEFAULT stays the fp64 sum —
+    * it is the declared semantics the whole oracle surface and the frozen
+    * hash gate are built on, it is what every mainstream engine computes
+    * for `sum(double)`, and the boundary class is unreachable at every
+    * declared SF (triple-SF sweep exact; first observed only at ×16).
+    * Deployments that need BIT-REPRODUCIBLE money across partitionings,
+    * retries and plan changes opt in with `spark.graft.money.decimal=
+    * true`: each input is cast to DECIMAL(38,16) (Spark's double→decimal
+    * cast goes through the SHORTEST decimal representation —
+    * `BigDecimal(Double.toString)` — so a money-scale double becomes
+    * exactly its printed value, deterministically per value), summed
+    * EXACTLY (decimal addition is associative, so the result is
+    * accumulation-order-independent by construction — the cent class
+    * cannot fire), cast back to double (one deterministic rounding of
+    * one exact value) and r2-rounded. The guarantee is ENGINE-INTERNAL
+    * determinism: cross-engine cent equality additionally requires the
+    * other engine to share the shortest-repr cast convention (DuckDB,
+    * for one, casts the exact binary value instead). NaN propagates explicitly
+    * (decimal has no NaN; an unguarded ANSI cast would error): any NaN
+    * input yields a NaN sum, matching the fp64 lane's declared
+    * poison-stays-visible semantics. Scope: the 24 plain money-sum
+    * aggregates; running-window sums (the three `.over` sites) keep fp64 —
+    * their per-frame accumulation counts are orders of magnitude smaller
+    * and their ordering is declared by the frame itself. Cost: decimal
+    * aggregation runs outside the vectorized fast path (~2–4× the sum's
+    * CPU), which is why it is a dial and not the default.
+    *
+    * Lane relationship at declared SFs (measured, the `decmoney`
+    * ConfParity extra-arm at sf0.01): 137/138 queries bit-identical; the
+    * one mover (q_date_spine, 7 of ~2500 cells) is the HALF-CENT
+    * BOUNDARY population — 4-decimal money products whose exact sum
+    * lands within ~1e-7 of the x.xx5 grid (e.g. 1665422.974999999938),
+    * where the fp64 cent is accumulation-order luck by construction and
+    * the decimal lane returns the deterministic resolution. So the lane
+    * does not merely match fp64 with stability added: it REPLACES an
+    * unstable coin flip on exactly the boundary population, at every
+    * scale. MoneyLaneSpec pins the divergence-class law (every lane diff
+    * is a one-cent flip on a boundary cell) and the order-independence
+    * proof; tools/MoneyGrownAb demonstrates the class cannot fire across
+    * partitionings at grown volume.
+    */
+  def moneySum(c: Column): Column =
+    if (org.apache.spark.sql.SparkSession.active.conf
+          .get("spark.graft.money.decimal", "false").toBoolean) {
+      val exact = sum(nanNull(c).cast("decimal(38,16)"))
+      when(count(when(isnan(c), lit(1))) > 0, lit(Double.NaN))
+        .otherwise(r2(exact.cast("double")))
+    } else r2(sum(c))
+
   /** Ratio rounding (6 decimals) — same shared-formula trick as [[r2]]. */
   def r6(c: Column): Column =
     when(isnan(c), c)

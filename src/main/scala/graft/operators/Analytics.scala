@@ -56,7 +56,7 @@ object Analytics {
     events(s, d)
       .withColumn("bucket", floor(col("value") / 50.0).cast("long"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), Cols.r2(sum(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Cols.moneySum(col("value")).as("sum_value"))
       .orderBy("bucket")
 
   /** Pivot: order status columns per priority. Spark's pivot compiles to
@@ -65,7 +65,7 @@ object Analytics {
     orders(s, d)
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(Cols.r2(sum(col("o_totalprice"))))
+      .agg(Cols.moneySum(col("o_totalprice")))
       .orderBy("o_orderpriority")
 
   /** Unpivot (melt): the inverse of [[qPivot]] — a wide per-user matrix of
@@ -79,7 +79,7 @@ object Analytics {
     events(s, d)
       .groupBy(col("user_id"))
       .pivot("event_type", types)
-      .agg(Cols.r2(sum(col("value"))))
+      .agg(Cols.moneySum(col("value")))
       .na.fill(0.0, types)
       .unpivot(Array(col("user_id")), types.map(col).toArray,
         "event_type", "total")
@@ -173,7 +173,7 @@ object Analytics {
     // the x2 per-run count is inside the pinned ScanAuditSpec budget.
     val rev = li
       .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
-      .agg(Cols.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      .agg(Cols.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"))
     // Conf-bounded spine (same doctrine as qResample): min/max-bounded
     // sequence() lets one corrupt pre-epoch date inflate the spine to a

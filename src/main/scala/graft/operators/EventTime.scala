@@ -31,7 +31,7 @@ object EventTime {
   def qWinTumbling(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), Cols.r2(sum(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Cols.moneySum(col("value")).as("sum_value"))
       .select(Cols.epochUs(col("window.start")).as("start_us"),
         Cols.epochUs(col("window.end")).as("end_us"),
         col("event_type"), col("n"), col("sum_value"))
@@ -43,7 +43,7 @@ object EventTime {
   def qWinSliding(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
-      .agg(count(lit(1)).as("n"), Cols.r2(sum(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Cols.moneySum(col("value")).as("sum_value"))
       .select(Cols.epochUs(col("window.start")).as("start_us"),
         Cols.epochUs(col("window.end")).as("end_us"),
         col("n"), col("sum_value"))
@@ -60,7 +60,7 @@ object EventTime {
   def qWinSession(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), Cols.r2(sum(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), Cols.moneySum(col("value")).as("sum_value"))
       .select(col("user_id"),
         Cols.epochUs(col("session_window.start")).as("start_us"),
         Cols.epochUs(col("session_window.end")).as("end_us"),

@@ -54,7 +54,13 @@ object Hygiene {
     }
     val freq = segs.groupBy(col("source"), col("seg"))
       .agg(countDistinct(col("doc_id")).as("nd"))
-    segs.join(freq, Seq("source", "seg"))
+    // MERGE-PINNED for the same reason as qSubstringDup's shingle-freq
+    // join-back (see there — r15 ×16 broadcast-OOM root cause): freq's
+    // cardinality is the distinct (source, segment-text) count,
+    // corpus-linear and never broadcastable at scale; seg strings
+    // compress less than shingle longs, so this twin had not fired YET,
+    // but the hazard class is identical.
+    segs.join(freq.hint("merge"), Seq("source", "seg"))
       .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(count(lit(1)).as("n_segs"),
         count(when(col("nd") < 2, lit(1))).as("n_kept"),
@@ -365,7 +371,20 @@ object Hygiene {
         .select(col("doc_id"), explode(shingles(col("text"), 30)).as("h"))
     }
     val freq = wins.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
-    wins.join(freq, "h")
+    // MERGE-PINNED join-back (r15): freq's cardinality is the DISTINCT
+    // SHINGLE count — corpus-linear, never broadcastable at scale. Without
+    // the pin, AQE's runtime flip converts this SMJ to broadcast whenever
+    // freq's COMPRESSED shuffle bytes dip under the 10 MB adaptive
+    // threshold — and two-long rows compress ~50×, so at the ×16 grown
+    // corpus (~sf1.6) an ~8 MB shuffle deserialized into a multi-GB
+    // HashedRelation and killed the driver with "Not enough memory to
+    // build and broadcast" EXACTLY when concurrent heap pressure was high
+    // (the r14 "unreproduced transient", root-caused from the preserved
+    // ×16 Verify log this round: stats-underestimated AQE broadcast of an
+    // unbounded aggregate side — the flip is load-dependent, so solo
+    // re-runs passed). The merge hint survives AQE replanning; the cost
+    // is the honest linear re-shuffle of wins on h.
+    wins.join(freq.hint("merge"), "h")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_win"),
         count(when(col("nd") >= 2, lit(1))).as("n_dup"))

@@ -64,7 +64,7 @@ object Relational {
     val p  = part(s, d)
     li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(Cols.r2(sum(revenue)).as("brand_revenue"),
+      .agg(Cols.moneySum(revenue).as("brand_revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("p_brand")
   }
@@ -77,7 +77,7 @@ object Relational {
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
-        Cols.r2(sum(revenue)).as("priority_revenue"))
+        Cols.moneySum(revenue).as("priority_revenue"))
       .orderBy("o_orderpriority")
   }
 
@@ -99,7 +99,7 @@ object Relational {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_orders"),
-        Cols.r2(sum(col("o_totalprice"))).as("nation_revenue"))
+        Cols.moneySum(col("o_totalprice")).as("nation_revenue"))
       .orderBy("r_name", "n_name")
   }
 
@@ -193,7 +193,7 @@ object Relational {
     val SALT = 8L
     val ev = events(s, d)
     val agg = ev.groupBy(col("user_id"))
-      .agg(Cols.r2(sum(col("value"))).as("user_total"),
+      .agg(Cols.moneySum(col("value")).as("user_total"),
         count(lit(1)).as("user_events"))
     val aggSalted = agg.withColumn("salt",
       explode(sequence(lit(0L), lit(SALT - 1))))
@@ -239,7 +239,7 @@ object Relational {
     fact.join(dim.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(count(lit(1)).as("n_orders"),
-        Cols.r2(sum(col("o_totalprice"))).as("revenue"))
+        Cols.moneySum(col("o_totalprice")).as("revenue"))
       .orderBy("c_custkey")
   }
 
@@ -379,10 +379,10 @@ object Relational {
       .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        Cols.r2(sum(col("l_quantity"))).as("sum_qty"),
-        Cols.r2(sum(col("l_extendedprice"))).as("sum_base_price"),
-        Cols.r2(sum(revenue)).as("sum_disc_price"),
-        Cols.r2(sum(revenue * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        Cols.moneySum(col("l_quantity")).as("sum_qty"),
+        Cols.moneySum(col("l_extendedprice")).as("sum_base_price"),
+        Cols.moneySum(revenue).as("sum_disc_price"),
+        Cols.moneySum(revenue * (lit(1.0) + col("l_tax"))).as("sum_charge"),
         Cols.r6(avg(col("l_quantity"))).as("avg_qty"),
         Cols.r6(avg(col("l_extendedprice"))).as("avg_price"),
         Cols.r6(avg(col("l_discount"))).as("avg_disc"),
@@ -514,7 +514,7 @@ object Relational {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping(col("l_returnflag")).as("gf"),
         grouping(col("l_linestatus")).as("gl"),
-        Cols.r2(sum(revenue)).as("rev"), count(lit(1)).as("n"))
+        Cols.moneySum(revenue).as("rev"), count(lit(1)).as("n"))
       // ORDER on (grouping flags, RAW nullable keys), not on the rendered
       // sentinel strings: a data value literally equal to 'ALL'/'(null)'
       // renders identically to a subtotal/null-group row, and an ORDER BY
@@ -550,7 +550,7 @@ object Relational {
       // $.k values) caught the old -1/-2 markers colliding with genuine
       // negative buckets, which silently de-totalized the ORDER BY
       .agg(grouping(col("event_type")).as("ge"), grouping(col("k_bucket")).as("gk"),
-        count(lit(1)).as("n"), Cols.r2(sum(col("value"))).as("sum_value"))
+        count(lit(1)).as("n"), Cols.moneySum(col("value")).as("sum_value"))
       // ORDER on (flags, RAW keys), not the rendering: a literal 'ALL' or
       // '(null)' event_type value renders identically to a subtotal/null
       // row and would de-totalize an etype-string sort (the kb sentinels
@@ -568,7 +568,7 @@ object Relational {
   def qHaving(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(col("user_id"))
-      .agg(Cols.r2(sum(col("value"))).as("total_value"),
+      .agg(Cols.moneySum(col("value")).as("total_value"),
         count(lit(1)).as("n_events"))
       .filter(col("total_value") > 1000.0)
       .orderBy("user_id")
@@ -587,7 +587,7 @@ object Relational {
   def qTopk(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy(col("l_partkey"))
-      .agg(Cols.r2(sum(revenue)).as("part_revenue"))
+      .agg(Cols.moneySum(revenue).as("part_revenue"))
       .orderBy(col("part_revenue").desc, col("l_partkey").asc)
       .limit(20)
 

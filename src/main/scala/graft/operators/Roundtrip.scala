@@ -304,7 +304,7 @@ object Roundtrip {
     // string form so the output schema matches the oracle's VARCHAR.
     s.read.schema(lakeSchema(s, d)).parquet(out)
       .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"))
-      .agg(count(lit(1)).as("n"), graft.Cols.r2(sum(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), graft.Cols.moneySum(col("value")).as("sum_value"))
       .orderBy("event_date")
   }
 
@@ -338,7 +338,7 @@ object Roundtrip {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"),
         countDistinct(col("c_custkey")).as("n_customers"),
-        graft.Cols.r2(sum(col("o_totalprice"))).as("revenue"))
+        graft.Cols.moneySum(col("o_totalprice")).as("revenue"))
       .orderBy("c_mktsegment")
   }
 

@@ -72,7 +72,7 @@ object Scalars {
         coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("NONE")))
       .groupBy(col("tier"))
       .agg(count(lit(1)).as("n"),
-        Cols.r2(sum(col("c_acctbal"))).as("sum_bal"),
+        Cols.moneySum(col("c_acctbal")).as("sum_bal"),
         count(when(col("seg_or_none") === "NONE", 1)).as("n_machinery"))
       .orderBy("tier")
 

@@ -149,7 +149,28 @@ object TrainingData {
     * streams (the vocab-exploded logprob heads, triangles: persist won
     * ≤ 6% there vs ckpt's 16–38%), which want `true`. The `ckptsort`
     * and `persistsort` ConfParity arms hash-prove result identity
-    * across the full surface for both flavors. */
+    * across the full surface for both flavors.
+    *
+    * AUTO-PROBE DECISION (r15, r14 verdict item 7): the flavor dial
+    * STAYS MANUAL — no per-head estimator. Written reasons, in the
+    * order they kill the idea: (1) the estimator's inputs don't exist
+    * where they're needed — result width × estimated rows requires the
+    * optimizer's cardinality estimate of a post-join/post-window plan
+    * root, exactly where Spark's stats are weakest (join selectivity
+    * guesses, no NDV after windows), so the probe would be confidently
+    * wrong on the heads where the choice matters most; (2) the
+    * persist-vs-ckpt split is a WORKLOAD-CLASS property, not a size
+    * property — the r14 three-arm table shows recompute-cheap /
+    * cache-bulky pre-sort streams (vocab-exploded logprob heads,
+    * triangles) want `true` while everything else wants `persist`, and
+    * "is the pre-sort stream cheap to recompute" is not computable
+    * from size stats at plan time; (3) the failure mode is silent — a
+    * wrong auto-persist taxes executor storage memory invisibly (the
+    * same reason `persist` isn't the DEFAULT), whereas a wrong manual
+    * setting is a written, greppable line in the cluster conf. The dial
+    * ships with written guidance instead: opted-in clusters set
+    * `persist` globally and flip the named recompute-cheap heads to
+    * `true`; the unset default remains the honest unbarriered sort. */
   private[graft] def sortedOutput(s: SparkSession, cols: Column*)(
       df: DataFrame): DataFrame =
     s.conf.get("spark.graft.sort.ckpt", "false") match {

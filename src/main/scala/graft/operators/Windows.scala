@@ -63,7 +63,7 @@ object Windows {
     // checkpointed, one orders scan (ScanAudit r10 batch 2: 2 -> 1)
     val daily = orders(s, d)
       .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
-      .agg(Cols.r2(sum(col("o_totalprice"))).as("day_rev"))
+      .agg(Cols.moneySum(col("o_totalprice")).as("day_rev"))
       .trackedCheckpoint()
     // A day-less group (null order dates) is OUTSIDE the time series: its
     // moving average / running total are undefined (null), and it must not

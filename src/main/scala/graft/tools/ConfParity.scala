@@ -132,7 +132,21 @@ object ConfParity {
     * the comparator actually fires; an all-green negctl would mean the
     * harness is vacuous, not that the engine is invariant. */
   val extraArms: Seq[Arm] = Seq(
-    Arm("negctl", Map("spark.sql.session.timeZone" -> "America/New_York")))
+    Arm("negctl", Map("spark.sql.session.timeZone" -> "America/New_York")),
+    // EXPECTED-DIFF arm, deliberately NOT in the default set: the opt-in
+    // DECIMAL(38,16) money-sum lane (Cols.moneySum). The lanes agree on
+    // every cell whose exact sum sits AWAY from the half-cent grid — at
+    // sf0.01 that is 137/138 queries bit-identical — but 4-decimal money
+    // products make a small population of cells land within ~1e-7 of a
+    // half cent (measured: q_date_spine day 1995-01-16, exact sum
+    // 1665422.974999999938), where the fp64 lane's answer is
+    // accumulation-order luck and the decimal lane's is the
+    // deterministic resolution. Running this arm and checking that every
+    // diff is a one-cent flip on such a boundary cell is
+    // MoneyLaneSpec's divergence-class law; a zero-diff expectation here
+    // would be claiming fp64 is stable exactly where the r14 ×16 run
+    // proved it is not.
+    Arm("decmoney", Map("spark.graft.money.decimal" -> "true")))
 
   /** Render one cell deterministically; floating point at 10 significant
     * digits — %.9e is one mantissa digit before the decimal plus nine

@@ -388,4 +388,27 @@ class PlanShapeSpec extends SparkSpec {
       spark.conf.unset("spark.graft.minhash.r")
     }
   }
+
+  test("hygiene frequency join-backs never broadcast the corpus-linear aggregate side") {
+    // r15, root-caused from the preserved ×16 grown Verify log: AQE's
+    // runtime flip broadcast qSubstringDup's shingle-frequency side
+    // (compressed two-long shuffle rows sat under the 10 MB adaptive
+    // threshold; the deserialized HashedRelation was multi-GB) and OOMed
+    // the driver load-dependently — the r14 "unreproduced transient".
+    // Both frequency sides are corpus-linear (distinct shingles /
+    // distinct segments), so the merge pin is the scale-safe shape at
+    // EVERY factor; this test holds it against refactors. The fixture is
+    // small enough that AQE WOULD broadcast without the hint, so the
+    // assertion is non-vacuous at sf0.001.
+    for ((name, df) <- Seq(
+        "q_substring_dup" -> Hygiene.qSubstringDup(spark, d),
+        "q_line_dedup" -> Hygiene.qLineDedup(spark, d))) {
+      df.collect() // materialize so AQE finalizes its runtime decisions
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"$name freq join-back got broadcast:\n$p")
+      assert(p.contains("SortMergeJoin"),
+        s"$name freq join-back must be a merge join:\n$p")
+    }
+  }
 }
