@@ -83,7 +83,15 @@ object CorpusFilters {
     val tr = grams.where(col("doc_id") % 100 =!= 0)
     val n = tr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val m = tr.join(ev, "gh").groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
-    n.join(m, Seq("doc_id"), "left")
+    // MERGE-PINNED (r15, AqeFlipAudit): both sides are per-doc COUNT
+    // tables — (long, long) rows, the extreme-compressible shape whose
+    // compressed shuffle footprint AQE consults can sit under the 10 MB
+    // flip threshold while the deserialized HashedRelation is multi-GB
+    // (the root-caused ×16 substring_dup OOM class, BASELINE r15). Both
+    // sides are corpus-linear, both already hash-partitioned on doc_id
+    // by their own aggregates, so the merge join reuses the partitioning
+    // — the pin costs a sort, not a shuffle.
+    n.join(m.hint("merge"), Seq("doc_id"), "left")
       .withColumn("n_contam", coalesce(col("n_contam"), lit(0L)))
       .withColumn("contam_frac",
         Cols.r6(col("n_contam").cast("double") / col("n_grams")))

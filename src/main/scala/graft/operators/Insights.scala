@@ -688,9 +688,16 @@ object Insights {
     val items = basketItems(s, d)
     val supp = items.groupBy(col("p")).agg(count(lit(1)).as("cs"))
     val n = items.agg(countDistinct(col("o")).as("n_orders"))
+    // MERGE-PINNED support joins (r15, AqeFlipAudit): supp is a per-part
+    // COUNT table — (long, long) rows, catalog-linear, the
+    // compression-betrayed shape of the root-caused ×16 broadcast-OOM
+    // class (BASELINE r15). supp leaves its aggregate hash-partitioned
+    // on p, so each merge join re-sorts, it does not re-shuffle supp;
+    // the pairs stream shuffles on pa/pb, the plan a growing part
+    // catalog needs at every factor.
     basketPairs(s, d)
-      .join(supp.toDF("pa", "ca"), "pa")
-      .join(supp.toDF("pb", "cb"), "pb")
+      .join(supp.toDF("pa", "ca").hint("merge"), "pa")
+      .join(supp.toDF("pb", "cb").hint("merge"), "pb")
       .crossJoin(broadcast(n))
       .withColumn("lift", Cols.r6(col("c").cast("double") * col("n_orders") /
         (col("ca") * col("cb"))))
@@ -721,8 +728,13 @@ object Insights {
     // closure) — persist it once, exactly the asset a production triangle
     // job materializes (without it the orientation join replays 4×)
     val oriented = TrainingData.cached("orientedEdges", s, d) {
+      // MERGE-PINNED degree joins (r15, AqeFlipAudit): deg is a per-node
+      // COUNT table — the same extreme-compressible catalog-linear shape
+      // as qBasketPairs' supp (see there; BASELINE r15 broadcast-OOM
+      // class). Re-sort over reused agg partitioning, never a broadcast.
       und
-        .join(deg.toDF("pa", "da"), "pa").join(deg.toDF("pb", "db"), "pb")
+        .join(deg.toDF("pa", "da").hint("merge"), "pa")
+        .join(deg.toDF("pb", "db").hint("merge"), "pb")
         .select(
           when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")),
             struct(col("pa").as("src"), col("pb").as("dst")))
@@ -742,7 +754,8 @@ object Insights {
     val perNode = tris
       .select(explode(array(col("ctr"), col("x"), col("y"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
-    deg.join(perNode, Seq("v"), "left")
+    // same class: perNode is a per-node triangle-COUNT table
+    deg.join(perNode.hint("merge"), Seq("v"), "left")
       .select(col("v").as("part"), col("deg").as("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .transform(TrainingData.sortedOutput(s, col("part")))

@@ -728,8 +728,14 @@ object TrainingData {
       isNew.as("is_new"), sha2(lower(trim(col("text"))), 256).as("h"))
     val histH = hashes.where(!col("is_new")).select(col("h")).distinct()
       .withColumn("ex", lit(true))
+    // MERGE-PINNED (r15, AqeFlipAudit): histH is the DISTINCT HISTORY
+    // HASH SET — corpus-linear, and its compact hex rows keep the
+    // compressed shuffle footprint AQE consults far below the in-memory
+    // HashedRelation cost (the ×16 broadcast-OOM class, BASELINE r15).
+    // At 100 TB the history hash set is the largest dedup asset there
+    // is; the batch probes it with a shuffle on h at every factor.
     val exact = hashes.where(col("is_new"))
-      .join(histH, Seq("h"), "left")
+      .join(histH.hint("merge"), Seq("h"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("ex"), lit(false)).as("exact_dup"))
     // distinct char-5-gram STRINGS per doc (strings, not rolling hashes:

@@ -1,6 +1,6 @@
 #!/usr/bin/env bash
 # Scripted round-close ritual (r11 verdict item 5). Before this existed
-# the close evidence — closing bench, five-audit battery at both SFs,
+# the close evidence — closing bench, six-audit battery at both SFs,
 # conf-parity arms, triple-SF sweep — was hand-sequenced each round, and
 # the ~hours of sweep/test JVMs degrade the host BEFORE the most
 # timing-sensitive step if the bench runs last (the r10/r11 closes both
@@ -9,7 +9,7 @@
 #
 # Ordering is therefore MOST-CONTENTION-SENSITIVE FIRST:
 #   1. closing bench      — wall-clock timing; wants the freshest host.
-#   2. five-audit battery — static plan walks at sf0.001 AND sf0.1 (plans
+#   2. six-audit battery — static plan walks at sf0.001 AND sf0.1 (plans
 #                           may differ across SFs via stats); insensitive
 #                           to host state, cheap.
 #   3. conf-parity arms   — result-identity under 11 conf regimes at
@@ -220,7 +220,7 @@ run_bench() {
 run_audits() {
   local sf tool log rc line
   for sf in /root/testdata/sf0.001 /root/testdata/sf0.1; do
-    for tool in BroadcastAudit GenJoinAudit ScanAudit PruneAudit WindowAudit; do
+    for tool in BroadcastAudit GenJoinAudit ScanAudit PruneAudit WindowAudit AqeFlipAudit; do
       log=$(mktemp)
       SPARK_GRAFT_CPUS="$cpus" \
         sbt --batch "runMain graft.tools.$tool $sf" >"$log" 2>&1
