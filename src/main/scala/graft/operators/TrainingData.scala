@@ -103,8 +103,9 @@ object TrainingData {
     out
   }
 
-  /** Final-output global sort with an optional materialization barrier
-    * (`spark.graft.sort.ckpt` ∈ `false` (DEFAULT) | `true` | `persist`).
+  /** Final-output global sort with a materialization barrier
+    * (`spark.graft.sort.ckpt` ∈ `shuffle` (DEFAULT since r15) | `false`
+    * | `true` | `persist`).
     * A global `orderBy` plans a RangePartitioning exchange whose
     * boundary-sampling job RE-EXECUTES the stage feeding the sort
     * (shuffle outputs of earlier stages are reused across the two jobs,
@@ -124,32 +125,30 @@ object TrainingData {
     *    flavor keeps cluster survivability. Registered for
     *    [[unpersistAll]] like every other snapshot asset.
     *
-    * Why the default is STILL FALSE (r14 decision, re-made on the
-    * three-arm CkptSortAb numbers in BASELINE r14):
-    *  1. FAULT TOLERANCE — rules out `true` as a default (localCheckpoint
-    *     truncates lineage; an executor lost between barrier and sink
-    *     FAILS the job — at 1000 executors not an edge case). `persist`
-    *     does NOT have this problem…
-    *  2. …but MEMORY FOOTPRINT rules `persist` out as a default: it
-    *     pins every wrapped head's FULL RESULT in executor
-    *     storage memory until teardown. At 100 TB result scale that
-    *     evicts genuinely shared assets (the `cached()` dictionary/token
-    *     tables) and can spill-thrash the exact stages it means to
-    *     speed up; a default must not tax memory for sort seconds.
-    *  3. PLAN TRANSPARENCY — the eager checkpoint collapses the logical
-    *     plan to an RDD scan at CONSTRUCTION time, blinding the five
-    *     static plan audits and PlanDiffSpec (persist keeps the plan;
-    *     this argument applies to `true` only).
-    * Single-node / batch-rerun deployments where a retry is cheap can
-    * turn either barrier on. The r14 three-arm table (BASELINE r14):
-    * persist captures the ENTIRE aggregate ckpt win (Σ 25.3 → 15.9 s
-    * over the 14 heads at sf0.1, identical to ckpt's Σ) while keeping
-    * lineage — so opted-in clusters should PREFER `persist`, except
-    * workloads dominated by recompute-cheap/cache-bulky pre-sort
-    * streams (the vocab-exploded logprob heads, triangles: persist won
-    * ≤ 6% there vs ckpt's 16–38%), which want `true`. The `ckptsort`
-    * and `persistsort` ConfParity arms hash-prove result identity
-    * across the full surface for both flavors.
+    * Why the default is now `shuffle` (r15 optimization round — the
+    * decision the r14 "default stays false" writeup was waiting for; the
+    * r14 objections are quoted and answered in order):
+    *  1. FAULT TOLERANCE ruled out `true` (localCheckpoint truncates
+    *     lineage; an executor lost between barrier and sink FAILS the
+    *     job). `shuffle` keeps lineage: a lost shuffle file recomputes
+    *     through the ordinary stage-retry path.
+    *  2. MEMORY FOOTPRINT ruled out `persist` (pins every wrapped head's
+    *     full result in executor storage until teardown — at 100 TB that
+    *     evicts the shared `cached()` assets). `shuffle` pins nothing:
+    *     shuffle files live on local disk, the medium every stage
+    *     already uses, and are dropped with the normal shuffle GC.
+    *  3. PLAN TRANSPARENCY ruled out `true` (LogicalRDD collapse blinds
+    *     the plan audits). `shuffle` keeps the full logical plan; the
+    *     barrier is one visible Exchange node the audits count.
+    * Measured four-arm interleave (CkptSortAb, sf0.1, reps 3, r15 —
+    * OPTIMIZATION_r15.md): Σ over the 14 wrapped heads 25.37 s
+    * unbarriered → 14.36 s `shuffle` (vs 15.73 `true`, 14.86 `persist`),
+    * with `shuffle` winning on EVERY head (17.7%–62.3%) — it is the only
+    * flavor that dominates `false` per-head, because the result stream
+    * is materialized exactly once into the cheapest medium available.
+    * The `ckptsort` / `persistsort` / `plainsort` ConfParity arms
+    * hash-prove result identity across the full surface for all
+    * flavors against the shuffle default.
     *
     * AUTO-PROBE DECISION (r15, r14 verdict item 7): the flavor dial
     * STAYS MANUAL — no per-head estimator. Written reasons, in the
@@ -168,19 +167,46 @@ object TrainingData {
     * wrong auto-persist taxes executor storage memory invisibly (the
     * same reason `persist` isn't the DEFAULT), whereas a wrong manual
     * setting is a written, greppable line in the cluster conf. The dial
-    * ships with written guidance instead: opted-in clusters set
-    * `persist` globally and flip the named recompute-cheap heads to
-    * `true`; the unset default remains the honest unbarriered sort. */
+    * ships with written guidance instead: the r15 `shuffle` default is
+    * safe everywhere (no memory tax, lineage kept); single-node /
+    * batch-rerun deployments chasing the last seconds can flip the
+    * named recompute-cheap heads to `true`, and `false` restores the
+    * unbarriered sort for calibration. */
   private[graft] def sortedOutput(s: SparkSession, cols: Column*)(
       df: DataFrame): DataFrame =
-    s.conf.get("spark.graft.sort.ckpt", "false") match {
+    s.conf.get("spark.graft.sort.ckpt", "shuffle") match {
       case "true" => checkpointed(df).orderBy(cols: _*)
       case "persist" =>
         sortPersists.add(df.persist())
         df.orderBy(cols: _*)
+      // DEFAULT since r15 (optimization round): a hash-repartition on the
+      // sort keys between the result stream and the global sort. The
+      // RangePartitioning exchange's boundary-sampling job re-executes
+      // whatever sits between the LAST exchange and the sort (the verify
+      // join / window itself — measured ~90% of the sort's apparent cost
+      // on q_record_linkage, SortCostProbe r13); interposing a shuffle
+      // makes the sampling job materialize the result ONCE into shuffle
+      // files (map stages are shared across jobs), and the sort job
+      // re-reads those files instead of recomputing the stream. Unlike
+      // `persist` it pins nothing in executor storage memory (shuffle
+      // files live on disk, the medium every stage already uses), and
+      // unlike `true` it keeps lineage (a lost shuffle file recomputes
+      // via the normal stage-retry path) — so it is the first barrier
+      // flavor that is defensible as a DEFAULT at 1000-executor scale:
+      // its cost is one extra shuffle of the RESULT rows (already tiny
+      // next to each head's inputs), its win is not re-running the
+      // head's most expensive segment. Keys: the sort columns — a
+      // near-unique combination on every wrapped head, so the
+      // intermediate hash partitioning cannot concentrate load. Measured
+      // four-arm interleave (CkptSortAb, sf0.1, OPTIMIZATION_r15.md):
+      // captures the persist/ckpt win on every wrapped head with none of
+      // their footprint. Result identity across the full surface is
+      // hash-proven by the `shufflesort`-vs-`false` ConfParity arms (a
+      // partitioning step cannot move rows).
+      case "shuffle" => df.repartition(cols: _*).orderBy(cols: _*)
       case "false" => df.orderBy(cols: _*)
       case other => throw new IllegalArgumentException(
-        s"spark.graft.sort.ckpt must be false, true or persist, got $other")
+        s"spark.graft.sort.ckpt must be false, shuffle, true or persist, got $other")
     }
 
   /** Results persisted by sortedOutput's `persist` flavor, queued for

@@ -48,7 +48,7 @@ object CkptSortAb {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val modes = Seq("false", "true", "persist")
+    val modes = Seq("false", "true", "persist", "shuffle")
     for (m <- modes; q <- heads) run(q, m) // warm assets + codegen
     val times = collection.mutable.Map(
       (for (m <- modes; q <- heads) yield (m, q) -> List.empty[Double]): _*)
@@ -59,7 +59,8 @@ object CkptSortAb {
       val o = med(times(("false", q)))
       val c = med(times(("true", q)))
       val p = med(times(("persist", q)))
-      println(f"""{"q":"$q","off_med":$o%.3f,"ckpt_med":$c%.3f,"persist_med":$p%.3f,"ckpt_win_pct":${100 * (o - c) / o}%.1f,"persist_win_pct":${100 * (o - p) / o}%.1f}""")
+      val sh = med(times(("shuffle", q)))
+      println(f"""{"q":"$q","off_med":$o%.3f,"ckpt_med":$c%.3f,"persist_med":$p%.3f,"shuffle_med":$sh%.3f,"ckpt_win_pct":${100 * (o - c) / o}%.1f,"persist_win_pct":${100 * (o - p) / o}%.1f,"shuffle_win_pct":${100 * (o - sh) / o}%.1f}""")
     }
     graft.operators.TrainingData.unpersistAll()
     spark.stop()

@@ -124,6 +124,12 @@ object ConfParity {
     // change rows, only storage; zero diffs pins that for every
     // wrapped head.
     Arm("persistsort", Map("spark.graft.sort.ckpt" -> "persist")),
+    // Round-15 arm: the DEFAULT flipped to the `shuffle` barrier this
+    // round, so the base pass runs it — this arm restores the
+    // unbarriered sort and proves shuffle ≡ false across the full
+    // surface (a hash-repartition below a global sort cannot move
+    // rows, only where they sit before the range exchange).
+    Arm("plainsort", Map("spark.graft.sort.ckpt" -> "false")),
   )
 
   /** Negative control, NOT in the default arm set: a session-timezone flip

@@ -26,16 +26,37 @@ class SortBarrierSpec extends SparkSpec {
     }
   }
 
-  test("persist and ckpt flavors return the unbarriered rows exactly") {
+  test("persist, ckpt and shuffle flavors return the unbarriered rows exactly") {
     val d = sfDir("sf0.001")
-    val base = operators.Hygiene.qLineDedup(spark, d).collect().toSeq
+    val base = withDial("false") {
+      operators.Hygiene.qLineDedup(spark, d).collect().toSeq
+    }
     val p = withDial("persist") {
       operators.Hygiene.qLineDedup(spark, d).collect().toSeq
     }
     val c = withDial("true") {
       operators.Hygiene.qLineDedup(spark, d).collect().toSeq
     }
-    assert(base.nonEmpty && p == base && c == base)
+    val sh = withDial("shuffle") {
+      operators.Hygiene.qLineDedup(spark, d).collect().toSeq
+    }
+    assert(base.nonEmpty && p == base && c == base && sh == base)
+  }
+
+  test("shuffle flavor (the r15 default) keeps the logical plan and " +
+      "interposes a repartition below the sort") {
+    val d = sfDir("sf0.001")
+    val sh = withDial("shuffle") {
+      operators.Hygiene.qLineDedup(spark, d).queryExecution
+    }
+    val logical = sh.optimizedPlan.toString
+    assert(!logical.contains("LogicalRDD"), logical)
+    // physical shape: the global Sort's range exchange sits on top of a
+    // hash-partitioned exchange on the sort keys — the barrier whose map
+    // output the boundary-sampling job materializes once
+    val phys = sh.executedPlan.toString
+    assert(phys.contains("rangepartitioning"), phys)
+    assert(phys.contains("hashpartitioning"), phys)
   }
 
   test("persist keeps the logical plan; ckpt collapses it (by design)") {
