@@ -214,11 +214,18 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q_repetition computes entirely inside the row — no shuffle before the sort") {
-    val p = planOf(CorpusFilters.qRepetition(spark, d))
-    // the only Exchange allowed is the output sort's rangepartitioning —
-    // any hashpartitioning means a join/agg shuffle crept into the signals
-    assert(!p.contains("hashpartitioning"),
-      s"repetition signals must need no shuffle (only the output sort), got:\n$p")
+    // core property, asserted with the sort barrier off: the SIGNALS need no
+    // shuffle — any hashpartitioning here means a join/agg crept in
+    spark.conf.set("spark.graft.sort.ckpt", "false")
+    try {
+      val p = planOf(CorpusFilters.qRepetition(spark, d))
+      assert(!p.contains("hashpartitioning"),
+        s"repetition signals must need no shuffle (only the output sort), got:\n$p")
+    } finally spark.conf.unset("spark.graft.sort.ckpt")
+    // under the r15 default the ONLY hash exchange is the final-sort barrier
+    val pd = planOf(CorpusFilters.qRepetition(spark, d))
+    val hashEx = pd.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly the sort-barrier exchange, got:\n$pd")
   }
 
   test("q_contamination broadcasts the bounded eval-gram side") {
@@ -278,10 +285,19 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q_gopher_gate folds every signal inside the row (no hash shuffle, no window)") {
-    val p = planOf(CorpusFilters.qGopherGate(spark, d))
-    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
-    assert(hashEx == 0, s"gate signals must not shuffle:\n$p")
-    assert(!p.contains("Window"), s"gate must not need a window:\n$p")
+    // core property with the sort barrier off: the gate SIGNALS never shuffle
+    spark.conf.set("spark.graft.sort.ckpt", "false")
+    try {
+      val p = planOf(CorpusFilters.qGopherGate(spark, d))
+      val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+      assert(hashEx == 0, s"gate signals must not shuffle:\n$p")
+      assert(!p.contains("Window"), s"gate must not need a window:\n$p")
+    } finally spark.conf.unset("spark.graft.sort.ckpt")
+    // under the r15 default the ONLY hash exchange is the final-sort barrier
+    val pd = planOf(CorpusFilters.qGopherGate(spark, d))
+    val hashEx = pd.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly the sort-barrier exchange, got:\n$pd")
+    assert(!pd.contains("Window"), s"gate must not need a window:\n$pd")
   }
 
   test("q_dsir_weight selects its feature space with a top-k, not a global window") {
