@@ -14,8 +14,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Footer-schema cache (r15, guide §6 metadata caching): every
+    * `spark.read.parquet` call without a schema runs a footer-inference
+    * job before planning — one small job per table() call, hundreds per
+    * bench pass (138 queries × reps × their tables). The SCHEMA of a
+    * fixture table is immutable within a JVM, so read it from the footer
+    * once per (dir, table) and pass it explicitly afterwards; the data
+    * path (scan, pushdown, pruning) is untouched — this caches metadata
+    * the way a lake catalog/manifest does at 100 TB, never rows. Keyed
+    * per directory because the same table can ship different physical
+    * types across fixture generations (see events below). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val cached = schemaCache.get((sfDir, name))
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.putIfAbsent((sfDir, name), df.schema)
+      df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

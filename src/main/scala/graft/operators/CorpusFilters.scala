@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.Cols
+import graft.operators.TrainingData.CheckpointOps
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
   * between raw ingest and tokenization: repetition filtering (Gopher-style
@@ -263,8 +264,11 @@ object CorpusFilters {
     * stream, so the sort input at 100 TB is millions of rows, not
     * trillions. */
   def qZipf(s: SparkSession, d: String): DataFrame = {
-    val tf = documents(s, d)
-      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    // r15: the (lang, tok) stream is a projection of the shared allToks
+    // asset (identical explode expression) — read the materialized
+    // stream instead of re-running scan + split.
+    val tf = TrainingData.allToks(s, d)
+      .select(col("lang"), col("tok"))
       .where(length(col("tok")) > 0)
       .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("freq"))
     val ranked = tf.withColumn("rnk", row_number().over(
@@ -361,15 +365,25 @@ object CorpusFilters {
     * threshold is per-lang exact percentile over DOC scores (|docs| rows)
     * broadcast back. */
   def qUnigramLogprob(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
-      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    // r15 (guide §2.4/§5): the (doc_id, lang, tok) stream here was an
+    // inline explode — the model build and the scoring pass each re-ran
+    // the documents scan + split, and the thresh/final fan-out doubled it
+    // again (4 corpus explode passes in the before-plan). allToks IS this
+    // exact stream and is already the shared multi-consumer corpus asset
+    // (warmed via q_tfidf); reuse it instead of rebuilding it per branch.
+    val toks = TrainingData.allToks(s, d)
     val model = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
       .select(col("lang"), col("tok"),
         log(col("cnt").cast("double") / col("tot")).as("logp"))
+    // scored feeds BOTH the per-lang decile aggregate and the final join —
+    // checkpoint the |docs|-bounded frame so the corpus-sized score join
+    // runs once, not once per consumer (the qEwma two-consumer doctrine;
+    // at 100 TB |docs| rows × 4 columns is the cheap side of that join)
     val scored = toks.join(model, Seq("lang", "tok"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tok"), Cols.r6(avg(col("logp"))).as("mean_logp"))
+      .trackedCheckpoint()
     val thresh = scored.groupBy(col("lang"))
       .agg(Cols.r6(expr("percentile(mean_logp, 0.1)")).as("p10"))
     scored.join(broadcast(thresh), "lang")
@@ -395,8 +409,12 @@ object CorpusFilters {
     * doc_id. */
   def qDsirWeight(s: SparkSession, d: String): DataFrame = {
     val F = 1024
-    val toks = documents(s, d)
-      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    // r15 (guide §2.4/§5): this head read the corpus token stream THREE
+    // times (raw counts, target counts, scoring) through an inline
+    // explode — reuse the shared allToks asset instead (identical
+    // expression; warmed via q_tfidf), so the three passes read the
+    // materialized stream rather than re-running scan+split each.
+    val toks = TrainingData.allToks(s, d)
     val rawCnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt_r"))
     // top-F selection via orderBy+limit → TakeOrderedAndProject (per-partition
     // heaps + driver merge of F rows), NOT a global row_number window (which
@@ -480,10 +498,15 @@ object CorpusFilters {
       .join(broadcast(vs), "lang")
       .select(col("lang"), col("prev"), col("cur"),
         log((col("c2") + 1).cast("double") / (col("c1") + col("v"))).as("logp"))
+    // scored feeds BOTH the decile aggregate and the final join — same
+    // two-consumer checkpoint as qUnigramLogprob (r15): the corpus-sized
+    // model join runs once; the |docs|-bounded score frame is the part
+    // that is re-read.
     val scored = big.join(model, Seq("lang", "prev", "cur"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"),
         Cols.r6(avg(col("logp"))).as("mean_logp"))
+      .trackedCheckpoint()
     val thresh = scored.groupBy(col("lang"))
       .agg(Cols.r6(expr("percentile(mean_logp, 0.1)")).as("p10"))
     scored.join(broadcast(thresh), "lang")

@@ -362,17 +362,29 @@ object Insights {
     val nTot = broadcast(n.agg(count(lit(1)).cast("double").as("n_nodes")))
     var ranks = n.select(col("n_nationkey").as("node")).crossJoin(nTot)
       .withColumn("pr", lit(1.0) / col("n_nodes"))
+    // r15 optimization (guide §2.4/§3.1): every per-iteration join side is
+    // node-bounded BY CONSTRUCTION (ranks ≤ |nation| = 25 rows, contrib ≤
+    // |nation| after the dst re-aggregation — the nation graph's node count
+    // is schema-fixed, independent of SF), yet Catalyst's size estimate of
+    // the iteratively grown rank plan blew past the broadcast threshold and
+    // planned 9 SortMergeJoins / 21 shuffle Exchanges across the unrolled
+    // power series. Broadcast pins on the bounded sides replace every
+    // rank-loop SMJ with a BroadcastHashJoin: the only remaining
+    // per-iteration exchange is the ≤node²-row contrib re-aggregation.
+    // Plan diff: 21 shuffle Exchanges → 12, 9 SMJ → 0 BHJ
+    // (plans/r15/q_pagerank_{before,after}).
     for (_ <- 1 to 5) {
       val contrib = edges
-        .join(ranks.select(col("node"), col("pr")), col("src") === col("node"))
+        .join(broadcast(ranks.select(col("node"), col("pr"))),
+          col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("frac") * col("pr")).as("contrib"))
       ranks = ranks.select(col("node"), col("n_nodes"))
-        .join(contrib, col("node") === col("dst"), "left")
+        .join(broadcast(contrib), col("node") === col("dst"), "left")
         .withColumn("pr", lit(0.15) / col("n_nodes") +
           lit(0.85) * coalesce(col("contrib"), lit(0.0)))
         .select(col("node"), col("n_nodes"), col("pr"))
     }
-    ranks.join(n, col("node") === col("n_nationkey"))
+    ranks.join(broadcast(n), col("node") === col("n_nationkey"))
       .select(col("n_name"), Cols.r6(col("pr")).as("pagerank"))
       .orderBy("n_name")
   }
