@@ -385,14 +385,24 @@ object TrainingData {
     * oracle is the naive quadratic join). */
   def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
     val tv = vocabJoin(s, d, docToks(s, d))
+    // r15 (guide §2.3 "shuffle fewer bytes" / §2.4): the original form
+    // exploded every token row ×16 (one row per bit) and paid TWO
+    // aggregation shuffles — (doc, lang, j) over a 16×-inflated stream,
+    // then (doc, lang). The 16 bit sums are independent integer sums over
+    // the SAME rows, so compute them as 16 parallel sum aggregates in ONE
+    // map-side-combined groupBy: no Generate, one shuffle, 16× fewer
+    // exchanged rows. Long sums are order-independent, so the simhash is
+    // bit-identical to the exploded form (DedupSpec pins equality against
+    // the independent naive formulation, which still uses explode).
+    val scs = (0 until 16).map(j =>
+      sum((col("tok_id") * lit(2 * j + 3)) % 7 - 3).as(s"sc$j"))
     val sh = tv
-      .withColumn("j", explode(sequence(lit(0), lit(15))))
-      .withColumn("w", (col("tok_id") * (lit(2) * col("j") + lit(3))) % 7 - 3)
-      .groupBy(col("doc_id"), col("lang"), col("j"))
-      .agg(sum(col("w")).as("sc"))
-      .withColumn("bit", (col("sc") > 0).cast("long"))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("bit") * pow(lit(2.0), col("j")).cast("long")).as("simhash"))
+      .agg(scs.head, scs.tail: _*)
+      .withColumn("simhash", (0 until 16).map(j =>
+          when(col(s"sc$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _))
+      .select(col("doc_id"), col("lang"), col("simhash"))
     val banded = sh.select(col("doc_id"), col("lang"), col("simhash"),
       explode(array(
         struct(lit(0).as("bi"), col("simhash").bitwiseAND(63).as("bv")),
