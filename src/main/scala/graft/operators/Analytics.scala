@@ -32,6 +32,11 @@ object Analytics {
         Cols.r6(expr(
           "percentile(CASE WHEN NOT isnan(value) THEN value END, 0.9)")).as("p90"),
         count(lit(1)).as("n"))
+      // r15: examined for the final-sort barrier and left UNWRAPPED — a
+      // repartition on the grouping key merges into the aggregate's own
+      // ENSURE_REQUIREMENTS exchange (static no-op), and the 7-rep
+      // CkptSortAb showed no real win (shuffle −12.4%): the sampling
+      // re-exec above the last exchange is only the |groups|-row final agg
       .orderBy("event_type")
 
   /** Sample moments + correlation of value with the JSON-extracted k. */
@@ -47,6 +52,7 @@ object Analytics {
         Cols.r6(var_samp(Cols.nanNull(col("value")))).as("vr"),
         Cols.r6(corr(Cols.nanNull(col("value")), Cols.nanNull(col("k")))).as("corr_vk"),
         Cols.r6(covar_samp(Cols.nanNull(col("value")), Cols.nanNull(col("k")))).as("covar_vk"))
+      // r15: examined, left unwrapped (same no-op merge as qPercentile)
       .orderBy("event_type")
 
   /** Fixed-width histogram of event values: 50-unit buckets, explicit

@@ -65,7 +65,10 @@ object EventTime {
         Cols.epochUs(col("session_window.start")).as("start_us"),
         Cols.epochUs(col("session_window.end")).as("end_us"),
         col("n_events"), col("sum_value"))
-      .orderBy("user_id", "start_us")
+      // r15: final-sort barrier (TrainingData.sortedOutput) — the range
+      // exchange's boundary sampling was re-executing the session
+      // aggregation; (user_id, start_us) is unique by session construction
+      .transform(TrainingData.sortedOutput(s, col("user_id"), col("start_us")))
 
   /** Stream dedup: keep the earliest occurrence per event_id (full column
     * tiebreak so the survivor is unique even for exact-duplicate rows).
@@ -167,7 +170,8 @@ object EventTime {
       .agg(count(lit(1)).as("n_pairs"),
         sum(least(col("a_end"), col("b_end"))
           - greatest(col("a_start"), col("b_start"))).as("overlap_us"))
-      .orderBy("user_a", "user_b")
+      // r15: sort barrier — sampling was re-running the overlap final agg
+      .transform(TrainingData.sortedOutput(s, col("user_a"), col("user_b")))
   }
 
   /** Resample to a fixed 1-hour grid with LINEAR INTERPOLATION of interior
@@ -231,7 +235,9 @@ object EventTime {
             ((Cols.epochUs(col("hr")) - Cols.epochUs(col("pt"))) * lit(1.0) /
               (Cols.epochUs(col("nt")) - Cols.epochUs(col("pt")))))).as("value"),
         col("v").isNotNull.as("observed"))
-      .orderBy("event_type", "hr_us")
+      // r15: sort barrier — sampling was re-running BOTH interpolation
+      // windows; the grid makes (event_type, hr_us) unique
+      .transform(TrainingData.sortedOutput(s, col("event_type"), col("hr_us")))
   }
 
   /** Batch last-touch click attribution — the declared twin of the
@@ -272,7 +278,8 @@ object EventTime {
         when(col("attributed"), col("lc_id")).as("click_id"),
         when(col("attributed"), col("us") - col("lc_us")).as("lag_us"),
         col("attributed"))
-      .orderBy("purchase_id")
+      // r15: sort barrier — sampling was re-running the as-of union window
+      .transform(TrainingData.sortedOutput(s, col("purchase_id")))
   }
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(

@@ -144,6 +144,9 @@ object Insights {
       .withColumn("segment", concat(col("r_score").cast("string"),
         col("f_score").cast("string"), col("m_score").cast("string")))
       .drop("rc", "fc", "mc")
+      // r15: examined for the final-sort barrier and left unwrapped — the
+      // repartition merges into the per-customer aggregate's exchange
+      // (static no-op; 7-rep CkptSortAb −1.2%), same as qPercentile
       .orderBy("o_custkey")
   }
 

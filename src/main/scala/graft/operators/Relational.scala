@@ -177,7 +177,10 @@ object Relational {
       .where(col("is_ev") === 1)
       .select(col("event_id"), col("k").as("user_id"),
         col("t_us").as("ts_us"), col("o_orderkey"))
-      .orderBy("event_id")
+      // r15: final-sort barrier (TrainingData.sortedOutput) — the range
+      // exchange's boundary sampling was re-executing the as-of window;
+      // event_id is unique, so the barriered sort is row-identical
+      .transform(TrainingData.sortedOutput(s, col("event_id")))
   }
 
   /** Skew-safe equi-join: enrich every event with its user's totals. Hot
@@ -209,7 +212,8 @@ object Relational {
       .join(aggSalted.hint("shuffle_hash"), Seq("user_id", "salt"))
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         col("user_total"), col("user_events"))
-      .orderBy("event_id")
+      // r15: sort barrier — sampling was re-running the salted join
+      .transform(TrainingData.sortedOutput(s, col("event_id")))
   }
 
   /** Bloom-filter semi-join reduction: build a deterministic 16 KiB Bloom
@@ -367,7 +371,8 @@ object Relational {
         col("best.s_name").as("s_name"), col("best.n_name").as("n_name"),
         col("best.s_acctbal").as("s_acctbal"),
         col("best.unit_cost").as("unit_cost"))
-      .orderBy("p_partkey")
+      // r15: sort barrier — sampling was re-running the argmin final agg
+      .transform(TrainingData.sortedOutput(s, col("p_partkey")))
   }
 
   // ---- §2.4 aggregations ---------------------------------------------------

@@ -20,7 +20,15 @@ object CkptSortAb {
     "q_record_linkage", "q_line_dedup", "q_substring_dup", "q_dedup_ngram",
     "q_dedup_embed", "q_dedup_minhash", "q_dedup_simhash",
     "q_incremental_dedup", "q_unigram_logprob", "q_bigram_logprob",
-    "q_triangles", "q_win_ntile", "q_repetition", "q_gopher_gate")
+    "q_triangles", "q_win_ntile", "q_repetition", "q_gopher_gate",
+    // r15 extension: non-LLM heads whose pre-sort segment (window /
+    // final agg / salted join) was re-executed by the range sampling
+    // job, and whose sort keys are unique by construction
+    // (q_percentile / q_stats_moments / q_rfm were measured and left
+    // unwrapped: repartition-on-grouping-key merges into the aggregate's
+    // own exchange, so the flavor is a static no-op there)
+    "q_asof", "q_join_salted", "q_supplier", "q_win_session",
+    "q_overlap_join", "q_resample", "q_attribution")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
