@@ -239,7 +239,8 @@ object Analytics {
         coalesce(col("c_cust"), col("o_custkey")).as("o_custkey"),
         coalesce(col("c_status"), col("o_orderstatus")).as("o_orderstatus"),
         coalesce(col("c_price"), col("o_totalprice")).as("o_totalprice"))
-      .orderBy("o_orderkey")
+      // r15: sort barrier — sampling was re-running the full-outer merge
+      .transform(TrainingData.sortedOutput(s, col("o_orderkey")))
   }
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(

@@ -80,6 +80,9 @@ object EventTime {
       .orderBy(col("ts_us"), col("user_id"), col("event_type"), col("value"))
     e.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1).drop("rn")
+      // r15: examined for the final-sort barrier and left unwrapped — the
+      // sort key IS the window partition key, so the repartition merges
+      // into the window's own exchange (static no-op, same as qPercentile)
       .orderBy("event_id")
   }
 
@@ -170,8 +173,10 @@ object EventTime {
       .agg(count(lit(1)).as("n_pairs"),
         sum(least(col("a_end"), col("b_end"))
           - greatest(col("a_start"), col("b_start"))).as("overlap_us"))
-      // r15: sort barrier — sampling was re-running the overlap final agg
-      .transform(TrainingData.sortedOutput(s, col("user_a"), col("user_b")))
+      // r15: examined for the final-sort barrier and left unwrapped — the
+      // sort keys ARE the grouping keys, so the repartition merges into
+      // the aggregate's own exchange (static no-op, same as qPercentile)
+      .orderBy("user_a", "user_b")
   }
 
   /** Resample to a fixed 1-hour grid with LINEAR INTERPOLATION of interior

@@ -172,7 +172,8 @@ object Insights {
       .select(col("event_type"), col("day"),
         Cols.r2(col("day_value")).as("day_value"), col("n_events"),
         col("z"), (abs(col("z")) > 2.0).as("anomalous"))
-      .orderBy("event_type", "day")
+      // r15: sort barrier — sampling was re-running the z-score join
+      .transform(TrainingData.sortedOutput(s, col("event_type"), col("day")))
   }
 
   /** BM25 relevance ranking of the corpus for the fixed query
@@ -435,7 +436,9 @@ object Insights {
       .select(col("event_type"), col("day"),
         Cols.r2(col("day_value")).as("day_value"),
         lit(null).cast("double").as("ewma"))
-    series.unionByName(dayless).orderBy("event_type", "day")
+    series.unionByName(dayless)
+      // r15: sort barrier — sampling was re-running the fold window
+      .transform(TrainingData.sortedOutput(s, col("event_type"), col("day")))
   }
 
   /** Sketch mergeability — THE property that makes approximate distinct

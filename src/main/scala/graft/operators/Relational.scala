@@ -605,7 +605,8 @@ object Relational {
       .where(col("rn") <= 2)
       .select(col("l_orderkey"), col("l_linenumber"),
         Cols.r2(revenue).as("revenue"), col("rn"))
-      .orderBy("l_orderkey", "rn")
+      // r15: sort barrier — sampling was re-running the ranking window
+      .transform(TrainingData.sortedOutput(s, col("l_orderkey"), col("rn")))
   }
 
   /** Grouped top-k through the NATIVE operator ([[graft.plans.TopKPerKey]]
@@ -626,7 +627,8 @@ object Relational {
     top.withColumn("rn", row_number().over(w).cast("long"))
       .select(col("l_orderkey"), col("l_linenumber"),
         Cols.r2(col("rev")).as("revenue"), col("rn"))
-      .orderBy("l_orderkey", "rn")
+      // r15: sort barrier — sampling was re-running the rank-rederive window
+      .transform(TrainingData.sortedOutput(s, col("l_orderkey"), col("rn")))
   }
 
   // ---- §2.7 set operations -------------------------------------------------

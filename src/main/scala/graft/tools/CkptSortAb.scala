@@ -27,8 +27,12 @@ object CkptSortAb {
     // (q_percentile / q_stats_moments / q_rfm were measured and left
     // unwrapped: repartition-on-grouping-key merges into the aggregate's
     // own exchange, so the flavor is a static no-op there)
+    // (q_overlap_join / q_dedup_events likewise: sort keys equal the
+    // grouping/window key, so the barrier merges away — left unwrapped)
     "q_asof", "q_join_salted", "q_supplier", "q_win_session",
-    "q_overlap_join", "q_resample", "q_attribution")
+    "q_resample", "q_attribution",
+    "q_topk_group", "q_topk_group_native", "q_anomaly", "q_ewma",
+    "q_cdc_apply")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")

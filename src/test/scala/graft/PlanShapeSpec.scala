@@ -130,7 +130,10 @@ class PlanShapeSpec extends SparkSpec {
     val lines = Relational.qTopkGroupNative(spark, d)
       .queryExecution.executedPlan.toString.linesIterator.toVector
     val fin = lines.indexWhere(_.contains("TopKPerKeyFinal"))
-    val ex = lines.indexWhere(_.contains("Exchange hashpartitioning(l_orderkey"))
+    // search BELOW the final heap: the r15 sort barrier adds its own
+    // hashpartitioning(l_orderkey, rn) exchange above it
+    val ex = lines.indexWhere(
+      _.contains("Exchange hashpartitioning(l_orderkey"), fin + 1)
     val part = lines.indexWhere(_.contains("TopKPerKeyPartial"))
     assert(fin >= 0 && ex > fin && part > ex,
       "expected Final → Exchange → Partial (map-side k-reduction before " +
