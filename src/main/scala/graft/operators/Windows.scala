@@ -33,6 +33,9 @@ object Windows {
         rank().over(w).cast("long").as("rnk"),
         dense_rank().over(w).cast("long").as("drnk"))
       .where(col("rn") <= 3)
+      // r15: measured for the final-sort barrier and left unwrapped —
+      // the orders-scaled window is too cheap for the sampling re-exec
+      // to beat the barrier exchange (CkptSortAb 5-rep: shuffle −7.5%)
       .orderBy("o_custkey", "rn")
   }
 
@@ -84,7 +87,10 @@ object Windows {
       lit(null).cast("long").as("day_us"), col("day_rev"),
       lit(null).cast("double").as("ma7"),
       lit(null).cast("double").as("running"))
-    series.unionByName(dayless).orderBy("day_us")
+    series.unionByName(dayless)
+      // r15: measured for the final-sort barrier, left unwrapped (the
+      // |days|-bounded window behind the checkpoint is ~free to re-run)
+      .orderBy("day_us")
   }
 
   /** Ratio-to-report: each order's share of its customer's total spend.
@@ -98,6 +104,8 @@ object Windows {
         // an undefined share is null on both engines instead
         Cols.r6(col("o_totalprice") /
           nullif(sum(col("o_totalprice")).over(w), lit(0.0))).as("share"))
+      // r15: measured for the final-sort barrier and left unwrapped
+      // (orders-scaled share window too cheap; CkptSortAb −3.5%)
       .orderBy("o_orderkey")
   }
 

@@ -31,6 +31,9 @@ object CkptSortAb {
     // grouping/window key, so the barrier merges away — left unwrapped)
     "q_asof", "q_join_salted", "q_supplier", "q_win_session",
     "q_resample", "q_attribution",
+    // (q_win_rank / q_win_frame / q_win_share measured and left
+    // unwrapped: their window segments are too cheap for the sampling
+    // re-exec to beat the barrier exchange at any probed scale)
     "q_topk_group", "q_topk_group_native", "q_anomaly", "q_ewma",
     "q_cdc_apply")
 
