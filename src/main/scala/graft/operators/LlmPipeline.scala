@@ -479,7 +479,9 @@ object LlmPipeline {
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
-      .orderBy("doc_id")
+      // r15: sort barrier — sampling was re-running the corpus-scaled
+      // label join + cluster-size window; doc_id is unique
+      .transform(TrainingData.sortedOutput(s, col("doc_id")))
   }
 
   /** Top-10 cosine neighbors of probe vec_id=0 (brute force, broadcast probe;

@@ -35,7 +35,7 @@ object CkptSortAb {
     // unwrapped: their window segments are too cheap for the sampling
     // re-exec to beat the barrier exchange at any probed scale)
     "q_topk_group", "q_topk_group_native", "q_anomaly", "q_ewma",
-    "q_cdc_apply")
+    "q_cdc_apply", "q_dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
