@@ -239,8 +239,10 @@ object Analytics {
         coalesce(col("c_cust"), col("o_custkey")).as("o_custkey"),
         coalesce(col("c_status"), col("o_orderstatus")).as("o_orderstatus"),
         coalesce(col("c_price"), col("o_totalprice")).as("o_totalprice"))
-      // r15: sort barrier — sampling was re-running the full-outer merge
-      .transform(TrainingData.sortedOutput(s, col("o_orderkey")))
+      // r15: measured for the final-sort barrier, left unwrapped (paired
+      // two-JVM A/B flat: the merge re-exec streams the already-sorted
+      // shuffle files, ~the same cost as re-shuffling the full result)
+      .orderBy("o_orderkey")
   }
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(

@@ -150,7 +150,9 @@ object EventTime {
       .pointInInterval(purchases, "ev_us", sessions, "start_us", "end_us", HourUs)
       .groupBy("user_id", "start_us", "end_us")
       .agg(count(lit(1)).as("n_concurrent"))
-      .orderBy("user_id", "start_us")
+      // r15: sort barrier — the sort keys are a PREFIX of the grouping
+      // keys (no merge-away), so sampling was re-running the final agg
+      .transform(TrainingData.sortedOutput(s, col("user_id"), col("start_us")))
   }
 
   /** INTERVAL-INTERVAL overlap join (NO equi key): which user pairs were on

@@ -172,8 +172,10 @@ object Insights {
       .select(col("event_type"), col("day"),
         Cols.r2(col("day_value")).as("day_value"), col("n_events"),
         col("z"), (abs(col("z")) > 2.0).as("anomalous"))
-      // r15: sort barrier — sampling was re-running the z-score join
-      .transform(TrainingData.sortedOutput(s, col("event_type"), col("day")))
+      // r15: measured for the final-sort barrier, left unwrapped (paired
+      // two-JVM A/B −6%: the broadcast z-score join over the
+      // |types×days|-bounded rollup is ~free to re-run)
+      .orderBy("event_type", "day")
   }
 
   /** BM25 relevance ranking of the corpus for the fixed query
@@ -437,8 +439,10 @@ object Insights {
         Cols.r2(col("day_value")).as("day_value"),
         lit(null).cast("double").as("ewma"))
     series.unionByName(dayless)
-      // r15: sort barrier — sampling was re-running the fold window
-      .transform(TrainingData.sortedOutput(s, col("event_type"), col("day")))
+      // r15: measured for the final-sort barrier, left unwrapped (paired
+      // two-JVM A/B −8.5%: the fold window runs over the |types×days|-
+      // bounded checkpointed rollup, ~free to re-run)
+      .orderBy("event_type", "day")
   }
 
   /** Sketch mergeability — THE property that makes approximate distinct
@@ -552,7 +556,8 @@ object Insights {
         // (round-7 fuzz corpus caught this with null-user poison)
         Cols.r6(col("dau").cast("double") /
           nullif(col("wau7"), lit(0L))).as("stickiness"))
-      .orderBy("day")
+      // r15: sort barrier — sampling was re-running the wau-dau join
+      .transform(TrainingData.sortedOutput(s, col("day")))
   }
 
   /** Winsorization (percentile clipping) per event type: values clipped to

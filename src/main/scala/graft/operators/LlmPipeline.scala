@@ -904,7 +904,8 @@ object LlmPipeline {
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= 5)
       .select(col("lang"), col("term"), col("tf"), col("df"), col("score"), col("rk"))
-      .orderBy("lang", "rk")
+      // r15: sort barrier — sampling was re-running the tf join + rank window
+      .transform(TrainingData.sortedOutput(s, col("lang"), col("rk")))
   }
 
   /** Multimodal row: text ⋈ vector on doc_id=vec_id with per-modality

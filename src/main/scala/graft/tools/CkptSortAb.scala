@@ -31,11 +31,11 @@ object CkptSortAb {
     // grouping/window key, so the barrier merges away — left unwrapped)
     "q_asof", "q_join_salted", "q_supplier", "q_win_session",
     "q_resample", "q_attribution",
-    // (q_win_rank / q_win_frame / q_win_share measured and left
-    // unwrapped: their window segments are too cheap for the sampling
-    // re-exec to beat the barrier exchange at any probed scale)
-    "q_topk_group", "q_topk_group_native", "q_anomaly", "q_ewma",
-    "q_cdc_apply", "q_dedup_clusters")
+    // (q_win_rank / q_win_frame / q_win_share / q_topk_group(+native) /
+    // q_anomaly / q_ewma / q_cdc_apply / q_join_salted measured and left
+    // unwrapped: bounded or cheap-to-re-run pre-sort segments — the
+    // paired two-JVM HeadTime A/B had the barrier flat-to-losing there)
+    "q_dedup_clusters", "q_tfidf", "q_range_bin", "q_active_users")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -26,6 +26,12 @@ object HeadTime {
       .config("spark.sql.cteRecursionRowLimit", "2000000000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Whole-JVM flavor pin for unbiased sort-barrier A/B: CkptSortAb
+    // interleaves arms within one JVM with a fixed arm order, which
+    // showed a first-arm bias on cheap heads — two HeadTime JVMs (one
+    // per flavor) measure without ordering effects.
+    sys.env.get("SPARK_GRAFT_SORT_CKPT")
+      .foreach(v => spark.conf.set("spark.graft.sort.ckpt", v))
     // session + scan-path warmup, then shared-asset warmup for any head
     // that reads a multi-consumer cached() asset (same doctrine as Bench)
     spark.range(1000).selectExpr("sum(id)").collect()
