@@ -185,4 +185,30 @@ class DedupEdgeSpec extends SparkSpec {
     assert(nv < 40, s"fixture vocabulary grew to $nv >= 40: qDedupNear's " +
       "deletion-signature completeness argument no longer covers it")
   }
+
+  test("eager asset timing records per-asset build seconds without changing results") {
+    // r16 (r15 verdict item 7): Bench's warm phase flips
+    // TrainingData.eagerAssetTiming on so cached() times each asset's
+    // first materialization; results must be unaffected and every
+    // populated asset must land in assetBuildSecs.
+    val dir = Files.createTempDirectory("graft-warmassets").toString
+    Seq((1L, "hello world hello again", "en", "web", 23L),
+        (2L, "hello world hello again", "en", "book", 23L),
+        (3L, "totally different words here", "en", "web", 28L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    TrainingData.eagerAssetTiming = true
+    val timed =
+      try LlmPipeline.qDedupNear(spark, dir).collect().toSeq
+      finally TrainingData.eagerAssetTiming = false
+    val secs = TrainingData.assetBuildSecs
+    for (a <- Seq("docToks", "nearDocSums", "nearPairs"))
+      assert(secs.contains(a) && secs(a) >= 0.0, s"missing build time for $a: $secs")
+    // lazy rebuild on a fresh dir must agree with the eagerly-timed run
+    val dir2 = Files.createTempDirectory("graft-warmassets2").toString
+    Files.createSymbolicLink(
+      java.nio.file.Paths.get(s"$dir2/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    assert(LlmPipeline.qDedupNear(spark, dir2).collect().toSeq === timed)
+  }
 }

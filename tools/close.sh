@@ -66,14 +66,15 @@ note() { summary+=("$1"); echo "CLOSE: $1"; }
 # exactly what this guard must separate. Empty when fewer than 3
 # matching lines exist.
 #
-# Single-sourcing (r15, r14 ADVICE): lines carry their own window_index
-# (and, since r15, normalized_total) stamped by Bench.scala — the
-# STORED value is preferred, so Bench's basket constants are the one
-# live copy. The basket literal below exists ONLY to retro-normalize
-# the frozen pre-r14 history lines, which never change; it must match
-# the r14 calibration record (Bench.scala windowBasket) and is not a
-# second live copy of anything.
-WINDOW_BASKET='{"q_project":0.765,"q_filter":0.339,"q_math":0.718,"q_str":0.268,"q_case":0.285,"q_date":0.451,"q_array":0.278,"q_map":1.073,"q_sort":0.502,"q_agg_pricing":0.486,"q_win_lag":0.636,"q_union":0.374}'
+# Basket literal (re-frozen r16 with Bench.scala — see the windowBasket
+# scaladoc for the calibration record): the band must read ONE yardstick,
+# but history lines carry window_index values stamped by whichever basket
+# constants were live when they ran (pre- vs post-r16 lines mix two
+# calibrations). quiet_p90 therefore RE-NORMALIZES every line from its
+# own per-query medians with the CURRENT constants, and only falls back
+# to the stored index when the per-query map is absent. This literal must
+# match Bench.scala's windowBasket.
+WINDOW_BASKET='{"q_project":0.767,"q_filter":0.319,"q_math":0.736,"q_str":0.310,"q_case":0.365,"q_date":0.340,"q_array":0.341,"q_map":1.032,"q_sort":0.553,"q_agg_pricing":0.462,"q_win_lag":0.668,"q_union":0.376}'
 export WINDOW_BASKET
 quiet_p90() {
   python3 - <<'PY'
@@ -81,12 +82,12 @@ import json, os, statistics
 proto = "pass-major-median-v2-noop"
 basket = json.loads(os.environ["WINDOW_BASKET"])
 def widx(d):
-    w = d.get("window_index")
-    if isinstance(w, (int, float)) and w > 0:
-        return w   # stored by Bench since r14 — the single live source
-    qs = d.get("queries", {})  # pre-r14 retro formula (frozen lines)
+    qs = d.get("queries", {})  # re-normalize on the CURRENT basket
     rs = [qs[q] / c for q, c in basket.items() if qs.get(q, 0) > 0]
-    return statistics.median(rs) if rs else None
+    if rs:
+        return statistics.median(rs)
+    w = d.get("window_index")  # fallback: stored (mixed-calibration) index
+    return w if isinstance(w, (int, float)) and w > 0 else None
 totals = []
 try:
     for d in map(json.loads, open("BENCH_HISTORY.jsonl")):
