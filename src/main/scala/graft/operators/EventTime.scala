@@ -150,9 +150,19 @@ object EventTime {
       .pointInInterval(purchases, "ev_us", sessions, "start_us", "end_us", HourUs)
       .groupBy("user_id", "start_us", "end_us")
       .agg(count(lit(1)).as("n_concurrent"))
-      // r15: sort barrier — the sort keys are a PREFIX of the grouping
-      // keys (no merge-away), so sampling was re-running the final agg
-      .transform(TrainingData.sortedOutput(s, col("user_id"), col("start_us")))
+      // r16: sort barrier REMOVED (r15 had kept it on a segment≫result
+      // argument over a −2% paired read). The sort keys are a PREFIX of
+      // the grouping keys, so the barrier does not merge away — it pays
+      // a full extra shuffle of the orders-scaled result — while the
+      // segment the sampling job re-runs is only the final-merge
+      // HashAggregate above the aggregate's own exchange (map-side
+      // partials are reused across jobs). Re-measured r16 with the
+      // rotated CkptSortAb (−28%) AND paired two-JVM ABBA at sf0.1
+      // (false 1.151 vs shuffle 1.452 min-of-medians, −21%) AND at the
+      // ×8 grown corpus (false 1.21/1.57 vs shuffle 1.58/2.89 — false
+      // wins both positions): the wrap loses in every instrument at
+      // every scale probed.
+      .orderBy(col("user_id"), col("start_us"))
   }
 
   /** INTERVAL-INTERVAL overlap join (NO equi key): which user pairs were on

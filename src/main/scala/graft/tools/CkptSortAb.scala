@@ -35,7 +35,12 @@ object CkptSortAb {
     // q_anomaly / q_ewma / q_cdc_apply / q_join_salted measured and left
     // unwrapped: bounded or cheap-to-re-run pre-sort segments — the
     // paired two-JVM HeadTime A/B had the barrier flat-to-losing there)
-    "q_dedup_clusters", "q_tfidf", "q_range_bin", "q_active_users")
+    // (q_range_bin wrapped r15 on a segment≫result argument, UNWRAPPED
+    // r16: sort keys are a prefix of the grouping keys, so the barrier
+    // pays a full extra result shuffle while sampling only re-runs the
+    // final-merge aggregate — rotated table −28%, paired ABBA −21% at
+    // sf0.1 and −23% at ×8 grown, losing every instrument)
+    "q_dedup_clusters", "q_tfidf", "q_active_users")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
